@@ -1,0 +1,50 @@
+"""Engine-wide constants and configuration.
+
+BM25 parameters match the reference's effective scorer: the reference
+delegates relevance to Elasticsearch whose default similarity is Okapi
+BM25 with k1=1.2, b=0.75 (reference wiring:
+modules/search/src/main/scala/fr/janalyse/sotohp/search/ElasticOperations.scala:32-76).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 (Okapi, Lucene-default parameters) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- physical layout ---
+    # Global doc-id range size: postings are sharded on
+    # range_id = doc_id // range_size.  Fixed global ranges make every
+    # term's posting shards align on the same doc-id boundaries, so
+    # query-time intersection is local to a shard.  A Zipf-hot term's
+    # postings spread across many ranges (bounded <= range_size rows
+    # per (term, range) group) — this IS the explicit skew salting.
+    range_size: int = 1 << 17
+
+    # Posting-list scoring blocks: per `block_size` docs inside one
+    # (term, range) list we store the max attainable BM25 partial
+    # score, enabling block-max WAND pruning at query time.
+    block_size: int = 128
+
+    # Number of term-hash write partitions inside a range directory
+    # (keeps file counts bounded; term predicate still prunes via
+    # parquet min/max + dictionary filters because files are sorted
+    # by term).
+    shuffle_partitions: int = 32
+
+    # Index build: how many doc-id ranges are committed per checkpoint
+    # batch (resume granularity).
+    ranges_per_batch: int = 8
+
+    # tie-break and float determinism: scores are float64; ties broken
+    # by ascending doc_id everywhere (engine, oracle, tests).
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+
+DEFAULT = EngineConfig()

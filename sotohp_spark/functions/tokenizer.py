@@ -1,0 +1,187 @@
+"""Analysis chain (tokenizer) — behavioral port of the reference's
+``extractKeywords`` pipeline.
+
+Reference semantics (modules/service/src/main/scala/fr/janalyse/sotohp/
+service/MediaServiceLive.scala:1641-1668, rules model
+modules/service/.../model/KeywordRules.scala:8-24), re-derived for
+Python/pandas:
+
+1. apply ``rewritings`` once each, in list order; each rewriting
+   replaces ALL occurrences of its regex (``$N`` group refs);
+2. split on ``[- /,']+``;
+3. drop empty fragments;
+4. camelCase-split each fragment (zero-width boundary regex
+   ``(?=[A-Z][^A-Z])|(?<=[^A-Z])(?=[A-Z]+)``) and lowercase the parts;
+5. map each part through ``mappings`` (first match on the lowercased
+   token wins; replacement may contain spaces/hyphens);
+6. re-split on ``[- ]+`` and drop blank tokens;
+7. drop tokens fully matching ``^[-0-9]+$`` (standalone numbers);
+8. lowercase;
+9. drop tokens in ``ignoring`` (stopwords).
+
+``extract_keywords`` dedups to a set (the reference's return type,
+golden vector: rules {ignoring={with,i,am}, mapping nigght->night,
+rewriting (42)(thing)->$2$1} over "I am with nigght 42thing" =>
+{night, thing42} — MediaServiceCRUDOperationsTest.scala:138-151).
+
+``tokenize`` keeps the full ordered token list (duplicates preserved)
+— the engine needs term frequencies for BM25, which the reference
+never computes itself (it delegates tf/scoring to Lucene inside ES);
+the token *stream* before the final dedup is identical.
+
+The hot path is ``make_term_freq_udf``: an Arrow-batched pandas UDF
+that returns per-document ``map<term,tf>`` so the postings shuffle
+carries (term, doc_id, tf) — map-side tf aggregation, never raw
+tokens.  No per-row Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# split classes, exactly as the reference
+_SPLIT1 = re.compile(r"[- /,']+")
+_SPLIT2 = re.compile(r"[- ]+")
+_CAMEL = re.compile(r"(?=[A-Z][^A-Z])|(?<=[^A-Z])(?=[A-Z]+)")
+_NUMBERS = re.compile(r"^[-0-9]+$")
+_DOLLAR_GROUP = re.compile(r"\$(\d+)")
+
+
+@dataclass(frozen=True)
+class KeywordRules:
+    """Port of the reference's KeywordRules (ignoring/mappings/rewritings)."""
+
+    ignoring: frozenset = frozenset()
+    mappings: tuple = ()  # tuple[(from, to), ...] — first match wins
+    rewritings: tuple = ()  # tuple[(regex, replacement-with-$N), ...]
+
+    # compiled caches (not part of equality/hash)
+    _compiled: list = field(default=None, compare=False, hash=False, repr=False)
+
+    def compiled_rewritings(self) -> list:
+        pats = []
+        for rx, repl in self.rewritings:
+            pats.append((re.compile(rx), _DOLLAR_GROUP.sub(r"\\\1", repl)))
+        return pats
+
+    def mapping_dict(self) -> dict:
+        d = {}
+        for frm, to in self.mappings:
+            d.setdefault(frm, to)  # first occurrence wins, like .find
+        return d
+
+    def to_plain(self) -> dict:
+        """Picklable plain form for broadcasting into pandas UDFs."""
+        return {
+            "ignoring": sorted(self.ignoring),
+            "mappings": list(self.mappings),
+            "rewritings": list(self.rewritings),
+        }
+
+    @staticmethod
+    def from_plain(d: dict | None) -> "KeywordRules | None":
+        if d is None:
+            return None
+        return KeywordRules(
+            ignoring=frozenset(d.get("ignoring", ())),
+            mappings=tuple(tuple(m) for m in d.get("mappings", ())),
+            rewritings=tuple(tuple(r) for r in d.get("rewritings", ())),
+        )
+
+
+def _camel_parts(fragment: str) -> list:
+    # Java's split drops zero-width artifacts at position 0 / trailing;
+    # empties are filtered downstream anyway (step 6).
+    return [p for p in _CAMEL.split(fragment) if p]
+
+
+def tokenize(sentence: str | None, rules: KeywordRules | None = None) -> list:
+    """Full analysis chain, order-preserving, duplicates kept."""
+    if not sentence:
+        return []
+    if rules is not None:
+        for pat, repl in rules.compiled_rewritings():
+            sentence = pat.sub(repl, sentence)
+        mapping = rules.mapping_dict()
+        ignoring = rules.ignoring
+    else:
+        mapping = {}
+        ignoring = ()
+
+    out = []
+    for fragment in _SPLIT1.split(sentence):
+        if not fragment:
+            continue
+        for part in _camel_parts(fragment):
+            token = part.lower()
+            token = mapping.get(token, token)
+            for tok in _SPLIT2.split(token):
+                if not tok.strip():
+                    continue
+                if _NUMBERS.fullmatch(tok):
+                    continue
+                tok = tok.lower()
+                if tok in ignoring:
+                    continue
+                out.append(tok)
+    return out
+
+
+def extract_keywords(sentence: str | None, rules: KeywordRules | None = None) -> set:
+    """Reference-identical keyword extraction (set semantics)."""
+    return set(tokenize(sentence, rules))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow-batched) Spark UDF constructors.  Rules are captured
+# in plain-dict form in the closure — one pickle per task, reconstructed
+# once per batch series, applied in a tight loop over the Arrow batch.
+# ---------------------------------------------------------------------------
+
+
+def make_tokenize_udf(rules: KeywordRules | None = None):
+    """pandas UDF: text -> array<string> (ordered tokens, dups kept)."""
+    plain = rules.to_plain() if rules is not None else None
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize_udf(texts: pd.Series) -> pd.Series:
+        r = KeywordRules.from_plain(plain)
+        return texts.map(lambda s: tokenize(s, r))
+
+    return tokenize_udf
+
+
+def make_term_freq_udf(rules: KeywordRules | None = None):
+    """pandas UDF: text -> map<string,int> term frequencies.
+
+    Emitting tf maps per document is the engine's map-side combine: the
+    downstream explode+shuffle moves (term, doc_id, tf) rows, which is
+    O(distinct terms per doc), not O(tokens).
+    """
+    plain = rules.to_plain() if rules is not None else None
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+    def term_freq_udf(texts: pd.Series) -> pd.Series:
+        r = KeywordRules.from_plain(plain)
+        return texts.map(lambda s: dict(Counter(tokenize(s, r))))
+
+    return term_freq_udf
+
+
+def make_keywords_udf(rules: KeywordRules | None = None):
+    """pandas UDF: text -> array<string> of DISTINCT tokens, sorted
+    (reference `extractKeywords` Set semantics, stable order for tests)."""
+    plain = rules.to_plain() if rules is not None else None
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def keywords_udf(texts: pd.Series) -> pd.Series:
+        r = KeywordRules.from_plain(plain)
+        return texts.map(lambda s: sorted(set(tokenize(s, r))))
+
+    return keywords_udf

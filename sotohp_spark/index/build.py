@@ -1,0 +1,294 @@
+"""Resumable, checkpointed inverted-index build.
+
+The semantic model is the reference's `synchronize` pipeline
+(MediaServiceLive.scala:1484-1565): an incremental batch job that
+skips already-published work via a per-unit checkpoint
+(State.mediaLastSynchronized, State.scala:3-9), commits progress after
+each micro-batch, emits progress metrics, and is idempotent because
+ids are deterministic (OriginalBuilder.scala:33-40).  Here the unit of
+work is a doc-id RANGE (a batch of postings shards), the checkpoint is
+the `_meta/partition_state` table, and idempotence comes from
+deterministic doc ids + overwrite-by-partition writes.  The reference's
+acknowledged gap ("TODO no transaction take care",
+MediaServiceLive.scala:1480) is closed by writing postings first and
+committing the checkpoint row last.
+
+Index layout on disk (all parquet):
+
+    <index>/docs/                 doc_id, conv_id, doc_ts, n_turns, doc_len
+    <index>/postings/range_bucket=<b>/   shards sorted by term
+    <index>/term_stats/           term, df, cf
+    <index>/_meta/meta.json       N, avgdl, config, fingerprint
+    <index>/_meta/partition_state/  checkpoint + per-partition metrics
+
+`range_bucket` groups `ranges_per_batch` consecutive doc ranges into
+one hive partition => partition pruning on doc ranges, bounded file
+counts, and a natural resume/commit unit.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.functions.tokenizer import KeywordRules, make_term_freq_udf
+from sotohp_spark.operators.docs import build_documents
+from sotohp_spark.operators.postings import build_postings_df
+
+PARTITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("input_fingerprint", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("postings_count", T.LongType(), False),
+        T.StructField("compressed_bytes", T.LongType(), False),
+        T.StructField("skew_ratio", T.DoubleType(), False),
+        T.StructField("n_terms", T.LongType(), False),
+        T.StructField("wall_time_sec", T.DoubleType(), False),
+        T.StructField("built_at", T.TimestampType(), False),
+    ]
+)
+
+
+class BuildInterrupted(RuntimeError):
+    """Raised by the kill-switch in tests to simulate a mid-build crash."""
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
+                 rules: KeywordRules | None = None):
+        self.spark = spark
+        self.path = index_path.rstrip("/")
+        self.cfg = cfg
+        self.rules = rules
+
+    # --- paths ---
+    @property
+    def docs_path(self):
+        return f"{self.path}/docs"
+
+    @property
+    def postings_path(self):
+        return f"{self.path}/postings"
+
+    @property
+    def term_stats_path(self):
+        return f"{self.path}/term_stats"
+
+    @property
+    def meta_path(self):
+        return f"{self.path}/_meta/meta.json"
+
+    @property
+    def state_path(self):
+        return f"{self.path}/_meta/partition_state"
+
+    # ------------------------------------------------------------------
+    def build(
+        self,
+        turns: DataFrame,
+        stop_after_batches: int | None = None,
+        input_fingerprint: str | None = None,
+    ) -> dict:
+        """Build (or resume) the index from the turns table.
+
+        ``stop_after_batches``: test hook — raise BuildInterrupted after
+        committing that many checkpoint batches (kill-and-resume test).
+        Returns the meta dict.
+        """
+        cfg = self.cfg
+        fingerprint = input_fingerprint or "default"
+
+        # ---- stage 1: docs + doc stats (deterministic, idempotent) ----
+        # Skipped on resume if already built for the same fingerprint.
+        meta = self._read_meta()
+        if meta is None or meta.get("fingerprint") != fingerprint:
+            docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
+            tf_udf = make_term_freq_udf(self.rules)
+            docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
+                "doc_len",
+                F.coalesce(
+                    F.aggregate(
+                        F.map_values("tfs"), F.lit(0), lambda acc, x: acc + x
+                    ),
+                    F.lit(0),
+                ),
+            )
+            (
+                docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
+                .repartitionByRange(cfg.shuffle_partitions, "doc_id")
+                .write.mode("overwrite")
+                .parquet(self.docs_path + "_tmp")
+            )
+            # atomic-ish promote: docs_tmp holds tfs for the postings
+            # stage; final docs table drops the tf maps.
+            stats = self.spark.read.parquet(self.docs_path + "_tmp").agg(
+                F.count("*").alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.max("doc_id").alias("max_doc"),
+            ).collect()[0]
+            meta = {
+                "n_docs": int(stats["n"]),
+                "avgdl": float(stats["avgdl"]),
+                "max_doc": int(stats["max_doc"]),
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "range_size": cfg.range_size,
+                "block_size": cfg.block_size,
+                "ranges_per_batch": cfg.ranges_per_batch,
+                "fingerprint": fingerprint,
+                "docs_done": True,
+                "postings_done": False,
+            }
+            self._write_meta(meta)
+
+        # ---- stage 2: postings, per range-bucket with checkpointing ----
+        n_buckets = max(
+            1,
+            math.ceil(
+                (meta["max_doc"] + 1) / (cfg.range_size * cfg.ranges_per_batch)
+            ),
+        )
+        done = self._built_buckets(fingerprint)
+        doc_tf = None
+        batches_done = 0
+        for bucket in range(n_buckets):
+            if bucket in done:
+                continue
+            if doc_tf is None:
+                doc_tf = (
+                    self.spark.read.parquet(self.docs_path + "_tmp")
+                    .select(
+                        "doc_id",
+                        "doc_len",
+                        F.explode("tfs").alias("term", "tf"),
+                    )
+                )
+            t0 = time.time()
+            lo = bucket * cfg.range_size * cfg.ranges_per_batch
+            hi = lo + cfg.range_size * cfg.ranges_per_batch
+            part = doc_tf.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            shards = build_postings_df(part, meta["avgdl"], cfg)
+            out = f"{self.postings_path}/range_bucket={bucket}"
+            (
+                shards.repartition(cfg.shuffle_partitions, "term")
+                .sortWithinPartitions("term", "range_id")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            self._commit_state(bucket, fingerprint, out, time.time() - t0)
+            batches_done += 1
+            if stop_after_batches is not None and batches_done >= stop_after_batches:
+                raise BuildInterrupted(
+                    f"test kill-switch after {batches_done} batches"
+                )
+
+        # ---- stage 3: term stats + finalize ----
+        if not meta.get("postings_done"):
+            postings = self.spark.read.option("basePath", self.postings_path).parquet(
+                self.postings_path
+            )
+            (
+                postings.groupBy("term")
+                .agg(
+                    F.sum("n_docs").alias("df"),
+                    F.count("*").alias("n_shards"),
+                )
+                .repartition(cfg.shuffle_partitions, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(self.term_stats_path)
+            )
+            (
+                self.spark.read.parquet(self.docs_path + "_tmp")
+                .select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len")
+                .repartitionByRange(cfg.shuffle_partitions, "doc_id")
+                .write.mode("overwrite")
+                .parquet(self.docs_path)
+            )
+            meta["postings_done"] = True
+            self._write_meta(meta)
+        return meta
+
+    # ------------------------------------------------------------------
+    def _commit_state(self, bucket: int, fingerprint: str, out_path: str, wall: float):
+        """Write postings first, checkpoint row last (closes the
+        reference's no-transaction gap)."""
+        shards = self.spark.read.parquet(out_path)
+        m = shards.agg(
+            F.sum("n_docs").alias("postings"),
+            F.sum(F.length("payload")).alias("bytes"),
+            F.count("*").alias("n_shards"),
+            F.countDistinct("term").alias("n_terms"),
+            F.max("n_docs").alias("max_shard"),
+            F.avg("n_docs").alias("mean_shard"),
+        ).collect()[0]
+        skew = float(m["max_shard"]) / float(m["mean_shard"]) if m["mean_shard"] else 1.0
+        row = [
+            (
+                bucket,
+                fingerprint,
+                "built",
+                int(m["postings"] or 0),
+                int(m["bytes"] or 0),
+                skew,
+                int(m["n_terms"] or 0),
+                float(wall),
+            )
+        ]
+        df = self.spark.createDataFrame(
+            row, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
+        ).withColumn("built_at", F.current_timestamp())
+        df.write.mode("append").parquet(self.state_path)
+
+    def _built_buckets(self, fingerprint: str) -> set:
+        # cheap local-FS existence probe avoids a logged AnalysisException
+        # on fresh builds (object stores: the read below handles it)
+        if "://" not in self.state_path and not os.path.exists(self.state_path):
+            return set()
+        try:
+            rows = (
+                self.spark.read.parquet(self.state_path)
+                .where(
+                    (F.col("status") == "built")
+                    & (F.col("input_fingerprint") == fingerprint)
+                )
+                .select("partition_id")
+                .collect()
+            )
+            return {r["partition_id"] for r in rows}
+        except Exception:
+            return set()
+
+    def partition_state(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_path)
+
+    def reindex_all(self, turns: DataFrame, **kw) -> dict:
+        """Full rebuild: clear checkpoint + meta, rebuild everything
+        (the reference's `reindexAll`, MediaServiceLive.scala:1587-1612)."""
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        return self.build(turns, **kw)
+
+    # ------------------------------------------------------------------
+    def _read_meta(self):
+        try:
+            with open(self.meta_path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _write_meta(self, meta: dict):
+        os.makedirs(os.path.dirname(self.meta_path), exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self.meta_path)

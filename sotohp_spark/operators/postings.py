@@ -1,0 +1,195 @@
+"""Posting-list construction: (doc_id, term, tf, dl) -> compressed,
+block-structured posting shards keyed by (term, range_id).
+
+Physical layout (the engine's answer to the reference's hand-built
+LMDB secondary indexes + monthly ES index routing,
+MediaServiceLive.scala:1803-1877 / ElasticOperations.scala:91-97):
+
+- ``range_id = doc_id // range_size`` with GLOBAL fixed boundaries:
+  every term's shards align on the same doc-id ranges, so query-time
+  intersection/union is local to one shard set — no cross-partition
+  coordination.
+- Hot-term skew (Zipf head) is bounded by construction: a (term,
+  range) group holds at most ``range_size`` postings, however hot the
+  term; a hot term simply produces more shards.  This is the explicit
+  skew salting demanded at 10^12-turn scale — salt = doc range, which
+  (unlike hash salts) keeps lists sorted and merge = concatenation.
+- Inside a shard, postings are split into blocks of ``block_size``
+  docs.  Each block is a self-contained compressed segment
+  [varbyte: n, first_doc, gaps..., tfs..., dls...], with byte offsets
+  and an idf-free BM25 upper bound stored per block -> block-max WAND
+  can skip decoding losing blocks.
+
+Build is a single shuffle: explode tf maps -> groupBy(term, range_id)
+.applyInPandas(encode).  The pandas encoder is numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.operators import bm25
+from sotohp_spark.operators.varbyte import varbyte_encode
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("range_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("block_offsets", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_first_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_ub", T.ArrayType(T.DoubleType()), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_shard(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+):
+    """Encode one (term, range) posting list -> shard fields.
+
+    Returns (n_docs, first_doc, last_doc, block_offsets,
+    block_first_doc, block_last_doc, block_ub, payload_bytes).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    dls = np.asarray(dls, dtype=np.int64)[order]
+    n = doc_ids.size
+    bs = cfg.block_size
+    nblocks = (n + bs - 1) // bs
+
+    chunks = []
+    offsets = [0]
+    bfirst = np.empty(nblocks, dtype=np.int64)
+    blast = np.empty(nblocks, dtype=np.int64)
+    pos = 0
+    for bi in range(nblocks):
+        lo, hi = bi * bs, min((bi + 1) * bs, n)
+        d = doc_ids[lo:hi]
+        gaps = (d[1:] - d[:-1]).astype(np.uint64)
+        header = np.array([hi - lo, d[0]], dtype=np.uint64)
+        seg = (
+            varbyte_encode(header)
+            + varbyte_encode(gaps)
+            + varbyte_encode(tfs[lo:hi].astype(np.uint64))
+            + varbyte_encode(dls[lo:hi].astype(np.uint64))
+        )
+        chunks.append(seg)
+        pos += len(seg)
+        offsets.append(pos)
+        bfirst[bi] = d[0]
+        blast[bi] = d[-1]
+
+    ubs = bm25.score_block_upper_bounds(tfs, dls, avgdl, bs, cfg.k1, cfg.b)
+    return (
+        int(n),
+        int(doc_ids[0]),
+        int(doc_ids[-1]),
+        offsets,
+        bfirst,
+        blast,
+        ubs,
+        b"".join(chunks),
+    )
+
+
+def decode_shard_blocks(payload: bytes, block_offsets, block_ids=None):
+    """Decode selected blocks of a shard payload.
+
+    block_ids None -> all blocks.  Returns (doc_ids, tfs, dls) int64
+    arrays concatenated over the selected blocks, in doc order.
+    """
+    from sotohp_spark.operators.varbyte import varbyte_decode
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if block_ids is None:
+        block_ids = range(len(block_offsets) - 1)
+    docs_out, tfs_out, dls_out = [], [], []
+    for bi in block_ids:
+        seg = buf[block_offsets[bi] : block_offsets[bi + 1]]
+        vals = varbyte_decode(seg.tobytes())
+        cnt = int(vals[0])
+        first = np.int64(vals[1])
+        gaps = vals[2 : 2 + (cnt - 1)].astype(np.int64)
+        tf = vals[1 + cnt : 1 + 2 * cnt].astype(np.int64)
+        dl = vals[1 + 2 * cnt : 1 + 3 * cnt].astype(np.int64)
+        d = np.empty(cnt, dtype=np.int64)
+        d[0] = first
+        if cnt > 1:
+            d[1:] = first + np.cumsum(gaps)
+        docs_out.append(d)
+        tfs_out.append(tf)
+        dls_out.append(dl)
+    if not docs_out:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(docs_out),
+        np.concatenate(tfs_out),
+        np.concatenate(dls_out),
+    )
+
+
+def build_postings_df(
+    doc_term_tf: DataFrame, avgdl: float, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """(doc_id, doc_len, term, tf) -> postings shards DataFrame.
+
+    One shuffle on (term, range_id); encoder runs as applyInPandas
+    (Arrow batches, numpy inside).
+    """
+    k1, b, bs, rs = cfg.k1, cfg.b, cfg.block_size, cfg.range_size
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        (
+            n,
+            first,
+            last,
+            offsets,
+            bfirst,
+            blast,
+            ubs,
+            payload,
+        ) = encode_shard(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            avgdl,
+            cfg,
+        )
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "range_id": [int(pdf["range_id"].iloc[0])],
+                "n_docs": [n],
+                "first_doc": [first],
+                "last_doc": [last],
+                "block_offsets": [list(offsets)],
+                "block_first_doc": [bfirst.tolist()],
+                "block_last_doc": [blast.tolist()],
+                "block_ub": [ubs.tolist()],
+                "payload": [payload],
+            }
+        )
+
+    with_range = doc_term_tf.withColumn(
+        "range_id", (F.col("doc_id") / F.lit(rs)).cast("int")
+    )
+    return with_range.groupBy("term", "range_id").applyInPandas(
+        encode_group, schema=POSTINGS_SCHEMA
+    )

@@ -1,0 +1,128 @@
+"""Exhaustive (non-WAND) BM25 as a pure DataFrame plan.
+
+Used two ways:
+- as the SQL-expressible flagship query over the `documents` testdata
+  table (whitespace tokenization so a DuckDB oracle can replicate it
+  exactly);
+- as the correctness guard the WAND path is pytest-compared against.
+
+Entirely JVM-side: split/explode/groupBy/join/window — no Python in
+the plan, whole-stage codegen end to end.  The small per-term DF/IDF
+side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simple_tokens(col):
+    """Whitespace tokenizer (documents.text is space-separated); keeps
+    empty-string filtering consistent with DuckDB's string_split."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def doc_term_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term, tf) from whitespace tokens — explode + groupBy."""
+    return (
+        docs.select(id_col, F.explode(simple_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive BM25 over whitespace tokens; returns (doc_id, score).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score summed over distinct
+    query terms (qtf=1 — the oracle SQL does the same).
+    """
+    tf = doc_term_tf(docs, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    n_avg = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    qt = sorted(set(query_terms))
+    cand = tf.where(F.col("term").isin(qt))
+    df_t = cand.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    scored = (
+        cand.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_avg))
+        .withColumn(
+            "idf", F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list, k: int = 10, **kw
+) -> DataFrame:
+    return (
+        bm25_scores(docs, query_terms, **kw)
+        .orderBy(F.col("score").desc(), F.col(kw.get("id_col", "doc_id")).asc())
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(query_terms: list, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB SQL equivalent of bm25_topk over the `documents` view."""
+    qt = sorted(set(query_terms))
+    terms_list = ", ".join(f"('{t}')" for t in qt)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS term
+  ) t
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+),
+q(term) AS (VALUES {terms_list}),
+dft AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+  FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl))), 6) AS score
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

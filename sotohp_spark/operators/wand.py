@@ -1,0 +1,181 @@
+"""Top-k scoring within one doc-id range: block-max pruning + exact BM25.
+
+Classic WAND/BMW is pointer-chasing — hostile to a vectorized runtime.
+This is a vectorized block-max formulation over the aligned doc-range
+shards:
+
+1. every compressed block of every query term carries
+   [first_doc, last_doc, ub] where ub is its idf-free BM25 upper
+   bound; multiply by idf at query time;
+2. an interval sweep over block boundaries yields the piecewise-
+   constant upper bound U(doc) = sum of overlapping blocks' idf*ub;
+3. intervals are processed in descending U order; once U <= theta
+   (current k-th best exact score) the remaining intervals — and
+   every block only they cover — are never decoded;
+4. surviving blocks are decoded (varbyte) and scored exactly with
+   numpy; ties broken by ascending doc_id.
+
+Conjunctive (AND) mode intersects decoded doc ids across all query
+terms before scoring (posting-list intersection, the reference's
+`mediaSearch` AND semantics, MediaServiceLive.scala:108-112); ranges
+missing any query term are skipped before decode.
+
+Equivalence to the exhaustive scorer is pytest-enforced
+(tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.operators import bm25
+from sotohp_spark.operators.postings import decode_shard_blocks
+
+
+def _topk_update(scores: dict, k: int):
+    """Return (theta, set of top-k (score,-doc) ) given exact scores dict."""
+    if len(scores) < k:
+        return -np.inf
+    vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+    return float(np.partition(vals, len(vals) - k)[len(vals) - k])
+
+
+def score_range(
+    shards: list,
+    term_weights: dict,
+    k: int,
+    avgdl: float,
+    conjunctive: bool = False,
+    cfg: EngineConfig = DEFAULT,
+):
+    """Score one doc-id range.
+
+    ``shards``: list of dict-like rows with keys term, n_docs,
+    block_offsets, block_first_doc, block_last_doc, block_ub, payload
+    (one per query term present in this range).
+    ``term_weights``: term -> qtf * idf  (precomputed on the driver).
+
+    Returns (doc_ids int64[], scores float64[]) of the local top-k.
+    """
+    if not shards:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    # canonical float-summation order: contributions accumulate by
+    # (term, block) ascending — the oracle sums per-doc in the same
+    # sorted-term order, so scores agree bit-for-bit.
+    shards = sorted(shards, key=lambda s: (s["term"], s.get("first_doc", 0)))
+
+    if conjunctive:
+        if len({s["term"] for s in shards}) < len(term_weights):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return _score_conjunctive(shards, term_weights, k, avgdl, cfg)
+
+    # ---- disjunctive block-max path ----
+    # gather all blocks: (start, end, weighted_ub, shard_idx, block_idx)
+    starts, ends, ubs, sidx, bidx = [], [], [], [], []
+    for si, s in enumerate(shards):
+        w = term_weights[s["term"]]
+        bf = np.asarray(s["block_first_doc"], dtype=np.int64)
+        bl = np.asarray(s["block_last_doc"], dtype=np.int64)
+        ub = np.asarray(s["block_ub"], dtype=np.float64) * w
+        starts.append(bf)
+        ends.append(bl)
+        ubs.append(ub)
+        sidx.append(np.full(bf.size, si, dtype=np.int64))
+        bidx.append(np.arange(bf.size, dtype=np.int64))
+    starts = np.concatenate(starts)
+    ends = np.concatenate(ends)
+    ubs = np.concatenate(ubs)
+    sidx = np.concatenate(sidx)
+    bidx = np.concatenate(bidx)
+
+    # interval sweep: boundaries where the active block set changes
+    bounds = np.unique(np.concatenate([starts, ends + 1]))
+    # U(interval i) = sum of ub over blocks covering [bounds[i], bounds[i+1])
+    n_iv = bounds.size - 1
+    if n_iv <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    add_at = np.searchsorted(bounds, starts)
+    rem_at = np.searchsorted(bounds, ends + 1)
+    delta = np.zeros(bounds.size, dtype=np.float64)
+    np.add.at(delta, add_at, ubs)
+    np.subtract.at(delta, rem_at, ubs)
+    U = np.cumsum(delta)[:n_iv]
+
+    order = np.argsort(-U, kind="stable")
+    exact: dict[int, float] = {}
+    theta = -np.inf
+    block_cache: dict = {}  # (shard_idx, block_idx) -> (doc_ids, partial_scores)
+
+    # Process intervals in descending upper-bound order.  A doc's exact
+    # score is fully accumulated when ITS interval is processed (all
+    # blocks overlapping the interval are decoded then); docs of
+    # never-processed intervals are never emitted, so every returned
+    # score is exact.  Pruning is strict (<) so upper-bound ties with
+    # theta are still scored — exact-tie rank identity vs the oracle.
+    for ii in order:
+        if len(exact) >= k and U[ii] < theta:
+            break
+        lo, hi = bounds[ii], bounds[ii + 1] - 1
+        hit = np.flatnonzero((starts <= hi) & (ends >= lo))
+        for j in hit:
+            key = (int(sidx[j]), int(bidx[j]))
+            if key not in block_cache:
+                s = shards[sidx[j]]
+                d, tf, dl = decode_shard_blocks(
+                    s["payload"], s["block_offsets"], [int(bidx[j])]
+                )
+                w = term_weights[s["term"]]
+                block_cache[key] = (d, w * bm25.tf_norm(tf, dl, avgdl, cfg.k1, cfg.b))
+            d, sc = block_cache[key]
+            a, z = np.searchsorted(d, lo), np.searchsorted(d, hi, side="right")
+            for di, sci in zip(d[a:z].tolist(), sc[a:z].tolist()):
+                exact[di] = exact.get(di, 0.0) + sci
+        theta = _topk_update(exact, k)
+
+    if not exact:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    docs = np.fromiter(exact.keys(), dtype=np.int64, count=len(exact))
+    scs = np.fromiter(exact.values(), dtype=np.float64, count=len(exact))
+    # top-k with (score desc, doc asc) tie-break
+    sel = np.lexsort((docs, -scs))[:k]
+    return docs[sel], scs[sel]
+
+
+def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig):
+    """AND semantics: intersect doc ids across terms, exact scores."""
+    per_term: dict[str, list] = {}
+    for s in shards:
+        per_term.setdefault(s["term"], []).append(s)
+
+    decoded = {}
+    for term, rows in per_term.items():
+        docs_l, tf_l, dl_l = [], [], []
+        for s in rows:
+            d, tf, dl = decode_shard_blocks(s["payload"], s["block_offsets"])
+            docs_l.append(d)
+            tf_l.append(tf)
+            dl_l.append(dl)
+        d = np.concatenate(docs_l)
+        o = np.argsort(d, kind="stable")
+        decoded[term] = (
+            d[o],
+            np.concatenate(tf_l)[o],
+            np.concatenate(dl_l)[o],
+        )
+
+    # intersect starting from the rarest term
+    terms_sorted = sorted(decoded, key=lambda t: decoded[t][0].size)
+    common = decoded[terms_sorted[0]][0]
+    for t in terms_sorted[1:]:
+        common = common[np.isin(common, decoded[t][0], assume_unique=True)]
+        if common.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    total = np.zeros(common.size, dtype=np.float64)
+    for t, (d, tf, dl) in decoded.items():
+        pos = np.searchsorted(d, common)
+        total += term_weights[t] * bm25.tf_norm(tf[pos], dl[pos], avgdl, cfg.k1, cfg.b)
+    sel = np.lexsort((common, -total))[:k]
+    return common[sel], total[sel]

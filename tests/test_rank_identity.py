@@ -1,0 +1,75 @@
+"""End-to-end rank-identity: Spark engine top-k (doc_ids + BM25
+scores) must match the single-node pure-pandas oracle on the full
+reference query set, in both disjunctive (WAND) and conjunctive
+(intersection) modes.  Mirrors the reference's golden end-to-end sync
+test discipline (MediaServiceSynchronizeTest.scala:17-71)."""
+
+import numpy as np
+import pytest
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf, reference_queries
+from sotohp_spark.index.build import IndexBuilder
+from sotohp_spark.index.query import QueryEngine
+from sotohp_spark.oracle.bm25_oracle import Bm25Oracle
+
+SF = 0.05  # ~50 conversations, ~1k turns — small but multi-range
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    pdf = generate_transcripts_pdf(SF)
+    turns = spark.createDataFrame(pdf)
+    # tiny ranges/blocks so multiple shards+blocks are exercised
+    cfg = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                       shuffle_partitions=8)
+    builder = IndexBuilder(spark, path, cfg)
+    meta = builder.build(turns, input_fingerprint="rank-identity")
+    oracle = Bm25Oracle(pdf)
+    engine = QueryEngine(spark, path)
+    return engine, oracle, meta
+
+
+def test_global_stats_match(built):
+    engine, oracle, meta = built
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl, abs=1e-12)
+
+
+def test_doc_ids_match_oracle(built):
+    engine, oracle, _ = built
+    docs = engine._docs.orderBy("doc_id").toPandas()
+    assert list(docs["doc_id"]) == list(range(oracle.n_docs))
+    assert list(docs["conv_id"]) == list(oracle.docs["conv_id"])
+
+
+def test_df_matches_oracle(built):
+    engine, oracle, _ = built
+    df = {r["term"]: r["df"] for r in engine._term_stats.collect()}
+    assert df == dict(oracle.df)
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_rank_identity_full_query_set(built, conjunctive):
+    engine, oracle, _ = built
+    queries = reference_queries()
+    for _, q in queries.iterrows():
+        got = engine.top_k_pdf(q["query_text"], int(q["k"]), conjunctive=conjunctive)
+        want = oracle.top_k(q["query_text"], int(q["k"]), conjunctive=conjunctive)
+        assert list(got["doc_id"]) == list(want["doc_id"]), (
+            f"{q['query_id']} ({q['query_text']!r}) docs mismatch "
+            f"(conjunctive={conjunctive})\n got={got}\nwant={want}"
+        )
+        assert np.allclose(
+            got["score"].to_numpy(dtype=np.float64),
+            want["score"].to_numpy(dtype=np.float64),
+            rtol=0,
+            atol=1e-9,
+        ), f"{q['query_id']} scores diverge"
+
+
+def test_empty_query_and_absent_terms(built):
+    engine, oracle, _ = built
+    assert len(engine.top_k_pdf("")) == 0
+    assert len(engine.top_k_pdf("zzzqx qqqabsent")) == 0
