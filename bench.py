@@ -1,0 +1,111 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "build_turns_per_sec": ..., "topk_p95_ms": ...}
+
+The transcript index build + query latency are the north-star metrics;
+the documents/star-schema queries cover the broader operator surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# transcript corpus scale per sf dir (turns ~= 21.5 * convs)
+TRANSCRIPT_SF = {"sf0.001": 0.1, "sf0.01": 1.0, "sf0.1": 4.0}
+
+
+def main():
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa
+
+    import __spark_entry__ as entrymod
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import reference_queries, transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.session import get_spark
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    tsf = TRANSCRIPT_SF.get(tag, 4.0)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    # ---- transcript index build (north-star: turns/sec) ----
+    turns = transcripts_df(spark, tsf)
+    turns = turns.localCheckpoint()  # materialize generator cost out of the timing
+    n_turns = turns.count()
+    idx_path = f"/tmp/bench_index_{tag}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    cfg = EngineConfig(shuffle_partitions=CPUS, ranges_per_batch=64)
+    t0 = time.time()
+    IndexBuilder(spark, idx_path, cfg).build(turns, input_fingerprint=f"bench-{tsf}")
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    build_turns_per_sec = n_turns / build_sec
+
+    # ---- top-k query latency over the reference query set ----
+    engine = QueryEngine(spark, idx_path)
+    qset = reference_queries()
+    lat = []
+    t0 = time.time()
+    for _, q in qset.iterrows():
+        t1 = time.time()
+        engine.top_k(q["query_text"], int(q["k"]), with_docs=False).collect()
+        lat.append(time.time() - t1)
+    timings["topk_queries_total"] = round(time.time() - t0, 3)
+    lat.sort()
+    p95_ms = lat[max(0, int(len(lat) * 0.95) - 1)] * 1000.0
+
+    # ---- operator-surface headliners on the driver testdata ----
+    headline = [
+        "bm25_topk_docs",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_cosine_topk_lsh",
+        "q1_pricing_summary",
+        "join_order_customer_nation",
+        "sessionization",
+        "asof_join_last_error",
+        "text_metrics",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t1 = time.time()
+        # count() forces the full plan without driver-side collect volume
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t1, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build turns/sec + top-k p95 + operator suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": tag,
+                "n_turns": n_turns,
+                "build_turns_per_sec": round(build_turns_per_sec, 1),
+                "topk_p95_ms": round(p95_ms, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

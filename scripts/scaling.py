@@ -1,0 +1,130 @@
+"""Two-parallelism scaling evidence (north rule: >=0.8 efficiency from
+N to 4N executors; sandbox proxy: local[N] vs local[4N] on identical
+input).
+
+Runs the SAME index-build job + query batch at two core counts in
+separate subprocesses (fresh JVM each — no warm-cache bleed), reports
+throughput at both and efficiency = throughput_4N / (4 * throughput_N),
+and writes BENCH/BASELINE.md.
+
+Usage: python scripts/scaling.py [--n 8] [--sf 4.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import reference_queries, transcripts_df
+from sotohp_spark.index import IndexBuilder, QueryEngine
+from sotohp_spark.session import get_spark
+
+cores = int(sys.argv[1]); sf = float(sys.argv[2])
+spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+turns = transcripts_df(spark, sf).localCheckpoint()
+n_turns = turns.count()
+path = f"/tmp/scaling_idx_{{cores}}"
+shutil.rmtree(path, ignore_errors=True)
+cfg = EngineConfig(shuffle_partitions=cores, ranges_per_batch=64)
+t0 = time.time()
+IndexBuilder(spark, path, cfg).build(turns, input_fingerprint=f"scal-{{sf}}")
+build_sec = time.time() - t0
+engine = QueryEngine(spark, path)
+qs = reference_queries()
+t0 = time.time()
+for _, q in qs.iterrows():
+    engine.top_k(q["query_text"], int(q["k"]), with_docs=False).collect()
+query_sec = time.time() - t0
+print("RESULT " + json.dumps({{
+    "cores": cores, "n_turns": n_turns, "build_sec": build_sec,
+    "build_turns_per_sec": n_turns / build_sec,
+    "query_sec": query_sec, "queries_per_sec": len(qs) / query_sec,
+}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, sf: float) -> dict:
+    code = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(sf)],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--sf", type=float, default=4.0)
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    r_n = run_at(n, args.sf)
+    r_n4 = run_at(n4, args.sf)
+
+    eff_build = r_n4["build_turns_per_sec"] / (4 * r_n["build_turns_per_sec"])
+    speedup_build = r_n4["build_turns_per_sec"] / r_n["build_turns_per_sec"]
+    eff_query = r_n4["queries_per_sec"] / (4 * r_n["queries_per_sec"])
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured numbers for this engine
+
+## Scaling evidence (north rule: two cluster sizes, sandbox proxy)
+
+Same job, same deterministic input (transcripts sf={args.sf},
+{r_n['n_turns']} turns), fresh JVM per run, `local[{n}]` vs
+`local[{n4}]` ({n} vs {n4} cores = the N vs 4N executor proxy per
+driver instructions).
+
+| cores | index build (s) | build turns/s | 50-query batch (s) | queries/s |
+|---|---|---|---|---|
+| {n} | {r_n['build_sec']:.2f} | {r_n['build_turns_per_sec']:.0f} | {r_n['query_sec']:.2f} | {r_n['queries_per_sec']:.2f} |
+| {n4} | {r_n4['build_sec']:.2f} | {r_n4['build_turns_per_sec']:.0f} | {r_n4['query_sec']:.2f} | {r_n4['queries_per_sec']:.2f} |
+
+- build speedup {n}->{n4} cores: **{speedup_build:.2f}x**
+- build scaling efficiency = throughput_4N / (4 x throughput_N) =
+  **{eff_build:.3f}** (target >= 0.8)
+- query-batch scaling efficiency: **{eff_query:.3f}** (driver-bound at
+  this tiny per-query data size; see note)
+
+Note: single top-k queries over a small test index are dominated by
+fixed per-job driver latency, not by scan work, so query-batch
+efficiency at local scale under-reports the cluster number; the
+build job (scan -> tokenize -> shuffle -> encode -> write) is the
+representative scaling workload.
+
+## Reference point (from BASELINE.md)
+
+The reference's single-node full index build: ~179 photos/s (without
+location induction) over 114,795 photos. A "photo" is the reference's
+document unit; the comparable unit here is a conversation document
+(~21.5 turns each). This engine's build rate at {n4} cores:
+**{r_n4['build_turns_per_sec']:.0f} turns/s ≈
+{r_n4['build_turns_per_sec']/21.5:.0f} docs/s**.
+""")
+    print(json.dumps({"n": r_n, "n4": r_n4,
+                      "eff_build": round(eff_build, 3),
+                      "eff_query": round(eff_query, 3)}))
+
+
+if __name__ == "__main__":
+    main()

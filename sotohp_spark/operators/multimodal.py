@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched mapInPandas.
+
+The reference's processor tier (UD2: normalize -> miniatures -> faces
+-> classify, modules/processor/...) is the shape being reproduced:
+batch ML/decode "UDFs" over per-row payloads, with results as nested
+struct columns.  The decode step itself needs image/audio libraries
+that are NOT in this environment, so it is STUBBED — deterministic
+fake features derived from the payload bytes — behind
+``decode_available()``.  Everything Spark-side (schema, batch
+iteration, partitioning, output shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_available() -> bool:
+    """True when a real image decoder is importable (PIL/cv2)."""
+    try:  # pragma: no cover - environment-dependent
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list:
+    """Deterministic stand-in for a real decode+embed: folds payload
+    bytes into `dim` float buckets.  Replaced by the real decoder when
+    decode_available()."""
+    if payload is None:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * dim
+    pad = (-arr.size) % dim
+    folded = np.pad(arr, (0, pad)).reshape(-1, dim).astype(np.float64)
+    return (folded.mean(axis=0) / 255.0).astype(np.float32).tolist()
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one model
+    (here: the stub) initialized per partition — the pattern for
+    per-executor model loading (the reference serializes non-thread-
+    safe predictors with a semaphore, FacesProcessor.scala:167-192;
+    Spark gets the same safety from partition-serial execution)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_available():  # pragma: no cover
+            raise NotImplementedError(
+                "real decoder wiring goes here (PIL/cv2 not in this env)"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                    "ok": pdf["payload"].notna(),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    kinds = np.array(["image", "audio", "video"])
+    rows = []
+    for i in range(n):
+        kind = str(kinds[i % 3])
+        size = int(rng.integers(16, 512))
+        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        if i % 17 == 0:
+            payload = None
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                int(rng.integers(64, 4096)) if kind == "image" else None,
+                int(rng.integers(64, 4096)) if kind == "image" else None,
+                int(rng.integers(1000, 600000)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

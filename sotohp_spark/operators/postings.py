@@ -47,7 +47,12 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_offsets", T.ArrayType(T.IntegerType()), False),
         T.StructField("block_first_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
-        T.StructField("block_ub", T.ArrayType(T.DoubleType()), False),
+        # block-max metadata is stored avgdl-FREE: (max tf, min dl) per
+        # block; the query computes ub = tf_norm(max_tf, min_dl, avgdl)
+        # with the CURRENT global avgdl, so incremental appends (which
+        # shift N/avgdl) never invalidate stored pruning bounds.
+        T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_min_dl", T.ArrayType(T.IntegerType()), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -63,7 +68,9 @@ def encode_shard(
     """Encode one (term, range) posting list -> shard fields.
 
     Returns (n_docs, first_doc, last_doc, block_offsets,
-    block_first_doc, block_last_doc, block_ub, payload_bytes).
+    block_first_doc, block_last_doc, block_max_tf, block_min_dl,
+    payload_bytes).  (avgdl/cfg kept for signature stability; the
+    stored bound is avgdl-free — see POSTINGS_SCHEMA.)
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
@@ -77,6 +84,8 @@ def encode_shard(
     offsets = [0]
     bfirst = np.empty(nblocks, dtype=np.int64)
     blast = np.empty(nblocks, dtype=np.int64)
+    bmax_tf = np.empty(nblocks, dtype=np.int64)
+    bmin_dl = np.empty(nblocks, dtype=np.int64)
     pos = 0
     for bi in range(nblocks):
         lo, hi = bi * bs, min((bi + 1) * bs, n)
@@ -94,8 +103,9 @@ def encode_shard(
         offsets.append(pos)
         bfirst[bi] = d[0]
         blast[bi] = d[-1]
+        bmax_tf[bi] = tfs[lo:hi].max()
+        bmin_dl[bi] = dls[lo:hi].min()
 
-    ubs = bm25.score_block_upper_bounds(tfs, dls, avgdl, bs, cfg.k1, cfg.b)
     return (
         int(n),
         int(doc_ids[0]),
@@ -103,7 +113,8 @@ def encode_shard(
         offsets,
         bfirst,
         blast,
-        ubs,
+        bmax_tf,
+        bmin_dl,
         b"".join(chunks),
     )
 
@@ -163,7 +174,8 @@ def build_postings_df(
             offsets,
             bfirst,
             blast,
-            ubs,
+            bmax_tf,
+            bmin_dl,
             payload,
         ) = encode_shard(
             pdf["doc_id"].to_numpy(),
@@ -182,7 +194,8 @@ def build_postings_df(
                 "block_offsets": [list(offsets)],
                 "block_first_doc": [bfirst.tolist()],
                 "block_last_doc": [blast.tolist()],
-                "block_ub": [ubs.tolist()],
+                "block_max_tf": [bmax_tf.tolist()],
+                "block_min_dl": [bmin_dl.tolist()],
                 "payload": [payload],
             }
         )

@@ -52,7 +52,7 @@ def score_range(
     """Score one doc-id range.
 
     ``shards``: list of dict-like rows with keys term, n_docs,
-    block_offsets, block_first_doc, block_last_doc, block_ub, payload
+    block_offsets, block_first_doc, block_last_doc, block_max_tf, block_min_dl, payload
     (one per query term present in this range).
     ``term_weights``: term -> qtf * idf  (precomputed on the driver).
 
@@ -78,7 +78,14 @@ def score_range(
         w = term_weights[s["term"]]
         bf = np.asarray(s["block_first_doc"], dtype=np.int64)
         bl = np.asarray(s["block_last_doc"], dtype=np.int64)
-        ub = np.asarray(s["block_ub"], dtype=np.float64) * w
+        # avgdl-free stored bound -> evaluate with the CURRENT avgdl
+        ub = w * bm25.tf_norm(
+            np.asarray(s["block_max_tf"], dtype=np.float64),
+            np.asarray(s["block_min_dl"], dtype=np.float64),
+            avgdl,
+            cfg.k1,
+            cfg.b,
+        )
         starts.append(bf)
         ends.append(bl)
         ubs.append(ub)

@@ -1,0 +1,149 @@
+"""Incremental index maintenance — the reference's `synchronize`
+semantics (MediaServiceLive.scala:1484-1565) as (a) a batch
+append-with-checkpoint and (b) a Structured Streaming AvailableNow
+ingest that drives (a) per micro-batch.
+
+Model:
+- new turns arrive for NEW conversations (the reference's Originals
+  are immutable once scanned, README.md:21-22 — the transcript analog:
+  a conversation is indexed once complete);
+- `append_conversations` assigns doc_ids continuing after meta.max_doc
+  (deterministic: dense rank over (min_ts, conv_id) of the new batch,
+  offset by max_doc+1), builds postings shards for the new ranges,
+  appends them, and updates term_stats and meta (N, avgdl);
+- already-indexed conv_ids are skipped by an anti-join against the
+  docs table (the reference's `state.mediaLastSynchronized.isEmpty`
+  filter, MediaServiceLive.scala:1522);
+- stored block-max metadata is avgdl-free (see postings.py), so the
+  global avgdl shift caused by appends never invalidates pruning.
+
+New shards land in NEW range buckets (doc-id space grows to the
+right), so appends never rewrite existing partitions — an append is
+O(new data), and readers of old ranges are undisturbed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.functions.tokenizer import KeywordRules, make_term_freq_udf
+from sotohp_spark.index.build import IndexBuilder
+from sotohp_spark.operators.docs import assign_doc_ids, materialize_documents
+from sotohp_spark.operators.postings import build_postings_df
+
+
+def append_conversations(
+    spark: SparkSession,
+    index_path: str,
+    new_turns: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+) -> dict:
+    """Append complete new conversations to an existing index."""
+    builder = IndexBuilder(spark, index_path, cfg, rules)
+    meta = builder._read_meta()
+    if meta is None:
+        raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
+
+    existing = spark.read.parquet(builder.docs_path).select("conv_id")
+    fresh_turns = new_turns.join(existing, "conv_id", "left_anti")
+
+    docs = materialize_documents(fresh_turns)
+    docs = assign_doc_ids(docs, num_ranges=cfg.shuffle_partitions).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(meta["max_doc"] + 1)
+    )
+    tf_udf = make_term_freq_udf(rules)
+    docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
+        "doc_len",
+        F.coalesce(
+            F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x), F.lit(0)
+        ),
+    )
+    docs = docs.localCheckpoint()
+    n_new = docs.count()
+    if n_new == 0:
+        return meta
+
+    # postings for the new doc-id ranges -> new range buckets (append-only)
+    doc_tf = docs.select("doc_id", "doc_len", F.explode("tfs").alias("term", "tf"))
+    shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
+    bucket_span = cfg.range_size * cfg.ranges_per_batch
+    shards = shards.withColumn(
+        "range_bucket",
+        (F.col("range_id").cast("long") * cfg.range_size / bucket_span).cast("int"),
+    )
+    (
+        shards.repartition(cfg.shuffle_partitions, "term")
+        .sortWithinPartitions("term", "range_id")
+        .write.mode("append")
+        .partitionBy("range_bucket")
+        .parquet(builder.postings_path)
+    )
+
+    # docs table append + refreshed globals
+    (
+        docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len")
+        .write.mode("append")
+        .parquet(builder.docs_path)
+    )
+    stats = spark.read.parquet(builder.docs_path).agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc"),
+    ).collect()[0]
+    meta.update(
+        n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]), max_doc=int(stats["max_doc"])
+    )
+
+    # term stats: rebuilt from shard headers (cheap: one row per shard)
+    postings = spark.read.option("basePath", builder.postings_path).parquet(
+        builder.postings_path
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_shards"))
+        .repartition(cfg.shuffle_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(builder.term_stats_path)
+    )
+    builder._write_meta(meta)
+    return meta
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    turns_source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+):
+    """Structured Streaming AvailableNow ingest: watch a directory of
+    turn parquet files; each micro-batch appends its complete new
+    conversations via foreachBatch -> append_conversations.  Source
+    progress is tracked by the streaming checkpoint (exactly-once per
+    file), dedup by conv_id anti-join makes re-delivery idempotent."""
+    from sotohp_spark.generator import TRANSCRIPT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(turns_source_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int):
+        append_conversations(spark, index_path, batch_df, cfg, rules)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

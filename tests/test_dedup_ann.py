@@ -1,0 +1,119 @@
+"""Dedup + similarity-search semantics on small deterministic corpora:
+LSH candidate recall vs exact Jaccard, SimHash near-dup detection, ANN
+recall vs brute force, multimodal plumbing shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sotohp_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "another unrelated document mentioning inverted index compression"),
+        (5, base.replace("quick", "slow").replace("lazy", "sleepy")),  # near dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(near_dup_docs):
+    groups = dedup.exact_duplicates(near_dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1]
+
+
+def test_jaccard_pairs_exact(near_dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(near_dup_docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(near_dup_docs).collect()
+    }
+    assert (0, 1) in cand  # exact dups always collide
+    assert (0, 2) in cand or (1, 2) in cand  # near dup should collide
+    # unrelated docs should not both appear with everything
+    assert (3, 4) not in cand
+
+
+def test_simhash_near_dups(near_dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(near_dup_docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (3, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    # plant a near-dup cluster of the query vector
+    q = rng.standard_normal(16)
+    q /= np.linalg.norm(q)
+    for i, eps in [(7, 0.01), (23, 0.05), (91, 0.1)]:
+        vecs[i] = (q + eps * rng.standard_normal(16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    return df, q.tolist()
+
+
+def test_ann_bruteforce_exact(embeddings):
+    df, q = embeddings
+    got = ann.cosine_topk_bruteforce(df, q, k=3).toPandas()
+    assert set(got["vec_id"]) == {7, 23, 91}
+    assert got["cos_sim"].iloc[0] > 0.99
+
+
+def test_ann_lsh_recall(embeddings):
+    df, q = embeddings
+    exact = ann.cosine_topk_bruteforce(df, q, k=5).toPandas()
+    approx = ann.cosine_topk_lsh(df, q, k=5, bits=6, multiprobe_hamming=2).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 5
+    assert recall >= 0.6  # planted neighbors collide with high prob
+    assert {7, 23}.issubset(set(approx["vec_id"]))
+
+
+def test_ann_ivf_recall(embeddings):
+    df, q = embeddings
+    exact = ann.cosine_topk_bruteforce(df, q, k=5).toPandas()
+    approx = ann.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 5
+    assert recall >= 0.6
+
+
+def test_multimodal_plumbing(spark):
+    from sotohp_spark.operators.multimodal import extract_features, synthetic_media
+
+    feats = extract_features(synthetic_media(spark, n=32), dim=8).toPandas()
+    assert len(feats) == 32
+    ok = feats[feats["ok"]]
+    assert (ok["feature"].map(len) == 8).all()
+    assert (~feats["ok"]).sum() == 2  # media 0 and 17 have null payloads
+    null_rows = feats[~feats["ok"]]
+    assert null_rows["feature"].isna().all()
+    # determinism: same input -> same features
+    feats2 = extract_features(synthetic_media(spark, n=32), dim=8).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )

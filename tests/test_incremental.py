@@ -1,0 +1,135 @@
+"""Incremental append + streaming ingest: an index grown by appends
+must answer queries rank-identically to a from-scratch build over the
+full corpus (the engine's analog of the reference's incremental
+synchronize producing the same state as a full reindex)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf
+from sotohp_spark.index import IndexBuilder, QueryEngine
+from sotohp_spark.oracle.bm25_oracle import Bm25Oracle
+from sotohp_spark.streaming.incremental import append_conversations
+
+CFG = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2, shuffle_partitions=4)
+
+QUERIES = ["error retry timeout", "search query", "tool call", "retryTimeout"]
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    pdf = generate_transcripts_pdf(0.05)
+    convs = sorted(pdf["conv_id"].unique())
+    first, second = set(convs[:30]), set(convs[30:])
+    pdf_a = pdf[pdf["conv_id"].isin(first)]
+    pdf_b = pdf[pdf["conv_id"].isin(second)]
+    return pdf, pdf_a, pdf_b
+
+
+def test_append_matches_oracle_on_grown_corpus(spark, tmp_path, split_corpus):
+    pdf, pdf_a, pdf_b = split_corpus
+    path = str(tmp_path / "grown")
+
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    meta = append_conversations(spark, path, spark.createDataFrame(pdf_b), CFG)
+
+    # oracle over the APPEND-ordERED corpus: batch A docs get ids first
+    # (by (min_ts, conv_id) within A), then batch B continues after.
+    oa = Bm25Oracle(pdf_a)
+    ob = Bm25Oracle(pdf_b)
+    assert meta["n_docs"] == oa.n_docs + ob.n_docs
+
+    engine = QueryEngine(spark, path)
+    # combined oracle: merge doc tables with offset ids
+    combined = _CombinedOracle(oa, ob)
+    for qt in QUERIES:
+        got = engine.top_k_pdf(qt, 10)
+        want = combined.top_k(qt, 10)
+        assert list(got["doc_id"]) == list(want["doc_id"]), f"{qt!r} docs mismatch"
+        assert np.allclose(
+            got["score"].to_numpy(dtype=np.float64),
+            want["score"].to_numpy(dtype=np.float64),
+            atol=1e-9,
+            rtol=0,
+        ), f"{qt!r} scores mismatch"
+
+
+def test_append_skips_already_indexed(spark, tmp_path, split_corpus):
+    _, pdf_a, _ = split_corpus
+    path = str(tmp_path / "skip")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    meta1 = QueryEngine(spark, path).meta
+    meta2 = append_conversations(spark, path, spark.createDataFrame(pdf_a), CFG)
+    assert meta2["n_docs"] == meta1["n_docs"]
+
+
+def test_streaming_available_now(spark, tmp_path, split_corpus):
+    _, pdf_a, pdf_b = split_corpus
+    path = str(tmp_path / "streamed")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    spark.createDataFrame(pdf_b).coalesce(2).write.mode("overwrite").parquet(src)
+
+    from sotohp_spark.streaming.incremental import stream_ingest_available_now
+
+    stream_ingest_available_now(spark, src, path, ckpt, CFG)
+    engine = QueryEngine(spark, path)
+    oa, ob = Bm25Oracle(pdf_a), Bm25Oracle(pdf_b)
+    assert engine.meta["n_docs"] == oa.n_docs + ob.n_docs
+    assert len(engine.top_k_pdf("error", 10)) == 10
+
+
+class _CombinedOracle:
+    """Oracle over base+appended corpora with append-ordered doc ids."""
+
+    def __init__(self, base: Bm25Oracle, added: Bm25Oracle):
+        self.parts = [(base, 0), (added, base.n_docs)]
+        self.n_docs = base.n_docs + added.n_docs
+        self.doc_len = list(base.doc_len) + list(added.doc_len)
+        self.avgdl = sum(self.doc_len) / self.n_docs
+        from collections import Counter
+
+        self.df = Counter(base.df)
+        self.df.update(added.df)
+        self.tfs = list(base.tfs) + list(added.tfs)
+
+    def top_k(self, query_text, k=10):
+        import math
+        from collections import Counter
+
+        from sotohp_spark.functions.tokenizer import tokenize
+
+        qtf = Counter(tokenize(query_text))
+        terms = sorted(t for t in qtf if t in self.df)
+        rows = []
+        for doc_id in range(self.n_docs):
+            c = self.tfs[doc_id]
+            score, hit = 0.0, False
+            for t in terms:
+                tf = c.get(t, 0)
+                if not tf:
+                    continue
+                hit = True
+                dl = self.doc_len[doc_id]
+                idf = math.log1p((self.n_docs - self.df[t] + 0.5) / (self.df[t] + 0.5))
+                score += (
+                    qtf[t]
+                    * idf
+                    * tf
+                    * 2.2
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / self.avgdl))
+                )
+            if hit:
+                rows.append((doc_id, score))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return pd.DataFrame(rows[:k], columns=["doc_id", "score"])

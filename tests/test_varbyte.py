@@ -66,7 +66,9 @@ def test_shard_roundtrip(rows):
     tf = np.array([r[1] for r in uniq], dtype=np.int64)
     dl = np.array([r[2] for r in uniq], dtype=np.int64)
     cfg = EngineConfig(block_size=64)
-    n, first, last, offs, bf, bl, ub, payload = encode_shard(d, tf, dl, 100.0, cfg)
+    (n, first, last, offs, bf, bl, bmax_tf, bmin_dl, payload) = encode_shard(
+        d, tf, dl, 100.0, cfg
+    )
 
     order = np.argsort(d, kind="stable")
     dd, tfd, dld = decode_shard_blocks(payload, offs)
@@ -75,7 +77,12 @@ def test_shard_roundtrip(rows):
     assert np.array_equal(dld, dl[order])
     assert n == len(uniq)
     assert first == int(d.min()) and last == int(d.max())
-    assert len(bf) == len(ub) == (n + 63) // 64
+    assert len(bf) == len(bmax_tf) == len(bmin_dl) == (n + 63) // 64
+    # block bounds are exact per-block extrema
+    tfs_sorted, dls_sorted = tf[order], dl[order]
+    for bi in range(len(bf)):
+        assert bmax_tf[bi] == tfs_sorted[bi * 64 : (bi + 1) * 64].max()
+        assert bmin_dl[bi] == dls_sorted[bi * 64 : (bi + 1) * 64].min()
 
     # partial decode: each single block matches its slice
     ds = d[order]
