@@ -150,6 +150,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["coalesce_fallback"] = lambda s, d: an.coalesced_event_value(_t(s, d, "events"))
     q["positional_access"] = lambda s, d: an.every_nth_event(_t(s, d, "events"), 1000)
 
+    # --- operator coverage batch 2 ---
+    from sotohp_spark.operators import analytics2 as a2
+
+    q["geo_travel_distance"] = lambda s, d: a2.user_travel_distance(
+        _t(s, d, "events")
+    )
+    q["knn_consensus"] = lambda s, d: a2.knn_consensus_classify(
+        _t(s, d, "embeddings"), k=2
+    )
+    q["sliding_window_avg"] = lambda s, d: a2.sliding_window_avg(_t(s, d, "events"))
+    q["paged_walk"] = lambda s, d: a2.paged_walk(_t(s, d, "events"), 5000, 50)
+    q["month_diff_buckets"] = lambda s, d: a2.month_diff_buckets(_t(s, d, "orders"))
+    q["display_format"] = lambda s, d: a2.display_format(_t(s, d, "events"))
+    q["json_extract"] = lambda s, d: a2.json_extract_props(_t(s, d, "events"))
+    q["regex_mask_filter"] = lambda s, d: a2.regex_mask_filter(_docs(s, d))
+    q["base64_keys"] = lambda s, d: a2.base64_keys(_t(s, d, "events"))
+
     # --- transcript engine (rows-only: oracle is the pytest BM25 suite) ---
     q["transcripts_bm25_topk"] = _transcripts_bm25_topk
     q["transcripts_doc_stats"] = _transcripts_doc_stats
@@ -460,6 +477,91 @@ SELECT pos, event_id, user_id, event_type FROM (
          event_id, user_id, event_type
   FROM events
 ) WHERE pos % 1000 = 0
+"""
+
+    o["geo_travel_distance"] = """
+WITH pos AS (
+  SELECT user_id, event_id, ts,
+    ((event_id % 180) - 90 + (user_id % 10) / 10.0) AS lat,
+    ((event_id % 360) - 180 + (user_id % 7) / 7.0) AS lon
+  FROM events
+), hops AS (
+  SELECT user_id,
+    2.0 * 6371000.0 * asin(sqrt(
+      sin(radians(lat - lag(lat) OVER w) / 2) ^ 2
+      + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+        * sin(radians(lon - lag(lon) OVER w) / 2) ^ 2
+    )) AS hop_m
+  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, round(sum(hop_m) / 1000.0, 3) AS travel_km
+FROM hops WHERE hop_m IS NOT NULL GROUP BY user_id ORDER BY user_id
+"""
+
+    o["knn_consensus"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr, b.label AS nbr_label,
+    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+      AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT vid, nbr, nbr_label, cos_sim,
+      row_number() OVER (PARTITION BY vid ORDER BY cos_sim DESC, nbr ASC) AS rk
+    FROM pairs
+  ) WHERE rk <= 2
+)
+SELECT vid,
+  CASE WHEN count(DISTINCT nbr_label) = 1 THEN min(nbr_label) END AS consensus_label,
+  round(max(cos_sim), 6) AS best_sim
+FROM topk GROUP BY vid ORDER BY vid
+"""
+
+    o["sliding_window_avg"] = """
+SELECT user_id, event_id,
+  round(avg(value) OVER w, 6) AS smoothed_value,
+  count(*) OVER w AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+    o["paged_walk"] = """
+SELECT event_id, user_id, event_type, ts FROM events
+WHERE event_id > 5000 ORDER BY event_id LIMIT 50
+"""
+
+    o["month_diff_buckets"] = """
+SELECT (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+         AS months_since_1995,
+       count(*)::BIGINT AS n, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY 1 ORDER BY months_since_1995
+"""
+
+    o["display_format"] = """
+SELECT event_id,
+  printf('V%.2f', value) AS value_display,
+  printf('%05d/%s', user_id, event_type) AS key_display
+FROM events
+"""
+
+    o["json_extract"] = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k FROM events
+"""
+
+    o["regex_mask_filter"] = """
+SELECT source, count(*)::BIGINT AS n_docs FROM documents
+WHERE regexp_matches(source, '^src[0-3]$')
+  AND NOT regexp_matches(source, '^src2$')
+GROUP BY source ORDER BY source
+"""
+
+    o["base64_keys"] = """
+SELECT event_id,
+  to_base64(encode(concat_ws(':', user_id::VARCHAR, event_type))) AS access_key
+FROM events WHERE event_id < 100 ORDER BY event_id
 """
     return o
 

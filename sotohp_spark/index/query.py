@@ -47,6 +47,12 @@ TOPK_SCHEMA = T.StructType(
 
 
 class QueryEngine:
+    # candidate postings below this count are scored on the driver
+    # (same score_range code, no Spark job) — the interactive path;
+    # above it, scoring distributes per doc-range.  At 10^12 turns a
+    # hot term exceeds this instantly; a long-tail term never does.
+    LOCAL_PATH_MAX_POSTINGS = 2_000_000
+
     def __init__(self, spark: SparkSession, index_path: str,
                  rules: KeywordRules | None = None, cfg: EngineConfig | None = None):
         self.spark = spark
@@ -69,11 +75,11 @@ class QueryEngine:
         self._docs = spark.read.parquet(f"{self.path}/docs")
 
     # ------------------------------------------------------------------
-    def query_weights(self, query_text: str) -> dict:
-        """term -> qtf * idf for terms present in the corpus."""
+    def query_weights(self, query_text: str):
+        """(term -> qtf*idf, total candidate postings) for corpus terms."""
         toks = tokenize(query_text, self.rules)
         if not toks:
-            return {}
+            return {}, 0
         qtf: dict[str, int] = {}
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
@@ -83,10 +89,11 @@ class QueryEngine:
             .collect()
         )
         n = self.meta["n_docs"]
-        return {
+        weights = {
             r["term"]: qtf[r["term"]] * bm25.lucene_idf_scalar(n, int(r["df"]))
             for r in rows
         }
+        return weights, sum(int(r["df"]) for r in rows)
 
     def top_k(
         self,
@@ -96,7 +103,7 @@ class QueryEngine:
         with_docs: bool = True,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...])."""
-        weights = self.query_weights(query_text)
+        weights, n_candidates = self.query_weights(query_text)
         spark = self.spark
         if not weights:
             out = spark.createDataFrame([], TOPK_SCHEMA)
@@ -108,6 +115,10 @@ class QueryEngine:
         n_terms = len(terms)
 
         shards = self._postings.where(F.col("term").isin(terms))
+
+        if n_candidates <= self.LOCAL_PATH_MAX_POSTINGS:
+            out = self._top_k_local(shards, weights, k, avgdl, conjunctive)
+            return self._attach_docs(out) if with_docs else out
         if conjunctive:
             # ranges lacking any query term can't contribute: semi-filter
             # on distinct-term count per range before the heavy decode.
@@ -129,6 +140,35 @@ class QueryEngine:
         local = shards.groupBy("range_id").applyInPandas(score_group, TOPK_SCHEMA)
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
+
+    def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive):
+        """Interactive fast path: collect the pruned shard rows (their
+        total posting count is known to be small from term_stats) and
+        score per range on the driver — the SAME score_range code the
+        distributed path runs, so results are identical by construction
+        (pytest-enforced)."""
+        import numpy as np
+
+        rows = shards.collect()
+        by_range: dict[int, list] = {}
+        for r in rows:
+            by_range.setdefault(r["range_id"], []).append(r.asDict())
+        all_docs, all_scores = [], []
+        for rid in sorted(by_range):
+            d, s = wand.score_range(
+                by_range[rid], weights, k, avgdl, conjunctive=conjunctive, cfg=self.cfg
+            )
+            all_docs.append(d)
+            all_scores.append(s)
+        docs = np.concatenate(all_docs) if all_docs else np.zeros(0, dtype=np.int64)
+        if docs.size == 0:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        scores = np.concatenate(all_scores)
+        sel = np.lexsort((docs, -scores))[:k]
+        pdf = pd.DataFrame(
+            {"doc_id": docs[sel].astype("int64"), "score": scores[sel]}
+        )
+        return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
 
     def _attach_docs(self, topk: DataFrame) -> DataFrame:
         return (

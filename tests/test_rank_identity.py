@@ -50,10 +50,16 @@ def test_df_matches_oracle(built):
     assert df == dict(oracle.df)
 
 
-@pytest.mark.parametrize("conjunctive", [False, True])
-def test_rank_identity_full_query_set(built, conjunctive):
+@pytest.mark.parametrize(
+    "conjunctive,local_path",
+    [(False, True), (True, True), (False, False), (True, False)],
+)
+def test_rank_identity_full_query_set(built, conjunctive, local_path):
     engine, oracle, _ = built
+    engine.LOCAL_PATH_MAX_POSTINGS = 2_000_000 if local_path else 0
     queries = reference_queries()
+    if not local_path:
+        queries = queries.iloc[::3]  # distributed path: subsample (slow jobs)
     for _, q in queries.iterrows():
         got = engine.top_k_pdf(q["query_text"], int(q["k"]), conjunctive=conjunctive)
         want = oracle.top_k(q["query_text"], int(q["k"]), conjunctive=conjunctive)
