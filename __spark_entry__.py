@@ -567,14 +567,20 @@ FROM events WHERE event_id < 100 ORDER BY event_id
 
 
 def _minhash_oracle_sql(num_hashes: int, bands: int, n: int) -> str:
+    from sotohp_spark.operators.dedup import _MINHASH_M, _minhash_params
+
     rows_per_band = num_hashes // bands
+    a, b, c = _minhash_params(num_hashes)
     sig_cols = ",\n    ".join(
-        f"min(md5(concat('{i}:', sh))) AS s{i}" for i in range(num_hashes)
+        f"min((h_hi * {a[i]} + h_lo * {b[i]} + {c[i]}) % {_MINHASH_M}) AS s{i}"
+        for i in range(num_hashes)
     )
     band_rows = ",\n    ".join(
         "({bi}, md5(concat_ws('|', {cols})))".format(
             bi=bi,
-            cols=", ".join(f"s{bi * rows_per_band + j}" for j in range(rows_per_band)),
+            cols=", ".join(
+                f"s{bi * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
         )
         for bi in range(bands)
     )
@@ -589,10 +595,15 @@ WITH toks AS (
                     i -> array_to_string(w[i:i+{n}-1], ' '))) AS sh
   ) DISTINCT_SH
   WHERE len(w) >= {n}
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(sh), 1, 15))::UBIGINT AS BIGINT) >> 30 AS h_hi,
+    CAST(('0x' || substring(md5(sh), 1, 15))::UBIGINT AS BIGINT) & 1073741823 AS h_lo
+  FROM sh
 ), sig AS (
   SELECT doc_id,
     {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), bandkeys AS (
   SELECT doc_id, b.band, b.bkey FROM sig,
   LATERAL (SELECT * FROM (VALUES

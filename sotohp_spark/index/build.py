@@ -121,15 +121,16 @@ class IndexBuilder:
                     F.lit(0),
                 ),
             )
+            # single write: the docs table keeps the tf maps (used by the
+            # postings stage); readers that want only doc metadata get
+            # the tfs column pruned away by the parquet scan for free.
             (
                 docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
                 .repartitionByRange(cfg.shuffle_partitions, "doc_id")
                 .write.mode("overwrite")
-                .parquet(self.docs_path + "_tmp")
+                .parquet(self.docs_path)
             )
-            # atomic-ish promote: docs_tmp holds tfs for the postings
-            # stage; final docs table drops the tf maps.
-            stats = self.spark.read.parquet(self.docs_path + "_tmp").agg(
+            stats = self.spark.read.parquet(self.docs_path).agg(
                 F.count("*").alias("n"),
                 F.avg("doc_len").alias("avgdl"),
                 F.max("doc_id").alias("max_doc"),
@@ -164,7 +165,7 @@ class IndexBuilder:
                 continue
             if doc_tf is None:
                 doc_tf = (
-                    self.spark.read.parquet(self.docs_path + "_tmp")
+                    self.spark.read.parquet(self.docs_path)
                     .select(
                         "doc_id",
                         "doc_len",
@@ -205,13 +206,6 @@ class IndexBuilder:
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .parquet(self.term_stats_path)
-            )
-            (
-                self.spark.read.parquet(self.docs_path + "_tmp")
-                .select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len")
-                .repartitionByRange(cfg.shuffle_partitions, "doc_id")
-                .write.mode("overwrite")
-                .parquet(self.docs_path)
             )
             meta["postings_done"] = True
             self._write_meta(meta)

@@ -72,7 +72,11 @@ class QueryEngine:
             .parquet(f"{self.path}/postings")
         )
         self._term_stats = spark.read.parquet(f"{self.path}/term_stats")
-        self._docs = spark.read.parquet(f"{self.path}/docs")
+        # explicit projection -> the tfs map column (kept for the
+        # postings build) is pruned out of every docs scan
+        self._docs = spark.read.parquet(f"{self.path}/docs").select(
+            "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
+        )
 
     # ------------------------------------------------------------------
     def query_weights(self, query_text: str):

@@ -68,24 +68,50 @@ def word_shingles(col, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 16):
-    """MinHash via min(md5(i || shingle)) per hash index i.
+# universal-hash multipliers for the MinHash family: deterministic,
+# engine-independent (plain int64 arithmetic, no overflow: operands
+# stay below 2^31 * 2^30).  h_i = (a_i*h_hi + b_i*h_lo + c_i) mod M.
+_MINHASH_M = 2147483647  # 2^31 - 1
 
-    Min over hex strings of a cryptographic hash is a valid min-wise
-    permutation family in practice and is reproducible in any engine
-    with md5 (DuckDB oracle parity).  Output: array<string> length
-    num_hashes.
-    """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
-            for i in range(num_hashes)
-        ]
+
+def _minhash_params(num_hashes: int):
+    # fixed linear-congruential-style constants (seeded, public-knowledge
+    # universal hashing construction)
+    a = [(2 * i + 1) * 40503 % _MINHASH_M for i in range(1, num_hashes + 1)]
+    b = [(2 * i + 1) * 69621 % _MINHASH_M for i in range(1, num_hashes + 1)]
+    c = [(i * 104729 + 12345) % _MINHASH_M for i in range(1, num_hashes + 1)]
+    return a, b, c
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc, s0..s{H-1}) MinHash signature via ONE md5 per distinct
+    shingle + H integer universal hashes — exploded shingles feed a
+    single groupBy with H min() aggregates (all whole-stage codegen;
+    no per-shingle crypto re-hashing per hash function)."""
+    a, b, c = _minhash_params(num_hashes)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select(
+        "doc",
+        F.shiftright(h, 30).alias("h_hi"),
+        h.bitwiseAND(F.lit((1 << 30) - 1)).alias("h_lo"),
+    )
+    aggs = [
+        F.min(
+            (F.col("h_hi") * a[i] + F.col("h_lo") * b[i] + c[i]) % _MINHASH_M
+        ).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -103,12 +129,7 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
-    ).where(F.size("sig") > 0)
+    sig = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes)
 
     band_keys = sig.select(
         "doc",
@@ -119,7 +140,11 @@ def minhash_lsh_candidates(
                         F.lit(bi).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col("sig")[bi * rows_per_band + j] for j in range(rows_per_band)]
+                                "|",
+                                *[
+                                    F.col(f"s{bi * rows_per_band + j}").cast("string")
+                                    for j in range(rows_per_band)
+                                ],
                             )
                         ).alias("bkey"),
                     )

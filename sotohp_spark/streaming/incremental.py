@@ -85,9 +85,9 @@ def append_conversations(
         .parquet(builder.postings_path)
     )
 
-    # docs table append + refreshed globals
+    # docs table append (schema-consistent: includes tfs) + new globals
     (
-        docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len")
+        docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
         .write.mode("append")
         .parquet(builder.docs_path)
     )
