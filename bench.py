@@ -57,6 +57,7 @@ def main():
 
     # ---- top-k query latency over the reference query set ----
     engine = QueryEngine(spark, idx_path)
+    engine.preload_term_stats()
     qset = reference_queries()
     lat = []
     t0 = time.time()

@@ -41,6 +41,7 @@ t0 = time.time()
 IndexBuilder(spark, path, cfg).build(turns, input_fingerprint=f"scal-{{sf}}")
 build_sec = time.time() - t0
 engine = QueryEngine(spark, path)
+engine.preload_term_stats()
 qs = reference_queries()
 t0 = time.time()
 for _, q in qs.iterrows():

@@ -218,7 +218,7 @@ class IndexBuilder:
         shards = self.spark.read.parquet(out_path)
         m = shards.agg(
             F.sum("n_docs").alias("postings"),
-            F.sum(F.length("payload")).alias("bytes"),
+            F.sum("payload_bytes").alias("bytes"),
             F.count("*").alias("n_shards"),
             F.countDistinct("term").alias("n_terms"),
             F.max("n_docs").alias("max_shard"),

@@ -72,6 +72,7 @@ class QueryEngine:
             .parquet(f"{self.path}/postings")
         )
         self._term_stats = spark.read.parquet(f"{self.path}/term_stats")
+        self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
         # postings build) is pruned out of every docs scan
         self._docs = spark.read.parquet(f"{self.path}/docs").select(
@@ -87,17 +88,31 @@ class QueryEngine:
         qtf: dict[str, int] = {}
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
-        rows = (
-            self._term_stats.where(F.col("term").isin(list(qtf)))
-            .select("term", "df")
-            .collect()
-        )
+        if self._df_cache is not None:
+            dfs = {t: self._df_cache[t] for t in qtf if t in self._df_cache}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self._term_stats.where(F.col("term").isin(list(qtf)))
+                .select("term", "df")
+                .collect()
+            }
         n = self.meta["n_docs"]
         weights = {
-            r["term"]: qtf[r["term"]] * bm25.lucene_idf_scalar(n, int(r["df"]))
-            for r in rows
+            t: qtf[t] * bm25.lucene_idf_scalar(n, d) for t, d in dfs.items()
         }
-        return weights, sum(int(r["df"]) for r in rows)
+        return weights, sum(dfs.values())
+
+    def preload_term_stats(self) -> int:
+        """Pull term->df to the driver (the search head's dictionary
+        cache).  Vocabulary is O(distinct terms) — fine up to tens of
+        millions; beyond that leave it off and pay one pruned parquet
+        lookup per query."""
+        self._df_cache = {
+            r["term"]: int(r["df"])
+            for r in self._term_stats.select("term", "df").collect()
+        }
+        return len(self._df_cache)
 
     def top_k(
         self,

@@ -53,6 +53,9 @@ POSTINGS_SCHEMA = T.StructType(
         # shift N/avgdl) never invalidate stored pruning bounds.
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.IntegerType()), False),
+        # payload size as a plain column so metrics/accounting scans
+        # never deserialize the payload bytes
+        T.StructField("payload_bytes", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -161,48 +164,67 @@ def build_postings_df(
 ) -> DataFrame:
     """(doc_id, doc_len, term, tf) -> postings shards DataFrame.
 
-    One shuffle on (term, range_id); encoder runs as applyInPandas
-    (Arrow batches, numpy inside).
-    """
-    k1, b, bs, rs = cfg.k1, cfg.b, cfg.block_size, cfg.range_size
+    One shuffle on (term, range_id).  The encoder is mapInPandas over
+    partitions pre-grouped by repartition + sortWithinPartitions —
+    NOT groupBy().applyInPandas(): per-group Arrow round trips are
+    ruinous when the Zipf tail produces millions of tiny (term, range)
+    groups.  One partition = one pandas pass; group boundaries found
+    by vectorized change detection; each group encoded with numpy
+    slices.  Partition memory is bounded by shuffle partition count
+    (tune spark.sql.shuffle.partitions with data volume)."""
+    rs = cfg.range_size
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        (
-            n,
-            first,
-            last,
-            offsets,
-            bfirst,
-            blast,
-            bmax_tf,
-            bmin_dl,
-            payload,
-        ) = encode_shard(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            avgdl,
-            cfg,
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "range_id": [int(pdf["range_id"].iloc[0])],
-                "n_docs": [n],
-                "first_doc": [first],
-                "last_doc": [last],
-                "block_offsets": [list(offsets)],
-                "block_first_doc": [bfirst.tolist()],
-                "block_last_doc": [blast.tolist()],
-                "block_max_tf": [bmax_tf.tolist()],
-                "block_min_dl": [bmin_dl.tolist()],
-                "payload": [payload],
-            }
+    def encode_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # stable sort so every (term, range_id) group is contiguous and
+        # doc-sorted (encode_shard's argsort then degenerates to a
+        # no-op permutation)
+        pdf = pdf.sort_values(["term", "range_id", "doc_id"], kind="stable")
+        terms = pdf["term"].to_numpy()
+        ranges = pdf["range_id"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["doc_len"].to_numpy()
+        # group boundaries: term change OR range change
+        change = np.empty(terms.size, dtype=bool)
+        change[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=change[1:])
+        change[1:] |= ranges[1:] != ranges[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], terms.size)
+
+        rows = []
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            (n, first, last, offsets, bfirst, blast, bmax_tf, bmin_dl,
+             payload) = encode_shard(docs[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, cfg)
+            rows.append(
+                (
+                    terms[lo],
+                    int(ranges[lo]),
+                    n,
+                    first,
+                    last,
+                    list(offsets),
+                    bfirst.tolist(),
+                    blast.tolist(),
+                    bmax_tf.tolist(),
+                    bmin_dl.tolist(),
+                    len(payload),
+                    payload,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in POSTINGS_SCHEMA.fields],
         )
 
     with_range = doc_term_tf.withColumn(
         "range_id", (F.col("doc_id") / F.lit(rs)).cast("int")
     )
-    return with_range.groupBy("term", "range_id").applyInPandas(
-        encode_group, schema=POSTINGS_SCHEMA
+    return (
+        with_range.repartition(cfg.shuffle_partitions, "term", "range_id")
+        .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     )
