@@ -49,6 +49,12 @@ from pyspark.sql import types as T
 _SPLIT1 = re.compile(r"[- /,']+")
 _SPLIT2 = re.compile(r"[- ]+")
 _CAMEL = re.compile(r"(?=[A-Z][^A-Z])|(?<=[^A-Z])(?=[A-Z]+)")
+# fast-path variant applied BEFORE separator splitting: lookarounds must
+# not treat a separator char as the "[^A-Z]" context (in the reference
+# chain separators are already gone when camel boundaries are matched)
+_CAMEL_SEP_AWARE = re.compile(
+    r"(?=[A-Z][^A-Z\- /,'])|(?<=[^A-Z\- /,'])(?=[A-Z]+)"
+)
 _NUMBERS = re.compile(r"^[-0-9]+$")
 _DOLLAR_GROUP = re.compile(r"\$(\d+)")
 
@@ -101,10 +107,33 @@ def _camel_parts(fragment: str) -> list:
     return [p for p in _CAMEL.split(fragment) if p]
 
 
+def _tokenize_fast_norules(sentence: str) -> list:
+    """Rules-free fast path, provably equivalent to the full chain
+    (tests/test_tokenizer.py property test): camel boundaries become
+    separators in ONE C-level regex pass over the whole sentence, then
+    one split + number filter + lowercase.  Equivalence argument: with
+    no rewritings/mappings, the per-fragment camel split commutes with
+    the separator split (zero-width camel boundaries cannot span a
+    separator, and boundary artifacts at fragment edges are dropped by
+    the empty-token filter either way)."""
+    parts = _SPLIT1.split(_CAMEL_SEP_AWARE.sub(" ", sentence))
+    return [
+        p.lower() for p in parts if p and not _NUMBERS.fullmatch(p)
+    ]
+
+
 def tokenize(sentence: str | None, rules: KeywordRules | None = None) -> list:
     """Full analysis chain, order-preserving, duplicates kept."""
     if not sentence:
         return []
+    if rules is None:
+        return _tokenize_fast_norules(sentence)
+    return _tokenize_chain(sentence, rules)
+
+
+def _tokenize_chain(sentence: str, rules: KeywordRules | None) -> list:
+    """The literal step-by-step chain (reference semantics); the
+    fast path is property-tested against this with rules=None."""
     if rules is not None:
         for pat, repl in rules.compiled_rewritings():
             sentence = pat.sub(repl, sentence)

@@ -29,9 +29,12 @@ counts, and a natural resume/commit unit.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import time
+
+log = logging.getLogger("sotohp_spark.build")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,7 +113,13 @@ class IndexBuilder:
         # Skipped on resume if already built for the same fingerprint.
         meta = self._read_meta()
         if meta is None or meta.get("fingerprint") != fingerprint:
+            t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
+            # exchange FIRST, tokenize after: the pandas UDF (the
+            # dominant compute) must run at full task width, not on
+            # whatever partition count the id-assignment join left
+            # behind; the write needs this range layout anyway.
+            docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
             tf_udf = make_term_freq_udf(self.rules)
             docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
                 "doc_len",
@@ -126,10 +135,11 @@ class IndexBuilder:
             # the tfs column pruned away by the parquet scan for free.
             (
                 docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
-                .repartitionByRange(cfg.shuffle_partitions, "doc_id")
                 .write.mode("overwrite")
                 .parquet(self.docs_path)
             )
+            log.info("stage1 docs+tokenize+write: %.1fs", time.time() - t_stage)
+            t_stage = time.time()
             stats = self.spark.read.parquet(self.docs_path).agg(
                 F.count("*").alias("n"),
                 F.avg("doc_len").alias("avgdl"),
@@ -149,6 +159,7 @@ class IndexBuilder:
                 "postings_done": False,
             }
             self._write_meta(meta)
+            log.info("stage1 stats: %.1fs", time.time() - t_stage)
 
         # ---- stage 2: postings, per range-bucket with checkpointing ----
         n_buckets = max(
@@ -185,6 +196,7 @@ class IndexBuilder:
                 .parquet(out)
             )
             self._commit_state(bucket, fingerprint, out, time.time() - t0)
+            log.info("stage2 bucket %d: %.1fs", bucket, time.time() - t0)
             batches_done += 1
             if stop_after_batches is not None and batches_done >= stop_after_batches:
                 raise BuildInterrupted(
@@ -192,6 +204,7 @@ class IndexBuilder:
                 )
 
         # ---- stage 3: term stats + finalize ----
+        t_stage = time.time()
         if not meta.get("postings_done"):
             postings = self.spark.read.option("basePath", self.postings_path).parquet(
                 self.postings_path
@@ -209,6 +222,7 @@ class IndexBuilder:
             )
             meta["postings_done"] = True
             self._write_meta(meta)
+            log.info("stage3 term_stats: %.1fs", time.time() - t_stage)
         return meta
 
     # ------------------------------------------------------------------

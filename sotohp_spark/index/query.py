@@ -160,6 +160,87 @@ class QueryEngine:
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
 
+    def top_k_batch(
+        self, queries: list, k_default: int = 10, conjunctive: bool = False
+    ) -> DataFrame:
+        """Evaluate MANY queries in ONE distributed job.
+
+        ``queries``: list of (query_id, query_text, k).  One postings
+        scan pruned to the union of all query terms, one
+        groupBy(range_id) stage that scores every query against its
+        shard subset, one per-query top-k window.  This is the bulk /
+        offline-evaluation path (relevance sweeps, nightly eval sets)
+        — per-query driver latency is amortized away, so throughput
+        scales with executors instead of job-submission overhead.
+
+        Returns DataFrame(query_id, rank, doc_id, score) — rank-
+        identical per query to top_k().
+        """
+        import numpy as np
+
+        per_query = {}
+        all_terms: set = set()
+        for qid, qtext, kk in queries:
+            w, _ = self.query_weights(qtext)
+            if w:
+                per_query[qid] = (w, int(kk or k_default))
+                all_terms.update(w)
+        spark = self.spark
+        if not per_query:
+            return spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
+
+        avgdl = self.meta["avgdl"]
+        cfg = self.cfg
+        conj = conjunctive
+        shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            by_term: dict[str, list] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(r)
+            out = []
+            for qid, (weights, kk) in per_query.items():
+                qrows = [r for t in weights for r in by_term.get(t, ())]
+                if not qrows:
+                    continue
+                d, s = wand.score_range(
+                    qrows, weights, kk, avgdl, conjunctive=conj, cfg=cfg
+                )
+                if d.size:
+                    out.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "doc_id": d, "score": s}
+                        )
+                    )
+            if not out:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=str),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+        local = shards.groupBy("range_id").applyInPandas(
+            score_group, "query_id string, doc_id long, score double"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        ks = {qid: kk for qid, (_, kk) in per_query.items()}
+        k_col = F.create_map(
+            *[x for qid, kk in ks.items() for x in (F.lit(qid), F.lit(kk))]
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_col[F.col("query_id")])
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and

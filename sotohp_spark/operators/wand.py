@@ -33,14 +33,6 @@ from sotohp_spark.operators import bm25
 from sotohp_spark.operators.postings import decode_shard_blocks
 
 
-def _topk_update(scores: dict, k: int):
-    """Return (theta, set of top-k (score,-doc) ) given exact scores dict."""
-    if len(scores) < k:
-        return -np.inf
-    vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
-    return float(np.partition(vals, len(vals) - k)[len(vals) - k])
-
-
 def score_range(
     shards: list,
     term_weights: dict,
@@ -111,9 +103,12 @@ def score_range(
     U = np.cumsum(delta)[:n_iv]
 
     order = np.argsort(-U, kind="stable")
-    exact: dict[int, float] = {}
-    theta = -np.inf
     block_cache: dict = {}  # (shard_idx, block_idx) -> (doc_ids, partial_scores)
+    done_docs: list = []  # per-interval doc arrays (mutually disjoint)
+    done_scores: list = []
+    total_done = 0
+    topk_scores = np.zeros(0, dtype=np.float64)  # running k best
+    theta = -np.inf
 
     # Process intervals in descending upper-bound order.  A doc's exact
     # score is fully accumulated when ITS interval is processed (all
@@ -121,11 +116,16 @@ def score_range(
     # never-processed intervals are never emitted, so every returned
     # score is exact.  Pruning is strict (<) so upper-bound ties with
     # theta are still scored — exact-tie rank identity vs the oracle.
+    # All accumulation is vectorized: per interval, the covering block
+    # slices are concatenated in term order (shards pre-sorted) and
+    # grouped with a stable sort, so each doc's contributions still sum
+    # in ascending-term order (bit-identical to the oracle).
     for ii in order:
-        if len(exact) >= k and U[ii] < theta:
+        if total_done >= k and U[ii] < theta:
             break
         lo, hi = bounds[ii], bounds[ii + 1] - 1
         hit = np.flatnonzero((starts <= hi) & (ends >= lo))
+        piece_d, piece_s = [], []
         for j in hit:
             key = (int(sidx[j]), int(bidx[j]))
             if key not in block_cache:
@@ -137,14 +137,40 @@ def score_range(
                 block_cache[key] = (d, w * bm25.tf_norm(tf, dl, avgdl, cfg.k1, cfg.b))
             d, sc = block_cache[key]
             a, z = np.searchsorted(d, lo), np.searchsorted(d, hi, side="right")
-            for di, sci in zip(d[a:z].tolist(), sc[a:z].tolist()):
-                exact[di] = exact.get(di, 0.0) + sci
-        theta = _topk_update(exact, k)
+            if z > a:
+                piece_d.append(d[a:z])
+                piece_s.append(sc[a:z])
+        if not piece_d:
+            continue
+        dd = np.concatenate(piece_d)
+        ss = np.concatenate(piece_s)
+        if len(piece_d) > 1:
+            o = np.argsort(dd, kind="stable")  # stable: term order kept per doc
+            dd, ss = dd[o], ss[o]
+            uniq = np.empty(dd.size, dtype=bool)
+            uniq[0] = True
+            np.not_equal(dd[1:], dd[:-1], out=uniq[1:])
+            grp = np.cumsum(uniq) - 1
+            out_d = dd[uniq]
+            out_s = np.zeros(out_d.size, dtype=np.float64)
+            np.add.at(out_s, grp, ss)
+            dd, ss = out_d, out_s
+        done_docs.append(dd)
+        done_scores.append(ss)
+        total_done += dd.size
+        # running exact top-k threshold, O(interval + k)
+        cand = np.concatenate([topk_scores, ss])
+        if cand.size > k:
+            topk_scores = np.partition(cand, cand.size - k)[cand.size - k :]
+        else:
+            topk_scores = cand
+        if topk_scores.size >= k:
+            theta = float(topk_scores.min())
 
-    if not exact:
+    if not done_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-    docs = np.fromiter(exact.keys(), dtype=np.int64, count=len(exact))
-    scs = np.fromiter(exact.values(), dtype=np.float64, count=len(exact))
+    docs = np.concatenate(done_docs)
+    scs = np.concatenate(done_scores)
     # top-k with (score desc, doc asc) tie-break
     sel = np.lexsort((docs, -scs))[:k]
     return docs[sel], scs[sel]

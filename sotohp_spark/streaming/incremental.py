@@ -24,9 +24,6 @@ O(new data), and readers of old ranges are undisturbed.
 
 from __future__ import annotations
 
-import json
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

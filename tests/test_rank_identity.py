@@ -75,6 +75,25 @@ def test_rank_identity_full_query_set(built, conjunctive, local_path):
         ), f"{q['query_id']} scores diverge"
 
 
+def test_batch_matches_per_query(built):
+    engine, oracle, _ = built
+    queries = reference_queries().iloc[:20]
+    batch = engine.top_k_batch(
+        [(q["query_id"], q["query_text"], int(q["k"])) for _, q in queries.iterrows()]
+    ).toPandas()
+    for _, q in queries.iterrows():
+        got = batch[batch["query_id"] == q["query_id"]].sort_values("rank")
+        want = oracle.top_k(q["query_text"], int(q["k"]))
+        assert list(got["doc_id"]) == list(want["doc_id"]), q["query_id"]
+        if len(want):
+            assert np.allclose(
+                got["score"].to_numpy(np.float64),
+                want["score"].to_numpy(np.float64),
+                atol=1e-9,
+                rtol=0,
+            )
+
+
 def test_empty_query_and_absent_terms(built):
     engine, oracle, _ = built
     assert len(engine.top_k_pdf("")) == 0

@@ -82,6 +82,25 @@ def test_ignoring_applied_after_lowercase():
     assert extract_keywords("With WITH with", rules) == set()
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            list("abcXYZ 0123456789-/,'") + ["retryTimeout", "42thing", "HTTPServer"]
+        ),
+        max_size=40,
+    ).map("".join)
+)
+@settings(max_examples=500, deadline=None)
+def test_fast_path_equals_reference_chain(s):
+    from sotohp_spark.functions.tokenizer import _tokenize_chain, tokenize
+
+    assert tokenize(s) == _tokenize_chain(s, None)
+
+
 @pytest.mark.spark
 def test_udfs_match_pure_python(spark):
     texts = [
