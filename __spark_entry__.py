@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- transcript engine (rows-only: oracle is the pytest BM25 suite) ---
     q["transcripts_bm25_topk"] = _transcripts_bm25_topk
+    q["transcripts_bm25_conjunctive"] = _transcripts_bm25_conjunctive
+    q["transcripts_bm25_batch"] = _transcripts_bm25_batch
     q["transcripts_doc_stats"] = _transcripts_doc_stats
     q["transcripts_postings_metrics"] = _transcripts_postings_metrics
 
@@ -231,6 +233,23 @@ def _transcripts_bm25_topk(spark, sf_dir):
     return engine.top_k("error retry timeout", k=10).select(
         "doc_id", "conv_id", F.round("score", 6).alias("score")
     )
+
+
+def _transcripts_bm25_conjunctive(spark, sf_dir):
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k("error retry", k=10, conjunctive=True).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
+    )
+
+
+def _transcripts_bm25_batch(spark, sf_dir):
+    from sotohp_spark.generator import reference_queries
+
+    engine, _ = _transcript_index(spark, sf_dir)
+    qs = reference_queries().iloc[:10]
+    return engine.top_k_batch(
+        [(q["query_id"], q["query_text"], int(q["k"])) for _, q in qs.iterrows()]
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_doc_stats(spark, sf_dir):

@@ -36,7 +36,11 @@ turns = transcripts_df(spark, sf).localCheckpoint()
 n_turns = turns.count()
 path = f"/tmp/scaling_idx_{{cores}}"
 shutil.rmtree(path, ignore_errors=True)
-cfg = EngineConfig(shuffle_partitions=cores, ranges_per_batch=64)
+# range_size sized so this corpus spans many doc ranges (at real scale
+# there are always >> cores ranges; a single-range index would serialize
+# the per-range query stage)
+cfg = EngineConfig(shuffle_partitions=cores * 3, ranges_per_batch=64,
+                   range_size=4096)
 t0 = time.time()
 IndexBuilder(spark, path, cfg).build(turns, input_fingerprint=f"scal-{{sf}}")
 build_sec = time.time() - t0

@@ -124,6 +124,10 @@ class QueryEngine:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...])."""
         weights, n_candidates = self.query_weights(query_text)
         spark = self.spark
+        if conjunctive and len(weights) < len(set(tokenize(query_text, self.rules))):
+            # reference AND semantics (mediaSearch, MediaServiceLive.scala:
+            # 108-112): a query term absent from the corpus empties the result
+            weights = {}
         if not weights:
             out = spark.createDataFrame([], TOPK_SCHEMA)
             return self._attach_docs(out) if with_docs else out
@@ -182,6 +186,8 @@ class QueryEngine:
         all_terms: set = set()
         for qid, qtext, kk in queries:
             w, _ = self.query_weights(qtext)
+            if conjunctive and len(w) < len(set(tokenize(qtext, self.rules))):
+                w = {}  # reference AND semantics: absent term -> empty
             if w:
                 per_query[qid] = (w, int(kk or k_default))
                 all_terms.update(w)

@@ -68,6 +68,8 @@ class Bm25Oracle:
         toks = tokenize(query_text, self.rules)
         qtf = Counter(toks)
         terms = sorted(t for t in qtf if t in self.df)
+        if conjunctive and len(terms) < len(set(toks)):
+            terms = []  # reference AND semantics: absent term -> empty
         rows = []
         if terms:
             k1, b, avgdl = self.k1, self.b, self.avgdl
