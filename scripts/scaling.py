@@ -32,7 +32,14 @@ from sotohp_spark.session import get_spark
 cores = int(sys.argv[1]); sf = float(sys.argv[2])
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
-turns = transcripts_df(spark, sf).localCheckpoint()
+# input from parquet on disk (the realistic source; also keeps the
+# corpus out of the JVM heap so low-core runs aren't GC-biased);
+# generation+write excluded from the timed region
+src = f"/tmp/scaling_turns_{{sf}}"
+if not os.path.exists(src + "/_SUCCESS"):
+    transcripts_df(spark, sf).repartition(64, "conv_id").write.mode(
+        "overwrite").parquet(src)
+turns = spark.read.parquet(src)
 n_turns = turns.count()
 path = f"/tmp/scaling_idx_{{cores}}"
 shutil.rmtree(path, ignore_errors=True)

@@ -78,6 +78,21 @@ class QueryEngine:
         self._docs = spark.read.parquet(f"{self.path}/docs").select(
             "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
         )
+        self._deletes = self._load_deletes()
+
+    def _load_deletes(self):
+        """Tombstoned doc ids, sorted (delete_conversations sink).
+        Driver-held here; at cluster scale this becomes per-range
+        delete bitmaps co-partitioned with the postings."""
+        import os
+
+        import numpy as np
+
+        path = f"{self.path}/deletes"
+        if "://" not in path and not os.path.exists(path):
+            return np.zeros(0, dtype=np.int64)
+        rows = self.spark.read.parquet(path).select("doc_id").collect()
+        return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
     # ------------------------------------------------------------------
     def query_weights(self, query_text: str):
@@ -153,10 +168,13 @@ class QueryEngine:
             )
             shards = shards.join(F.broadcast(ok), "range_id")
 
+        deletes = self._deletes
+
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             docs, scores = wand.score_range(
-                rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg
+                rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
+                deletes=deletes,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -200,6 +218,7 @@ class QueryEngine:
         avgdl = self.meta["avgdl"]
         cfg = self.cfg
         conj = conjunctive
+        deletes = self._deletes
         shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -213,7 +232,8 @@ class QueryEngine:
                 if not qrows:
                     continue
                 d, s = wand.score_range(
-                    qrows, weights, kk, avgdl, conjunctive=conj, cfg=cfg
+                    qrows, weights, kk, avgdl, conjunctive=conj, cfg=cfg,
+                    deletes=deletes,
                 )
                 if d.size:
                     out.append(
@@ -262,7 +282,8 @@ class QueryEngine:
         all_docs, all_scores = [], []
         for rid in sorted(by_range):
             d, s = wand.score_range(
-                by_range[rid], weights, k, avgdl, conjunctive=conjunctive, cfg=self.cfg
+                by_range[rid], weights, k, avgdl, conjunctive=conjunctive,
+                cfg=self.cfg, deletes=self._deletes,
             )
             all_docs.append(d)
             all_scores.append(s)

@@ -40,6 +40,7 @@ def score_range(
     avgdl: float,
     conjunctive: bool = False,
     cfg: EngineConfig = DEFAULT,
+    deletes: np.ndarray | None = None,
 ):
     """Score one doc-id range.
 
@@ -61,7 +62,7 @@ def score_range(
     if conjunctive:
         if len({s["term"] for s in shards}) < len(term_weights):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        return _score_conjunctive(shards, term_weights, k, avgdl, cfg)
+        return _score_conjunctive(shards, term_weights, k, avgdl, cfg, deletes)
 
     # ---- disjunctive block-max path ----
     # gather all blocks: (start, end, weighted_ub, shard_idx, block_idx)
@@ -144,6 +145,12 @@ def score_range(
             continue
         dd = np.concatenate(piece_d)
         ss = np.concatenate(piece_s)
+        if deletes is not None and deletes.size:
+            keep = ~_is_deleted(dd, deletes)
+            if not keep.all():
+                dd, ss = dd[keep], ss[keep]
+            if dd.size == 0:
+                continue
         if len(piece_d) > 1:
             o = np.argsort(dd, kind="stable")  # stable: term order kept per doc
             dd, ss = dd[o], ss[o]
@@ -176,7 +183,15 @@ def score_range(
     return docs[sel], scs[sel]
 
 
-def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig):
+def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
+    """Membership of doc_ids in the SORTED deletes array (tombstones)."""
+    pos = np.searchsorted(deletes, doc_ids)
+    pos = np.minimum(pos, deletes.size - 1)
+    return deletes[pos] == doc_ids
+
+
+def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
+                       deletes: np.ndarray | None = None):
     """AND semantics: intersect doc ids across terms, exact scores."""
     per_term: dict[str, list] = {}
     for s in shards:
@@ -201,6 +216,10 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig):
     # intersect starting from the rarest term
     terms_sorted = sorted(decoded, key=lambda t: decoded[t][0].size)
     common = decoded[terms_sorted[0]][0]
+    if deletes is not None and deletes.size:
+        common = common[~_is_deleted(common, deletes)]
+        if common.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     for t in terms_sorted[1:]:
         common = common[np.isin(common, decoded[t][0], assume_unique=True)]
         if common.size == 0:

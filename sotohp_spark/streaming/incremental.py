@@ -113,6 +113,23 @@ def append_conversations(
     return meta
 
 
+def delete_conversations(
+    spark: SparkSession, index_path: str, conv_ids: list
+) -> int:
+    """Delete-by-id sink (the reference's ES delete routing,
+    ElasticOperations.scala:113-130) as TOMBSTONES: the immutable
+    postings are untouched; deleted doc ids land in <index>/deletes/
+    and every query path filters against them.  Like Lucene, global
+    stats (N, avgdl, df) keep counting deleted docs until a compaction
+    (reindex_all) — scores of surviving docs are unchanged by a
+    delete, only membership changes.  Append-only and idempotent."""
+    builder = IndexBuilder(spark, index_path)
+    docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
+    doomed = docs.where(F.col("conv_id").isin(list(conv_ids))).select("doc_id")
+    doomed.write.mode("append").parquet(f"{builder.path}/deletes")
+    return doomed.count()
+
+
 def stream_ingest_available_now(
     spark: SparkSession,
     turns_source_dir: str,

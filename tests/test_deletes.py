@@ -1,0 +1,72 @@
+"""Tombstone deletes (delete-by-id sink): deleted conversations vanish
+from results; surviving docs keep their exact scores (Lucene-style:
+global stats unchanged until compaction); reindex compacts."""
+
+import numpy as np
+import pytest
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf
+from sotohp_spark.index import IndexBuilder, QueryEngine
+from sotohp_spark.oracle.bm25_oracle import Bm25Oracle
+from sotohp_spark.streaming.incremental import delete_conversations
+
+CFG = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("delidx"))
+    pdf = generate_transcripts_pdf(0.04)
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="del"
+    )
+    return path, pdf
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_deleted_docs_filtered_scores_preserved(spark, built, conjunctive):
+    path, pdf = built
+    oracle = Bm25Oracle(pdf)
+    before = QueryEngine(spark, path).top_k_pdf("error retry", 20, conjunctive)
+    assert len(before) > 2
+
+    # delete the top-2 conversations
+    doomed_docs = set(before["doc_id"].iloc[:2])
+    doomed_convs = [
+        oracle.docs.loc[oracle.docs["doc_id"] == d, "conv_id"].iloc[0]
+        for d in doomed_docs
+    ]
+    n = delete_conversations(spark, path, doomed_convs)
+    assert n == 2
+
+    after = QueryEngine(spark, path).top_k_pdf("error retry", 20, conjunctive)
+    assert doomed_docs.isdisjoint(set(after["doc_id"]))
+    # surviving docs: identical scores, ranks shifted up
+    merged = before[~before["doc_id"].isin(doomed_docs)].reset_index(drop=True)
+    m = min(len(merged), len(after))
+    assert list(after["doc_id"].iloc[:m])[: len(merged)] == list(
+        merged["doc_id"].iloc[:m]
+    )
+    assert np.allclose(
+        after["score"].iloc[:m].to_numpy(np.float64),
+        merged["score"].iloc[:m].to_numpy(np.float64),
+        atol=1e-12,
+        rtol=0,
+    )
+
+
+def test_delete_then_compact(spark, built):
+    path, pdf = built
+    # reindex_all compacts: rebuild from the surviving turns
+    oracle = Bm25Oracle(pdf)
+    victims = list(oracle.docs["conv_id"].iloc[:3])
+    surviving = pdf[~pdf["conv_id"].isin(victims)]
+    b = IndexBuilder(spark, str(path) + "_compacted", CFG)
+    b.build(spark.createDataFrame(surviving), input_fingerprint="compact")
+    engine = QueryEngine(spark, str(path) + "_compacted")
+    assert engine.meta["n_docs"] == oracle.n_docs - 3
+    # post-compaction ranking equals the fresh-corpus oracle
+    want = Bm25Oracle(surviving).top_k("error retry", 10)
+    got = engine.top_k_pdf("error retry", 10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
