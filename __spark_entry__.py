@@ -171,6 +171,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_extract"] = lambda s, d: a2.json_extract_props(_t(s, d, "events"))
     q["regex_mask_filter"] = lambda s, d: a2.regex_mask_filter(_docs(s, d))
     q["base64_keys"] = lambda s, d: a2.base64_keys(_t(s, d, "events"))
+    q["parse_quarantine"] = lambda s, d: a2.parse_quarantine(_t(s, d, "events"))
+    q["array_set_ops"] = lambda s, d: a2.event_type_set_ops(_t(s, d, "events"))
+    q["search_doc_assembly"] = lambda s, d: a2.search_doc_assembly(
+        _t(s, d, "orders"),
+        _t(s, d, "customer"),
+        _t(s, d, "nation"),
+        _t(s, d, "region"),
+        _t(s, d, "lineitem"),
+    )
 
     # --- transcript engine (rows-only: oracle is the pytest BM25 suite) ---
     q["transcripts_bm25_topk"] = _transcripts_bm25_topk
@@ -586,6 +595,53 @@ GROUP BY source ORDER BY source
 SELECT event_id,
   to_base64(encode(concat_ws(':', user_id::VARCHAR, event_type))) AS access_key
 FROM events WHERE event_id < 100 ORDER BY event_id
+"""
+
+    o["parse_quarantine"] = """
+WITH raw AS (
+  SELECT event_id,
+    CASE WHEN event_id % 50 = 0 THEN 'not a date'
+         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS date_str
+  FROM events
+), parsed AS (
+  SELECT event_id, try_strptime(date_str, '%Y-%m-%d %H:%M:%S') AS parsed_ts
+  FROM raw
+)
+SELECT count(*)::BIGINT AS n_rows,
+       count(parsed_ts)::BIGINT AS n_parsed,
+       (count(*) - count(parsed_ts))::BIGINT AS n_quarantined,
+       min(parsed_ts) AS min_ts, max(parsed_ts) AS max_ts
+FROM parsed
+"""
+
+    o["array_set_ops"] = """
+WITH per_user AS (
+  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  array_to_string(list_sort(list_distinct(list_concat(types, ['alert','click']))), '|') AS types_union,
+  array_to_string(list_sort(list_filter(types, t -> t IN ('alert','click'))), '|') AS types_inter,
+  array_to_string(list_sort(list_filter(types, t -> t <> 'click')), '|') AS types_minus_click,
+  len(types)::INT AS n_types
+FROM per_user ORDER BY user_id
+"""
+
+    o["search_doc_assembly"] = """
+WITH li AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, c_name, n_name, r_name,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(revenue, 0.0) AS revenue,
+       strftime(o_orderdate, '%Y-%m') AS order_month
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN li ON o_orderkey = li.l_orderkey
 """
     return o
 

@@ -166,6 +166,87 @@ def regex_mask_filter(
     )
 
 
+def parse_quarantine(events: DataFrame) -> DataFrame:
+    """F3: datetime parse with bad-value quarantine (the reference
+    parses EXIF datetimes, filters known-bad sentinel values, and
+    normalizes to UTC — OriginalBuilder.scala:93-122).  A deterministic
+    share of rows carries an unparseable string; try_to_timestamp sends
+    them to the quarantine count instead of failing the job."""
+    raw = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 50 == 0, F.lit("not a date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("date_str"),
+    )
+    parsed = raw.select(
+        "event_id",
+        F.try_to_timestamp(F.col("date_str"), F.lit("yyyy-MM-dd HH:mm:ss")).alias(
+            "parsed_ts"
+        ),
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("parsed_ts").alias("n_parsed"),
+        (F.count("*") - F.count("parsed_ts")).alias("n_quarantined"),
+        F.min("parsed_ts").alias("min_ts"),
+        F.max("parsed_ts").alias("max_ts"),
+    )
+
+
+def event_type_set_ops(events: DataFrame) -> DataFrame:
+    """U1/U3/U4: array set algebra per user — union with a fixed set,
+    distinct flatten, removal (the reference's keyword-set union
+    Media.scala:32, set predicates, faceIds diff on delete)."""
+    fixed = F.array(F.lit("alert"), F.lit("click"))
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    # arrays flattened to '|'-joined strings: scalar outputs compare
+    # cleanly across engines (and the driver's value-hash)
+    return per_user.select(
+        "user_id",
+        F.concat_ws("|", F.array_sort(F.array_union("types", fixed))).alias(
+            "types_union"
+        ),
+        F.concat_ws("|", F.array_sort(F.array_intersect("types", fixed))).alias(
+            "types_inter"
+        ),
+        F.concat_ws("|", F.array_sort(F.array_remove("types", "click"))).alias(
+            "types_minus_click"
+        ),
+        F.size("types").alias("n_types"),
+    ).orderBy("user_id")
+
+
+def search_doc_assembly(orders, customer, nation, region, lineitem) -> DataFrame:
+    """J3: the reference's search-document assembly is a 6-way join of
+    processor outputs into one flat denormalized doc
+    (SaoMedia.scala:51-98, MediaServiceLive.scala:1456-1475).  Same
+    shape here: fact enriched by three broadcast dims + one aggregated
+    side — multi-way LEFT joins, flat output."""
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "c_name",
+            "n_name",
+            "r_name",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+    )
+
+
 def base64_keys(events: DataFrame, limit_id: int = 100) -> DataFrame:
     """F8: base64 key encode/decode round-trip (MediaAccessKey codec,
     package.scala:50-100)."""
