@@ -136,7 +136,9 @@ def main():
     eff_vs_machine = speedup_build / ceiling
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # raw per-run report; BENCH/BASELINE.md is the curated summary of
+    # all measurement sessions and is maintained by hand
+    with open(f"{REPO}/BENCH/scaling_{n}v{n4}_sf{int(args.sf)}.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers for this engine
 
 ## Scaling evidence (north rule: two cluster sizes, sandbox proxy)
