@@ -58,6 +58,7 @@ def main():
     # ---- top-k query latency over the reference query set ----
     engine = QueryEngine(spark, idx_path)
     engine.preload_term_stats()
+    engine.cache_postings()
     qset = reference_queries()
     lat = []
     t0 = time.time()
