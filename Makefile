@@ -2,7 +2,11 @@
 # reference Makefile:33-36 runs tests with search mocked — here the
 # oracle takes that role and needs nothing external).
 
-.PHONY: test test-fast selfcheck bench scaling
+.PHONY: test test-fast selfcheck bench scaling package
+
+# zip for spark-submit --py-files on a real cluster
+package:
+	cd $(CURDIR) && python -c "import shutil; shutil.make_archive('sotohp_spark', 'zip', '.', 'sotohp_spark')"
 
 test:
 	python -m pytest tests/ -x -q
