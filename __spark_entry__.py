@@ -16,6 +16,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# make the package importable in Python workers even when the driver's
+# SparkSession was created elsewhere with a different cwd (workers
+# inherit the driver environment in local mode)
+from sotohp_spark.session import _ensure_pythonpath
+
+_ensure_pythonpath()
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
