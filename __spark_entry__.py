@@ -345,6 +345,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
     o["dedup_minhash_lsh"] = _minhash_oracle_sql(num_hashes=16, bands=4, n=3)
+    o["dedup_simhash"] = _simhash_oracle_sql(max_hamming=3)
     o["dedup_ngram_jaccard"] = _jaccard_oracle_sql(threshold=0.5, n=3)
 
     o["text_metrics"] = r"""
@@ -700,6 +701,49 @@ WITH toks AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bandkeys a JOIN bandkeys b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}"
+        for b in range(60)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    chunk_cols = ",\n  ".join(
+        f"(simhash >> {15 * c}) & 32767 AS c{c}" for c in range(4)
+    )
+    chunk_join = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, count(*)::BIGINT AS tf
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS term
+  ) t
+  WHERE t.term <> ''
+  GROUP BY doc_id, t.term
+), hashed AS (
+  SELECT doc_id, tf,
+    CAST(('0x' || substring(md5(term), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM tf
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM bits
+), chunks AS (
+  SELECT doc_id, simhash,
+  {chunk_cols}
+  FROM sims
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::BIT, b.simhash::BIT))::INT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.doc_id < b.doc_id AND ({chunk_join})
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= {max_hamming}
 """
 
 
