@@ -117,8 +117,12 @@ def _tokenize_fast_norules(sentence: str) -> list:
     separator, and boundary artifacts at fragment edges are dropped by
     the empty-token filter either way)."""
     parts = _SPLIT1.split(_CAMEL_SEP_AWARE.sub(" ", sentence))
+    # p.strip() (not just truthiness) mirrors the chain's
+    # `if not tok.strip(): continue` (reference .filter(_.trim.nonEmpty)):
+    # tabs/newlines are NOT separator chars, so a whitespace-only
+    # fragment like '\t' must be dropped here too, not indexed.
     return [
-        p.lower() for p in parts if p and not _NUMBERS.fullmatch(p)
+        p.lower() for p in parts if p.strip() and not _NUMBERS.fullmatch(p)
     ]
 
 

@@ -9,9 +9,9 @@ Two paths:
   probing compares only within the query's bucket (and optional
   multi-probe neighbors) — the 100 TB path: bucket is a partition
   key, candidate set shrinks ~2^b fold.
-- IVF (inverted-file) variant: deterministic k-means-lite centroids
-  (first-k init + one Lloyd step), assign -> partition by centroid,
-  probe nearest n_probe centroids.
+- IVF (inverted-file) variant: deterministic centroids (first-k rows
+  by id, normalized), assign -> partition by centroid, probe nearest
+  n_probe centroids.
 
 Float determinism: scores computed in float64 and rounded to 6 dp so
 Spark and DuckDB (list_cosine_similarity) hash identically.
@@ -162,10 +162,11 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Deterministic IVF: centroids = the first n rows by id (then one
-    Lloyd refinement step driver-side).  Returns (df_with_centroid,
-    centroids ndarray).  At scale, `centroid_id` becomes the partition
-    key of the vector table."""
+    """Deterministic IVF: centroids = the first n rows by id,
+    L2-normalized (no Lloyd refinement — assignment must be exactly
+    reproducible in the DuckDB oracle SQL).  Returns
+    (df_with_centroid, centroids ndarray).  At scale, `centroid_id`
+    becomes the partition key of the vector table."""
     seeds = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)

@@ -57,15 +57,25 @@ def distinct_by_text(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
 # ---------------------------------------------------------------------------
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-grams as strings ('a b c')."""
+    """Distinct word n-grams as strings ('a b c').
+
+    Documents with fewer than n tokens yield an EMPTY array (mirrors
+    the oracle's ``len(w) >= n`` guard): without the guard,
+    F.sequence counts DOWN for size < n and F.slice(start=0) throws
+    INVALID_PARAMETER_VALUE.START, aborting the whole job on any
+    short/empty document.
+    """
     toks = simple_tokens(col)
     # transform over a 0..size-n index range; concat_ws joins the slice
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # universal-hash multipliers for the MinHash family: deterministic,

@@ -41,6 +41,40 @@ def test_jaccard_pairs_exact(near_dup_docs):
     assert (3, 4) not in pairs
 
 
+def test_short_docs_do_not_crash_shingles(spark):
+    """Docs with fewer than n tokens must yield empty shingle arrays
+    (not INVALID_PARAMETER_VALUE.START from slice(start=0)) and be
+    excluded from pairs — mirroring the oracle's len(w) >= n guard."""
+    rows = [
+        (0, ""),                         # empty
+        (1, "one"),                      # 1 token  (< n)
+        (2, "two words"),                # 2 tokens (< n)
+        (3, "exactly three tokens"),     # == n -> 1 shingle
+        (4, "exactly three tokens"),     # dup of 3
+        (5, None),                       # null text
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"text": object})
+    )
+    sh = docs.select(
+        "doc_id", F.size(dedup.word_shingles(F.col("text"), 3)).alias("n_sh")
+    ).collect()
+    by_id = {r["doc_id"]: r["n_sh"] for r in sh}
+    assert by_id[0] == 0 and by_id[1] == 0 and by_id[2] == 0
+    assert by_id[3] == 1
+    # the full pipelines run (no SparkRuntimeException) and only the
+    # >=n-token dup pair survives
+    jac = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert jac == {(3, 4)}
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (3, 4) in cand and all(a >= 3 for a, _ in cand)
+
+
 def test_minhash_lsh_finds_near_dups(near_dup_docs):
     cand = {
         (r["doc_a"], r["doc_b"])

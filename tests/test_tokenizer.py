@@ -89,7 +89,8 @@ from hypothesis import strategies as st
 @given(
     st.lists(
         st.sampled_from(
-            list("abcXYZ 0123456789-/,'") + ["retryTimeout", "42thing", "HTTPServer"]
+            list("abcXYZ 0123456789-/,'\t\n")
+            + ["retryTimeout", "42thing", "HTTPServer"]
         ),
         max_size=40,
     ).map("".join)
@@ -99,6 +100,18 @@ def test_fast_path_equals_reference_chain(s):
     from sotohp_spark.functions.tokenizer import _tokenize_chain, tokenize
 
     assert tokenize(s) == _tokenize_chain(s, None)
+
+
+def test_whitespace_only_fragments_dropped():
+    """Tabs/newlines are NOT separator chars; whitespace-only fragments
+    between separators must be dropped on the fast path exactly like
+    the chain's .filter(_.trim.nonEmpty) (reference parity)."""
+    from sotohp_spark.functions.tokenizer import _tokenize_chain, tokenize
+
+    for s in ["a \t b", "a \n b", "x,\t,y", "\t", " \n ", "a-\t-b c"]:
+        assert tokenize(s) == _tokenize_chain(s, None)
+        assert all(t.strip() for t in tokenize(s))
+    assert tokenize("a \t b") == ["a", "b"]
 
 
 @pytest.mark.spark
