@@ -113,6 +113,21 @@ class IndexBuilder:
         # Skipped on resume if already built for the same fingerprint.
         meta = self._read_meta()
         if meta is None or meta.get("fingerprint") != fingerprint:
+            if meta is not None and meta.get("fingerprint") != fingerprint:
+                # CHANGED input on an existing index: the new corpus may
+                # span fewer range buckets than the old one, and stage 2
+                # only overwrites buckets 0..n_buckets-1 — ghost postings
+                # from the old corpus would survive in higher buckets and
+                # pollute df counts and query results.  Wipe all derived
+                # state; docs are rebuilt below anyway.
+                log.warning(
+                    "fingerprint changed (%s -> %s): clearing stale postings/"
+                    "term_stats/checkpoint state",
+                    meta.get("fingerprint"), fingerprint,
+                )
+                self._rm_dir(self.postings_path)
+                self._rm_dir(self.term_stats_path)
+                self._rm_dir(self.state_path)
             t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             # exchange FIRST, tokenize after: the pandas UDF (the
@@ -224,6 +239,21 @@ class IndexBuilder:
             self._write_meta(meta)
             log.info("stage3 term_stats: %.1fs", time.time() - t_stage)
         return meta
+
+    def _rm_dir(self, path: str) -> None:
+        """Remove a directory tree on any Hadoop-visible filesystem
+        (local shutil fast path; FileSystem API for object stores)."""
+        import shutil
+
+        if "://" not in path:
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
     # ------------------------------------------------------------------
     def _commit_state(self, bucket: int, fingerprint: str, out_path: str, wall: float):

@@ -12,8 +12,11 @@ Model:
   offset by max_doc+1), builds postings shards for the new ranges,
   appends them, and updates term_stats and meta (N, avgdl);
 - already-indexed conv_ids are skipped by an anti-join against the
-  docs table (the reference's `state.mediaLastSynchronized.isEmpty`
-  filter, MediaServiceLive.scala:1522);
+  LIVE docs (docs minus tombstones — the reference's
+  `state.mediaLastSynchronized.isEmpty` filter,
+  MediaServiceLive.scala:1522); a deleted conversation may be
+  re-appended with corrected turns (the update path: new doc_id, old
+  one stays tombstoned until compaction);
 - stored block-max metadata is avgdl-free (see postings.py), so the
   global avgdl shift caused by appends never invalidates pruning.
 
@@ -24,6 +27,13 @@ O(new data), and readers of old ranges are undisturbed.
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
+import logging
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +43,91 @@ from sotohp_spark.index.build import IndexBuilder
 from sotohp_spark.operators.docs import assign_doc_ids, materialize_documents
 from sotohp_spark.operators.postings import build_postings_df
 
+log = logging.getLogger("sotohp_spark.incremental")
+
+
+def _live_conv_ids(spark: SparkSession, builder: IndexBuilder) -> DataFrame:
+    """conv_ids with at least one NON-tombstoned docs row.
+
+    The dedup anti-join must run against LIVE docs only: a conversation
+    that was deleted (tombstoned) and later re-appended is an UPDATE,
+    not a duplicate — anti-joining against all docs rows silently
+    dropped the corrected version (delete-then-resync is a normal
+    reference flow: ES delete routing, ElasticOperations.scala:113-130,
+    then re-synchronize)."""
+    docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
+    deletes_path = f"{builder.path}/deletes"
+    if os.path.exists(deletes_path) or "://" in deletes_path:
+        try:
+            doomed = spark.read.parquet(deletes_path).select("doc_id").distinct()
+            docs = docs.join(doomed, "doc_id", "left_anti")
+        except Exception:
+            pass  # no deletes dir yet
+    return docs.select("conv_id").distinct()
+
+
+def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
+    """Crash recovery for the two-phase append.
+
+    A marker file exists iff postings files were moved into the live
+    postings/ tree but the docs-table append (the COMMIT POINT) may
+    not have happened.  Decide by comparing the docs table's max doc_id
+    with the marker's pre-append snapshot:
+
+    - max_doc unchanged  -> the append never committed: remove the
+      orphaned postings files (they would double-count term
+      contributions on re-append) and retry from scratch;
+    - max_doc advanced   -> the append committed but meta/term_stats
+      may be stale: finish the derived-state recompute.
+    """
+    markers = glob.glob(f"{builder.path}/_meta/pending_append_*.json")
+    for mpath in markers:
+        with open(mpath) as f:
+            marker = json.load(f)
+        cur_max = spark.read.parquet(builder.docs_path).agg(
+            F.max("doc_id")
+        ).collect()[0][0]
+        if cur_max is not None and cur_max > marker["pre_max_doc"]:
+            log.warning("pending append %s already committed; refreshing stats",
+                        marker["batch_id"])
+            _refresh_derived_state(spark, builder)
+        else:
+            log.warning("rolling back uncommitted append %s (%d files)",
+                        marker["batch_id"], len(marker["moved_files"]))
+            for dst in marker["moved_files"]:
+                try:
+                    os.remove(dst)
+                except FileNotFoundError:
+                    pass
+        os.remove(mpath)
+
+
+def _refresh_derived_state(spark: SparkSession, builder: IndexBuilder) -> dict:
+    """Recompute meta globals + term_stats from the committed tables."""
+    meta = builder._read_meta()
+    stats = spark.read.parquet(builder.docs_path).agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc"),
+    ).collect()[0]
+    meta.update(
+        n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]),
+        max_doc=int(stats["max_doc"]),
+    )
+    postings = spark.read.option("basePath", builder.postings_path).parquet(
+        builder.postings_path
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_shards"))
+        .repartition(builder.cfg.shuffle_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(builder.term_stats_path)
+    )
+    builder._write_meta(meta)
+    return meta
+
 
 def append_conversations(
     spark: SparkSession,
@@ -40,19 +135,47 @@ def append_conversations(
     new_turns: DataFrame,
     cfg: EngineConfig = DEFAULT,
     rules: KeywordRules | None = None,
+    _fail_before_commit: bool = False,
 ) -> dict:
-    """Append complete new conversations to an existing index."""
+    """Append complete new conversations to an existing index.
+
+    Two-phase commit (idempotent under crash/retry at any point):
+
+      1. postings shards are built into a staging dir, then moved into
+         the live postings/ tree under names recorded in a PENDING
+         MARKER (``_meta/pending_append_<id>.json``);
+      2. the docs-table append is the transaction point — it is what
+         the conv-id dedup anti-join sees;
+      3. meta + term_stats recompute, marker removed.
+
+    A retry after a crash first rolls back (or completes) the pending
+    append via the marker, so postings are never double-appended — the
+    batch build's write-data-first / commit-checkpoint-last discipline
+    (build.py) applied to the incremental path.
+
+    ``_fail_before_commit``: test kill-switch — crash after the
+    postings move, before the docs commit.
+    """
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     if meta is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
+    _recover_pending_append(spark, builder)
 
-    existing = spark.read.parquet(builder.docs_path).select("conv_id")
-    fresh_turns = new_turns.join(existing, "conv_id", "left_anti")
+    fresh_turns = new_turns.join(
+        _live_conv_ids(spark, builder), "conv_id", "left_anti"
+    )
+
+    # pre-append snapshot read from the TABLE (not meta): crash-safe
+    # doc-id allocation even if a prior run died before its meta write
+    pre_max_doc = spark.read.parquet(builder.docs_path).agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    pre_max_doc = -1 if pre_max_doc is None else int(pre_max_doc)
 
     docs = materialize_documents(fresh_turns)
     docs = assign_doc_ids(docs, num_ranges=cfg.shuffle_partitions).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(meta["max_doc"] + 1)
+        "doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1)
     )
     tf_udf = make_term_freq_udf(rules)
     docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
@@ -66,7 +189,13 @@ def append_conversations(
     if n_new == 0:
         return meta
 
-    # postings for the new doc-id ranges -> new range buckets (append-only)
+    batch_id = hashlib.md5(
+        json.dumps(sorted(
+            r["conv_id"] for r in docs.select("conv_id").collect()
+        )).encode()
+    ).hexdigest()[:16]
+
+    # ---- phase 1: postings -> staging, then move under the marker ----
     doc_tf = docs.select("doc_id", "doc_len", F.explode("tfs").alias("term", "tf"))
     shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
     bucket_span = cfg.range_size * cfg.ranges_per_batch
@@ -74,42 +203,50 @@ def append_conversations(
         "range_bucket",
         (F.col("range_id").cast("long") * cfg.range_size / bucket_span).cast("int"),
     )
+    staging = f"{builder.path}/_staging/append_{batch_id}"
     (
         shards.repartition(cfg.shuffle_partitions, "term")
         .sortWithinPartitions("term", "range_id")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("range_bucket")
-        .parquet(builder.postings_path)
+        .parquet(staging)
     )
+    moves = []
+    for src in glob.glob(f"{staging}/range_bucket=*/*.parquet"):
+        bucket_dir = os.path.basename(os.path.dirname(src))
+        dst_dir = f"{builder.postings_path}/{bucket_dir}"
+        os.makedirs(dst_dir, exist_ok=True)
+        moves.append((src, f"{dst_dir}/append-{batch_id}-{os.path.basename(src)}"))
+    marker_path = f"{builder.path}/_meta/pending_append_{batch_id}.json"
+    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
+    with open(marker_path, "w") as f:
+        json.dump(
+            {
+                "batch_id": batch_id,
+                "pre_max_doc": pre_max_doc,
+                "n_new": n_new,
+                "moved_files": [dst for _, dst in moves],
+            },
+            f,
+        )
+    for src, dst in moves:
+        os.replace(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
-    # docs table append (schema-consistent: includes tfs) + new globals
+    if _fail_before_commit:
+        raise RuntimeError("test kill-switch: crash before docs commit")
+
+    # ---- phase 2: docs-table append = the transaction point ----
     (
         docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
         .write.mode("append")
         .parquet(builder.docs_path)
     )
-    stats = spark.read.parquet(builder.docs_path).agg(
-        F.count("*").alias("n"),
-        F.avg("doc_len").alias("avgdl"),
-        F.max("doc_id").alias("max_doc"),
-    ).collect()[0]
-    meta.update(
-        n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]), max_doc=int(stats["max_doc"])
-    )
 
-    # term stats: rebuilt from shard headers (cheap: one row per shard)
-    postings = spark.read.option("basePath", builder.postings_path).parquet(
-        builder.postings_path
-    )
-    (
-        postings.groupBy("term")
-        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_shards"))
-        .repartition(cfg.shuffle_partitions, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(builder.term_stats_path)
-    )
-    builder._write_meta(meta)
+    # ---- phase 3: derived state + marker removal ----
+    meta = _refresh_derived_state(spark, builder)
+    os.remove(marker_path)
+    shutil.rmtree(f"{builder.path}/_staging", ignore_errors=True)
     return meta
 
 

@@ -56,6 +56,48 @@ def test_deleted_docs_filtered_scores_preserved(spark, built, conjunctive):
     )
 
 
+def test_delete_then_reappend_is_an_update(spark, tmp_path):
+    """The reference's delete + re-sync flow: deleting a conversation
+    and appending a corrected version must index the NEW version (not
+    silently skip it), and compaction must keep it."""
+    from sotohp_spark.streaming.incremental import (
+        append_conversations,
+        compact_index,
+    )
+
+    pdf = generate_transcripts_pdf(0.04, seed=44)
+    path = str(tmp_path / "upidx")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="u"
+    )
+    victim = pdf["conv_id"].iloc[0]
+    delete_conversations(spark, path, [victim])
+
+    # corrected version: same conv_id, distinctive new text
+    corrected = pdf[pdf["conv_id"] == victim].copy()
+    corrected["text"] = "zzcorrected unique marker token " + corrected[
+        "turn_idx"
+    ].astype(str)
+    meta = append_conversations(spark, path, spark.createDataFrame(corrected), CFG)
+    n_before = len(pdf["conv_id"].unique())
+    assert meta["n_docs"] == n_before + 1  # old row tombstoned, new appended
+
+    hits = QueryEngine(spark, path).top_k_pdf("zzcorrected", 5)
+    assert len(hits) == 1
+    engine = QueryEngine(spark, path)
+    got = engine.top_k(
+        "zzcorrected", 5
+    ).select("conv_id").collect()
+    assert got[0]["conv_id"] == victim
+
+    # compaction physically drops the old version, keeps the update
+    compact_index(spark, path, CFG)
+    post = QueryEngine(spark, path)
+    assert post.meta["n_docs"] == n_before
+    hits2 = post.top_k("zzcorrected", 5, with_docs=True).select("conv_id").collect()
+    assert len(hits2) == 1 and hits2[0]["conv_id"] == victim
+
+
 def test_delete_then_compact(spark, tmp_path):
     from sotohp_spark.streaming.incremental import compact_index
 

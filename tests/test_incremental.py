@@ -69,6 +69,45 @@ def test_append_skips_already_indexed(spark, tmp_path, split_corpus):
     assert meta2["n_docs"] == meta1["n_docs"]
 
 
+def test_crashed_append_rolls_back_no_double_postings(spark, tmp_path, split_corpus):
+    """Crash between the postings move and the docs-table commit must
+    not double-append postings on retry: the pending marker rolls the
+    orphaned files back, and the retried append converges to exactly
+    the clean-append state (scores would be doubled otherwise)."""
+    _, pdf_a, pdf_b = split_corpus
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    for p in (clean, crashed):
+        IndexBuilder(spark, p, CFG).build(
+            spark.createDataFrame(pdf_a), input_fingerprint="base"
+        )
+    append_conversations(spark, clean, spark.createDataFrame(pdf_b), CFG)
+
+    with pytest.raises(RuntimeError, match="kill-switch"):
+        append_conversations(
+            spark, crashed, spark.createDataFrame(pdf_b), CFG,
+            _fail_before_commit=True,
+        )
+    # orphaned postings are live on disk at this point; retry must heal
+    append_conversations(spark, crashed, spark.createDataFrame(pdf_b), CFG)
+
+    e_clean, e_crashed = QueryEngine(spark, clean), QueryEngine(spark, crashed)
+    assert e_clean.meta["n_docs"] == e_crashed.meta["n_docs"]
+    for qt in QUERIES:
+        a = e_clean.top_k_pdf(qt, 10)
+        b = e_crashed.top_k_pdf(qt, 10)
+        assert list(a["doc_id"]) == list(b["doc_id"]), f"{qt!r} docs mismatch"
+        assert np.allclose(
+            a["score"].to_numpy(np.float64),
+            b["score"].to_numpy(np.float64),
+            atol=1e-12, rtol=0,
+        ), f"{qt!r} scores mismatch (double-counted postings?)"
+    # no leftover markers or staging
+    import glob as _glob
+
+    assert not _glob.glob(f"{crashed}/_meta/pending_append_*.json")
+    assert not _glob.glob(f"{crashed}/_staging/*")
+
+
 def test_streaming_available_now(spark, tmp_path, split_corpus):
     _, pdf_a, pdf_b = split_corpus
     path = str(tmp_path / "streamed")

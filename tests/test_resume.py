@@ -91,6 +91,49 @@ def test_second_build_is_noop_except_timestamps(spark, tmp_path, turns):
     assert _index_signature(spark, p)[1] == sig1[1]  # docs identical
 
 
+def test_fingerprint_change_clears_stale_buckets(spark, tmp_path, turns):
+    """Rebuilding an existing index path with a SMALLER corpus (changed
+    fingerprint) must not leave ghost postings from the old corpus in
+    higher range buckets: term_stats df and every posting's doc_id must
+    be consistent with the new docs table alone."""
+    from pyspark.sql import functions as F
+
+    from sotohp_spark.generator import transcripts_df
+
+    path = str(tmp_path / "shrunk")
+    b = IndexBuilder(spark, path, CFG)
+    b.build(turns, input_fingerprint="big")
+    big_meta = QueryEngine(spark, path).meta
+
+    small = transcripts_df(spark, 0.01).localCheckpoint()
+    meta = b.build(small, input_fingerprint="small")
+    assert meta["n_docs"] < big_meta["n_docs"]
+
+    postings = spark.read.option("basePath", f"{path}/postings").parquet(
+        f"{path}/postings"
+    )
+    assert postings.agg(F.max("last_doc")).collect()[0][0] <= meta["max_doc"]
+
+    # df in term_stats == recount from the docs table's stored tf maps
+    stats = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{path}/term_stats").collect()
+    }
+    truth = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{path}/docs")
+        .select(F.explode("tfs").alias("term", "tf"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    assert stats == truth
+
+    # checkpoint state holds only the new fingerprint's rows
+    fps = {r["input_fingerprint"] for r in b.partition_state().collect()}
+    assert fps == {"small"}
+
+
 def test_metrics_emitted_per_partition(spark, tmp_path, turns):
     p = str(tmp_path / "metrics")
     b = IndexBuilder(spark, p, CFG)
