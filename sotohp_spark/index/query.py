@@ -53,8 +53,15 @@ class QueryEngine:
     # hot term exceeds this instantly; a long-tail term never does.
     LOCAL_PATH_MAX_POSTINGS = 2_000_000
 
+    # tombstone counts at or below this are collected once and shipped
+    # in the scoring closures (cheap, enables the driver-local fast
+    # path); above it the deletes STAY distributed and are cogrouped
+    # with the postings per range — no driver materialization ever.
+    MAX_DRIVER_DELETES = 200_000
+
     def __init__(self, spark: SparkSession, index_path: str,
-                 rules: KeywordRules | None = None, cfg: EngineConfig | None = None):
+                 rules: KeywordRules | None = None, cfg: EngineConfig | None = None,
+                 max_driver_deletes: int | None = None):
         self.spark = spark
         self.path = index_path.rstrip("/")
         self.rules = rules
@@ -78,12 +85,22 @@ class QueryEngine:
         self._docs = spark.read.parquet(f"{self.path}/docs").select(
             "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
         )
+        if max_driver_deletes is not None:
+            self.MAX_DRIVER_DELETES = max_driver_deletes
+        self._deletes_df: DataFrame | None = None
         self._deletes = self._load_deletes()
 
     def _load_deletes(self):
-        """Tombstoned doc ids, sorted (delete_conversations sink).
-        Driver-held here; at cluster scale this becomes per-range
-        delete bitmaps co-partitioned with the postings."""
+        """Tombstone handling, sized to the delete volume.
+
+        Small delete sets (<= MAX_DRIVER_DELETES) are collected once:
+        the array rides into the scoring closures and keeps the
+        driver-local interactive path available.  Large delete sets are
+        NEVER collected: ``self._deletes`` stays None and every scoring
+        path cogroups the deletes DataFrame with the postings on
+        range_id — per-range delete bitmaps co-partitioned with the
+        shards, O(deletes-in-range) per task, no driver OOM and no
+        per-task broadcast of a global array."""
         import os
 
         import numpy as np
@@ -91,8 +108,22 @@ class QueryEngine:
         path = f"{self.path}/deletes"
         if "://" not in path and not os.path.exists(path):
             return np.zeros(0, dtype=np.int64)
-        rows = self.spark.read.parquet(path).select("doc_id").collect()
+        df = self.spark.read.parquet(path).select("doc_id")
+        self._deletes_df = df
+        n = df.count()
+        if n > self.MAX_DRIVER_DELETES:
+            return None  # distributed-only: see _scored_ranges
+        rows = df.collect()
         return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+    def _deletes_by_range(self) -> DataFrame:
+        """Deletes keyed like the postings: range_id = doc_id // range_size."""
+        return self._deletes_df.select(
+            (F.col("doc_id") / F.lit(self.cfg.range_size))
+            .cast("int")
+            .alias("range_id"),
+            "doc_id",
+        )
 
     # ------------------------------------------------------------------
     def query_weights(self, query_text: str):
@@ -162,7 +193,13 @@ class QueryEngine:
 
         shards = self._postings.where(F.col("term").isin(terms))
 
-        if n_candidates <= self.LOCAL_PATH_MAX_POSTINGS:
+        # the driver-local fast path needs the collected tombstone
+        # array; with a large (distributed-only) delete set it is
+        # skipped and scoring cogroups deletes per range instead.
+        if (
+            self._deletes is not None
+            and n_candidates <= self.LOCAL_PATH_MAX_POSTINGS
+        ):
             out = self._top_k_local(shards, weights, k, avgdl, conjunctive)
             return self._attach_docs(out) if with_docs else out
         if conjunctive:
@@ -176,9 +213,7 @@ class QueryEngine:
             )
             shards = shards.join(F.broadcast(ok), "range_id")
 
-        deletes = self._deletes
-
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
@@ -186,9 +221,39 @@ class QueryEngine:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        local = shards.groupBy("range_id").applyInPandas(score_group, TOPK_SCHEMA)
+        local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
+
+    def _apply_per_range(self, shards: DataFrame, score_rows, schema) -> DataFrame:
+        """Run a per-range scoring function over the candidate shards.
+
+        Small/no delete sets: plain groupBy(range_id).applyInPandas with
+        the collected tombstone array in the closure.  Large delete
+        sets: groupBy(range_id).cogroup(deletes-by-range) — each task
+        sees only ITS range's tombstones (per-range delete bitmap,
+        co-partitioned with the postings), so the deletes table never
+        touches the driver and never rides whole in a task closure.
+        """
+        if self._deletes is not None:
+            deletes = self._deletes
+
+            def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_rows(pdf, deletes)
+
+            return shards.groupBy("range_id").applyInPandas(fn, schema)
+
+        import numpy as np
+
+        def fn2(shard_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+            dels = np.unique(del_pdf["doc_id"].to_numpy(np.int64))
+            return score_rows(shard_pdf, dels)
+
+        return (
+            shards.groupBy("range_id")
+            .cogroup(self._deletes_by_range().groupBy("range_id"))
+            .applyInPandas(fn2, schema)
+        )
 
     def top_k_batch(
         self, queries: list, k_default: int = 10, conjunctive: bool = False
@@ -226,10 +291,9 @@ class QueryEngine:
         avgdl = self.meta["avgdl"]
         cfg = self.cfg
         conj = conjunctive
-        deletes = self._deletes
         shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             by_term: dict[str, list] = {}
             for r in rows:
@@ -257,8 +321,8 @@ class QueryEngine:
                 )
             return pd.concat(out, ignore_index=True)
 
-        local = shards.groupBy("range_id").applyInPandas(
-            score_group, "query_id string, doc_id long, score double"
+        local = self._apply_per_range(
+            shards, score_rows, "query_id string, doc_id long, score double"
         )
         from pyspark.sql import Window
 

@@ -261,9 +261,20 @@ def delete_conversations(
     (reindex_all) — scores of surviving docs are unchanged by a
     delete, only membership changes.  Append-only and idempotent."""
     builder = IndexBuilder(spark, index_path)
+    meta = builder._read_meta()
+    span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
-    doomed = docs.where(F.col("conv_id").isin(list(conv_ids))).select("doc_id")
-    doomed.write.mode("append").parquet(f"{builder.path}/deletes")
+    doomed = docs.where(F.col("conv_id").isin(list(conv_ids))).select(
+        "doc_id",
+        (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
+    )
+    # partitioned like the postings -> a reader that cogroups deletes
+    # with shards prunes tombstone files by bucket for free
+    (
+        doomed.write.mode("append")
+        .partitionBy("range_bucket")
+        .parquet(f"{builder.path}/deletes")
+    )
     return doomed.count()
 
 

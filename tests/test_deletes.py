@@ -56,6 +56,52 @@ def test_deleted_docs_filtered_scores_preserved(spark, built, conjunctive):
     )
 
 
+def test_large_delete_sets_stay_distributed(spark, tmp_path):
+    """At cluster scale the tombstone table cannot be collected: with
+    the driver cache disabled, scoring must cogroup deletes with the
+    postings per range (visible in the plan) and stay rank-identical
+    to the collected-array path."""
+    from sotohp_spark.plans.checks import formatted_plan
+
+    pdf = generate_transcripts_pdf(0.04, seed=45)
+    path = str(tmp_path / "bigdel")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="d"
+    )
+    victims = sorted(pdf["conv_id"].unique())[:5]
+    delete_conversations(spark, path, victims)
+
+    cached = QueryEngine(spark, path)                      # collected array
+    dist = QueryEngine(spark, path, max_driver_deletes=0)  # forced cogroup
+    assert cached._deletes is not None and cached._deletes.size == 5
+    assert dist._deletes is None  # nothing ever collected to the driver
+
+    for qt in ["error retry", "search query", "timeout"]:
+        for conj in (False, True):
+            a = cached.top_k_pdf(qt, 10, conj)
+            b = dist.top_k_pdf(qt, 10, conj)
+            assert list(a["doc_id"]) == list(b["doc_id"]), (qt, conj)
+            assert np.allclose(
+                a["score"].to_numpy(np.float64),
+                b["score"].to_numpy(np.float64),
+                atol=1e-12, rtol=0,
+            ), (qt, conj)
+
+    # the distributed path's plan cogroups shards with per-range deletes
+    plan = formatted_plan(dist.top_k("error retry", 10, with_docs=False))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+    # batch path under distributed deletes matches per-query top_k
+    batch = (
+        dist.top_k_batch([("q1", "error retry", 5), ("q2", "timeout", 5)])
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    single = cached.top_k_pdf("error retry", 5)
+    q1 = batch[batch["query_id"] == "q1"]
+    assert list(q1["doc_id"]) == list(single["doc_id"])
+
+
 def test_delete_then_reappend_is_an_update(spark, tmp_path):
     """The reference's delete + re-sync flow: deleting a conversation
     and appending a corrected version must index the NEW version (not
