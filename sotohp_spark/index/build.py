@@ -176,19 +176,28 @@ class IndexBuilder:
             self._write_meta(meta)
             log.info("stage1 stats: %.1fs", time.time() - t_stage)
 
-        # ---- stage 2: postings, per range-bucket with checkpointing ----
-        n_buckets = max(
-            1,
-            math.ceil(
-                (meta["max_doc"] + 1) / (cfg.range_size * cfg.ranges_per_batch)
-            ),
-        )
+        # ---- stage 2: postings for ALL unbuilt range buckets in O(1)
+        # Spark jobs (one partitionBy("range_bucket") write with dynamic
+        # partition overwrite), checkpoint rows derived per bucket AFTER
+        # the commit.  A driver loop of one job per bucket serializes
+        # the build behind fixed per-job overhead (~2 s each: at 10^12
+        # turns that is tens of thousands of buckets, >24 h of pure
+        # driver time); one job writes every bucket in parallel and the
+        # resume granularity stays per-bucket because the state rows are
+        # still per bucket.  ``stop_after_batches`` (the kill-and-resume
+        # test hook) falls back to one-bucket-per-job chunks so a crash
+        # mid-build with partial state remains reproducible.
+        bucket_span = cfg.range_size * cfg.ranges_per_batch
+        n_buckets = max(1, math.ceil((meta["max_doc"] + 1) / bucket_span))
         done = self._built_buckets(fingerprint)
+        remaining = [b for b in range(n_buckets) if b not in done]
+        if stop_after_batches is not None:
+            chunks = [[b] for b in remaining]
+        else:
+            chunks = [remaining] if remaining else []
         doc_tf = None
         batches_done = 0
-        for bucket in range(n_buckets):
-            if bucket in done:
-                continue
+        for chunk in chunks:
             if doc_tf is None:
                 doc_tf = (
                     self.spark.read.parquet(self.docs_path)
@@ -199,19 +208,43 @@ class IndexBuilder:
                     )
                 )
             t0 = time.time()
-            lo = bucket * cfg.range_size * cfg.ranges_per_batch
-            hi = lo + cfg.range_size * cfg.ranges_per_batch
+            lo = min(chunk) * bucket_span
+            hi = (max(chunk) + 1) * bucket_span
             part = doc_tf.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            if len(chunk) < (max(chunk) - min(chunk) + 1):
+                # resume hole: keep only the unbuilt buckets
+                part = part.where(
+                    (F.col("doc_id") / bucket_span).cast("int").isin(chunk)
+                )
             shards = build_postings_df(part, meta["avgdl"], cfg)
-            out = f"{self.postings_path}/range_bucket={bucket}"
-            (
-                shards.repartition(cfg.shuffle_partitions, "term")
-                .sortWithinPartitions("term", "range_id")
-                .write.mode("overwrite")
-                .parquet(out)
+            shards = shards.withColumn(
+                "range_bucket",
+                (F.col("range_id").cast("long") * cfg.range_size / bucket_span)
+                .cast("int"),
             )
-            self._commit_state(bucket, fingerprint, out, time.time() - t0)
-            log.info("stage2 bucket %d: %.1fs", bucket, time.time() - t0)
+            prev_mode = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    shards.repartition(cfg.shuffle_partitions, "term")
+                    .sortWithinPartitions("term", "range_id")
+                    .write.mode("overwrite")
+                    .partitionBy("range_bucket")
+                    .parquet(self.postings_path)
+                )
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+            self._commit_state_many(chunk, fingerprint, time.time() - t0)
+            log.info(
+                "stage2 buckets %s..%s (%d): %.1fs",
+                min(chunk), max(chunk), len(chunk), time.time() - t0,
+            )
             batches_done += 1
             if stop_after_batches is not None and batches_done >= stop_after_batches:
                 raise BuildInterrupted(
@@ -256,33 +289,45 @@ class IndexBuilder:
             fs.delete(p, True)
 
     # ------------------------------------------------------------------
-    def _commit_state(self, bucket: int, fingerprint: str, out_path: str, wall: float):
-        """Write postings first, checkpoint row last (closes the
-        reference's no-transaction gap)."""
-        shards = self.spark.read.parquet(out_path)
-        m = shards.agg(
+    def _commit_state_many(self, buckets: list, fingerprint: str, wall: float):
+        """Write postings first, checkpoint rows last (closes the
+        reference's no-transaction gap).  One agg job derives the
+        per-bucket metrics from the committed files; one append writes
+        every checkpoint row of the batch."""
+        committed = (
+            self.spark.read.option("basePath", self.postings_path)
+            .parquet(self.postings_path)
+            .where(F.col("range_bucket").isin(list(buckets)))
+        )
+        metrics = committed.groupBy("range_bucket").agg(
             F.sum("n_docs").alias("postings"),
             F.sum("payload_bytes").alias("bytes"),
-            F.count("*").alias("n_shards"),
             F.countDistinct("term").alias("n_terms"),
             F.max("n_docs").alias("max_shard"),
             F.avg("n_docs").alias("mean_shard"),
-        ).collect()[0]
-        skew = float(m["max_shard"]) / float(m["mean_shard"]) if m["mean_shard"] else 1.0
-        row = [
-            (
-                bucket,
-                fingerprint,
-                "built",
-                int(m["postings"] or 0),
-                int(m["bytes"] or 0),
-                skew,
-                int(m["n_terms"] or 0),
-                float(wall),
+        ).collect()
+        wall_each = wall / max(len(buckets), 1)
+        rows = []
+        for m in metrics:
+            skew = (
+                float(m["max_shard"]) / float(m["mean_shard"])
+                if m["mean_shard"]
+                else 1.0
             )
-        ]
+            rows.append(
+                (
+                    int(m["range_bucket"]),
+                    fingerprint,
+                    "built",
+                    int(m["postings"] or 0),
+                    int(m["bytes"] or 0),
+                    skew,
+                    int(m["n_terms"] or 0),
+                    float(wall_each),
+                )
+            )
         df = self.spark.createDataFrame(
-            row, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
+            rows, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
         ).withColumn("built_at", F.current_timestamp())
         df.write.mode("append").parquet(self.state_path)
 
