@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), num_hashes=16, bands=4
     )
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        _docs(s, d), threshold=0.5
+        _docs(s, d), threshold=0.5, max_shingle_df=200
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash_near_dups(
         _docs(s, d), max_hamming=3
@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["coalesce_fallback"] = lambda s, d: an.coalesced_event_value(_t(s, d, "events"))
     q["positional_access"] = lambda s, d: an.every_nth_event(_t(s, d, "events"), 1000)
+    q["random_select_seeded"] = lambda s, d: an.random_events(
+        _t(s, d, "events"), n_pick=10, seed=7
+    )
 
     # --- operator coverage batch 2 ---
     from sotohp_spark.operators import analytics2 as a2
@@ -358,7 +361,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 
     o["dedup_minhash_lsh"] = _minhash_oracle_sql(num_hashes=16, bands=4, n=3)
     o["dedup_simhash"] = _simhash_oracle_sql(max_hamming=3)
-    o["dedup_ngram_jaccard"] = _jaccard_oracle_sql(threshold=0.5, n=3)
+    o["dedup_ngram_jaccard"] = _jaccard_oracle_sql(
+        threshold=0.5, n=3, max_df=200
+    )
 
     o["text_metrics"] = r"""
 WITH words AS (
@@ -538,6 +543,21 @@ SELECT pos, event_id, user_id, event_type FROM (
          event_id, user_id, event_type
   FROM events
 ) WHERE pos % 1000 = 0
+"""
+
+    o["random_select_seeded"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+picks AS (
+  SELECT DISTINCT (48271 * s.i + 7) % n.n AS pos
+  FROM generate_series(0, 9) s(i), n
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY event_id) - 1 AS pos,
+         event_id, user_id, event_type
+  FROM events
+)
+SELECT idx.pos, event_id, user_id, event_type
+FROM idx JOIN picks USING (pos) ORDER BY pos
 """
 
     o["geo_travel_distance"] = """
@@ -899,19 +919,28 @@ WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= {max_hamming}
 """
 
 
-def _jaccard_oracle_sql(threshold: float, n: int) -> str:
+def _jaccard_oracle_sql(threshold: float, n: int, max_df: int | None = None) -> str:
+    cap = (
+        f""", hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {max_df}
+), sh AS (
+  SELECT s.doc_id, s.sh FROM sh0 s ANTI JOIN hot USING (sh)
+)"""
+        if max_df is not None
+        else ", sh AS (SELECT * FROM sh0)"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT doc_id, D.sh FROM toks,
   LATERAL (
     SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - {n} + 1),
                     i -> array_to_string(w[i:i+{n}-1], ' '))) AS sh
   ) D
   WHERE len(w) >= {n}
-), sizes AS (
+){cap}, sizes AS (
   SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i

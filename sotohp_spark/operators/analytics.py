@@ -260,14 +260,40 @@ def coalesced_event_value(events) -> DataFrame:
     )
 
 
-# --- W4: deterministic positional sample (mediaGetAt, ApiApp random select) ---
+# --- W3/W4: positional access + seeded random select
+# (originalIdByPosition / mediaGetAt + ApiApp.scala:804-814) ---
 
 def every_nth_event(events, n: int = 1000) -> DataFrame:
     """Dense positional index + stride sample — the reference's
-    originalIdByPosition O(1) access generalized."""
-    w = Window.orderBy("event_id")
+    originalIdByPosition O(1) access generalized.  Distributed: the
+    position comes from the range-partition prefix-sum helper, never a
+    single-task global window."""
+    from sotohp_spark.operators.positional import with_global_position
+
     return (
-        events.withColumn("pos", F.row_number().over(w) - 1)
+        with_global_position(events, ["event_id"])
         .where(F.col("pos") % n == 0)
         .select("pos", "event_id", "user_id", "event_type")
+    )
+
+
+def random_events(events, n_pick: int = 10, seed: int = 7) -> DataFrame:
+    """Seeded uniform row selection — the reference's random pick via
+    maxPosition (ApiApp.scala:804-814): draw k positions in [0, N)
+    with a deterministic LCG and fetch them through the distributed
+    positional index.  N is one count() scalar (the reference reads
+    maxPosition driver-side the same way); everything else is a
+    broadcast semi-join against the positional index."""
+    n_total = events.count()
+    picks = sorted({(48271 * i + seed) % n_total for i in range(n_pick)})
+    pos_df = events.sparkSession.createDataFrame(
+        [(p,) for p in picks], "pos long"
+    )
+    from sotohp_spark.operators.positional import with_global_position
+
+    return (
+        with_global_position(events, ["event_id"])
+        .join(F.broadcast(pos_df), "pos")
+        .select("pos", "event_id", "user_id", "event_type")
+        .orderBy("pos")
     )

@@ -1,0 +1,61 @@
+"""Distributed global positional index (no single-partition sort).
+
+The reference exposes O(1) positional access over a globally ordered
+key space (originalIdByPosition / mediaGetAt, ApiApp.scala:780-814).
+A naive ``row_number() OVER (ORDER BY key)`` funnels the whole table
+through ONE task — the classic scale-killer.  This helper computes the
+same dense 0-based position fully distributed:
+
+1. ``repartitionByRange`` on the ordering key (range exchange, all
+   tasks participate);
+2. ``row_number`` within each range partition (partitioned window);
+3. exclusive prefix sum of the per-partition counts — an
+   O(num_ranges)-row table, collected once and broadcast-joined back.
+
+The plan contains NO ``Exchange SinglePartition`` (test-asserted in
+tests/test_plans.py): the only driver materialization is the tiny
+count vector, which is O(partitions), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_position(
+    df: DataFrame,
+    order_cols: list,
+    num_ranges: int = 32,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Add a dense 0-based ``pos_col`` ordered by ``order_cols``.
+
+    ``order_cols`` must be a total order (unique key / tie-broken) for
+    the position to be deterministic.
+    """
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin partition ids: the counts job and the window job must see the
+    # exact same partitioning
+    ranged = ranged.localCheckpoint(eager=False)
+
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, off = [], 0
+    for pid, n in counts:
+        offsets.append((pid, off))
+        off += n
+    odf = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    win = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(win) - 1)
+        .join(F.broadcast(odf), "_pid")
+        .withColumn(pos_col, (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )

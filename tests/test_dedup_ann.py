@@ -75,6 +75,30 @@ def test_short_docs_do_not_crash_shingles(spark):
     assert (3, 4) in cand and all(a >= 3 for a, _ in cand)
 
 
+def test_hot_shingle_df_cap(spark):
+    """A boilerplate shingle shared by every doc makes the inverted-
+    index join quadratic; the df cap drops it before the self-join.
+    Jaccard is computed over the capped universe on both sides."""
+    common = "all rights reserved"
+    rows = [(i, f"{common} unique{i} tail{i} words{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    assert len(uncapped) > 400  # quadratic blowup via the hot shingle
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.05, max_shingle_df=5
+        ).collect()
+    }
+    assert capped == {(100, 101): 1.0}  # boilerplate-only pairs gone
+
+
 def test_minhash_lsh_finds_near_dups(near_dup_docs):
     cand = {
         (r["doc_a"], r["doc_b"])

@@ -45,6 +45,55 @@ def test_topk_plan_no_row_python_no_cartesian(engine):
     assert_no_cartesian(df)
 
 
+def test_positional_access_no_single_partition_window(spark):
+    """every_nth_event / random_events must never funnel the table
+    through one task: no Exchange SinglePartition anywhere in the plan
+    (the prefix-sum offsets are a collected O(partitions) vector, not
+    a window over the data)."""
+    import pandas as pd
+
+    from sotohp_spark.operators.analytics import every_nth_event, random_events
+    from sotohp_spark.plans.checks import formatted_plan
+
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": range(1000),
+                "user_id": [i % 7 for i in range(1000)],
+                "event_type": ["view"] * 1000,
+            }
+        )
+    )
+    df = every_nth_event(events, 100)
+    assert "Exchange SinglePartition" not in formatted_plan(df)
+    rows = df.orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == list(range(0, 1000, 100))
+    assert [r["event_id"] for r in rows] == list(range(0, 1000, 100))
+
+    rnd = random_events(events, n_pick=5, seed=7)
+    assert "Exchange SinglePartition" not in formatted_plan(rnd)
+    picks = sorted({(48271 * i + 7) % 1000 for i in range(5)})
+    assert [r["event_id"] for r in rnd.collect()] == picks
+
+
+def test_jaccard_no_forced_broadcast_of_sizes(spark):
+    """The O(n_docs) sizes table must not be force-broadcast (driver
+    OOM at scale) — only hint-free joins allowed in the pair plan."""
+    import pandas as pd
+
+    from sotohp_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(10), "text": [f"a b c d{i} e{i} f{i}" for i in range(10)]}
+        )
+    )
+    plan = ngram_jaccard_pairs(docs, 0.3, max_shingle_df=50)._jdf.queryExecution()
+    optimized = plan.optimizedPlan().toString()
+    # no ResolvedHint/UnresolvedHint broadcast remnants on sizes
+    assert "broadcast" not in optimized.lower()
+
+
 def test_flagship_bm25_broadcasts_and_codegens(spark, sf_dir):
     from sotohp_spark.operators.topk import bm25_topk
 
