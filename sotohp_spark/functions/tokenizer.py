@@ -101,6 +101,49 @@ class KeywordRules:
         )
 
 
+@dataclass(frozen=True)
+class KeywordRulesRouter:
+    """Per-source rules resolution.
+
+    The reference resolves KeywordRules per STORE at tokenize time
+    (`keywordSentenceToKeywords`, MediaServiceLive.scala:1670-1676;
+    rules CRUD :1692-1748) — different stores in one corpus may
+    rewrite/ignore differently.  ``by_source`` maps a source id to its
+    rules; unknown/null sources fall back to ``default`` (None =
+    rules-free fast path).
+    """
+
+    by_source: tuple = ()  # tuple[(source, KeywordRules), ...]
+    default: KeywordRules | None = None
+
+    def rules_for(self, source) -> KeywordRules | None:
+        for s, r in self.by_source:
+            if s == source:
+                return r
+        return self.default
+
+    def to_plain(self) -> dict:
+        return {
+            "_router": True,
+            "by_source": [
+                (s, r.to_plain() if r is not None else None)
+                for s, r in self.by_source
+            ],
+            "default": self.default.to_plain() if self.default else None,
+        }
+
+    @staticmethod
+    def from_plain(d: dict | None) -> "KeywordRulesRouter | None":
+        if d is None:
+            return None
+        return KeywordRulesRouter(
+            by_source=tuple(
+                (s, KeywordRules.from_plain(r)) for s, r in d.get("by_source", ())
+            ),
+            default=KeywordRules.from_plain(d.get("default")),
+        )
+
+
 def _camel_parts(fragment: str) -> list:
     # Java's split drops zero-width artifacts at position 0 / trailing;
     # empties are filtered downstream anyway (step 6).
@@ -205,6 +248,27 @@ def make_term_freq_udf(rules: KeywordRules | None = None):
         return texts.map(lambda s: dict(Counter(tokenize(s, r))))
 
     return term_freq_udf
+
+
+def make_term_freq_udf_routed(router: KeywordRulesRouter):
+    """pandas UDF: (text, source) -> map<string,int> term frequencies,
+    with the rules chain resolved PER ROW by source (reference
+    semantics: per-store rules at tokenize time).  The router rides in
+    plain-dict form; resolved rules are memoized per source per batch."""
+    plain = router.to_plain()
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+    def term_freq_routed_udf(texts: pd.Series, sources: pd.Series) -> pd.Series:
+        r = KeywordRulesRouter.from_plain(plain)
+        cache: dict = {}
+        out = []
+        for text, src in zip(texts, sources):
+            if src not in cache:
+                cache[src] = r.rules_for(src)
+            out.append(dict(Counter(tokenize(text, cache[src]))))
+        return pd.Series(out)
+
+    return term_freq_routed_udf
 
 
 def make_keywords_udf(rules: KeywordRules | None = None):

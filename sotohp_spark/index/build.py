@@ -41,9 +41,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sotohp_spark.config import EngineConfig, DEFAULT
-from sotohp_spark.functions.tokenizer import KeywordRules, make_term_freq_udf
+from sotohp_spark.functions.tokenizer import (
+    KeywordRules,
+    KeywordRulesRouter,
+    make_term_freq_udf,
+    make_term_freq_udf_routed,
+)
 from sotohp_spark.operators.docs import build_documents
 from sotohp_spark.operators.postings import build_postings_df
+
+
+def apply_term_freqs(docs: DataFrame, rules) -> DataFrame:
+    """tfs + doc_len columns via the Arrow-batched tokenizer UDF.
+
+    ``rules`` may be a single KeywordRules (one chain for the whole
+    corpus) or a KeywordRulesRouter (per-source resolution, reference
+    parity: MediaServiceLive.scala:1670-1676) — routed tokenization
+    reads the docs' ``source`` column (null -> router default)."""
+    if isinstance(rules, KeywordRulesRouter):
+        src = (
+            F.col("source")
+            if "source" in docs.columns
+            else F.lit(None).cast("string")
+        )
+        tfs = make_term_freq_udf_routed(rules)(F.col("doc_text"), src)
+    else:
+        tfs = make_term_freq_udf(rules)(F.col("doc_text"))
+    return docs.withColumn("tfs", tfs).withColumn(
+        "doc_len",
+        F.coalesce(
+            F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        ),
+    )
 
 PARTITION_STATE_SCHEMA = T.StructType(
     [
@@ -135,16 +165,7 @@ class IndexBuilder:
             # whatever partition count the id-assignment join left
             # behind; the write needs this range layout anyway.
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
-            tf_udf = make_term_freq_udf(self.rules)
-            docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
-                "doc_len",
-                F.coalesce(
-                    F.aggregate(
-                        F.map_values("tfs"), F.lit(0), lambda acc, x: acc + x
-                    ),
-                    F.lit(0),
-                ),
-            )
+            docs = apply_term_freqs(docs, self.rules)
             # single write: the docs table keeps the tf maps (used by the
             # postings stage); readers that want only doc metadata get
             # the tfs column pruned away by the parquet scan for free.

@@ -125,10 +125,21 @@ class QueryEngine:
             "doc_id",
         )
 
+    def _query_rules(self, source=None):
+        """Per-source query tokenization (reference: rules are resolved
+        per store, MediaServiceLive.scala:1670-1676).  A plain
+        KeywordRules applies to every query; a KeywordRulesRouter
+        resolves by the optional ``source`` argument."""
+        from sotohp_spark.functions.tokenizer import KeywordRulesRouter
+
+        if isinstance(self.rules, KeywordRulesRouter):
+            return self.rules.rules_for(source)
+        return self.rules
+
     # ------------------------------------------------------------------
-    def query_weights(self, query_text: str):
+    def query_weights(self, query_text: str, source=None):
         """(term -> qtf*idf, total candidate postings) for corpus terms."""
-        toks = tokenize(query_text, self.rules)
+        toks = tokenize(query_text, self._query_rules(source))
         if not toks:
             return {}, 0
         qtf: dict[str, int] = {}
@@ -174,11 +185,16 @@ class QueryEngine:
         k: int = 10,
         conjunctive: bool = False,
         with_docs: bool = True,
+        source=None,
     ) -> DataFrame:
-        """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...])."""
-        weights, n_candidates = self.query_weights(query_text)
+        """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
+        ``source`` selects the per-source rules chain for query
+        tokenization when the engine holds a KeywordRulesRouter."""
+        weights, n_candidates = self.query_weights(query_text, source)
         spark = self.spark
-        if conjunctive and len(weights) < len(set(tokenize(query_text, self.rules))):
+        if conjunctive and len(weights) < len(
+            set(tokenize(query_text, self._query_rules(source)))
+        ):
             # reference AND semantics (mediaSearch, MediaServiceLive.scala:
             # 108-112): a query term absent from the corpus empties the result
             weights = {}
@@ -277,7 +293,7 @@ class QueryEngine:
         all_terms: set = set()
         for qid, qtext, kk in queries:
             w, _ = self.query_weights(qtext)
-            if conjunctive and len(w) < len(set(tokenize(qtext, self.rules))):
+            if conjunctive and len(w) < len(set(tokenize(qtext, self._query_rules()))):
                 w = {}  # reference AND semantics: absent term -> empty
             if w:
                 per_query[qid] = (w, int(kk or k_default))

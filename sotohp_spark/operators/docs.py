@@ -34,22 +34,25 @@ def materialize_documents(turns: DataFrame) -> DataFrame:
     (turn_idx, text) struct — turn_idx is unique per conv so the sort
     never compares text bytes.
     """
-    return (
-        turns.groupBy("conv_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("turn_idx", "text"))
-            ).alias("turns_sorted"),
-            F.min("ts").alias("doc_ts"),
-            F.count("*").alias("n_turns"),
-        )
-        .select(
-            "conv_id",
-            F.concat_ws(" ", F.col("turns_sorted.text")).alias("doc_text"),
-            "doc_ts",
-            "n_turns",
-        )
-    )
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "text"))
+        ).alias("turns_sorted"),
+        F.min("ts").alias("doc_ts"),
+        F.count("*").alias("n_turns"),
+    ]
+    cols = [
+        "conv_id",
+        F.concat_ws(" ", F.col("turns_sorted.text")).alias("doc_text"),
+        "doc_ts",
+        "n_turns",
+    ]
+    if "source" in turns.columns:
+        # a conversation belongs to one store; min() is a deterministic
+        # pick that doubles as a guard if the invariant is violated
+        aggs.append(F.min("source").alias("source"))
+        cols.append("source")
+    return turns.groupBy("conv_id").agg(*aggs).select(*cols)
 
 
 def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
@@ -82,7 +85,10 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
 
 
 def build_documents(turns: DataFrame, num_ranges: int = 32) -> DataFrame:
-    """Full docs table: doc_id, conv_id, doc_text, doc_ts, n_turns."""
-    return assign_doc_ids(materialize_documents(turns), num_ranges).select(
-        "doc_id", "conv_id", "doc_text", "doc_ts", "n_turns"
-    )
+    """Full docs table: doc_id, conv_id, doc_text, doc_ts, n_turns
+    (+ source when the turns carry one — used for per-source rules)."""
+    docs = assign_doc_ids(materialize_documents(turns), num_ranges)
+    cols = ["doc_id", "conv_id", "doc_text", "doc_ts", "n_turns"]
+    if "source" in docs.columns:
+        cols.append("source")
+    return docs.select(*cols)

@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sotohp_spark.config import EngineConfig, DEFAULT
-from sotohp_spark.functions.tokenizer import KeywordRules, make_term_freq_udf
-from sotohp_spark.index.build import IndexBuilder
+from sotohp_spark.functions.tokenizer import KeywordRules
+from sotohp_spark.index.build import IndexBuilder, apply_term_freqs
 from sotohp_spark.operators.docs import assign_doc_ids, materialize_documents
 from sotohp_spark.operators.postings import build_postings_df
 
@@ -177,13 +177,7 @@ def append_conversations(
     docs = assign_doc_ids(docs, num_ranges=cfg.shuffle_partitions).withColumn(
         "doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1)
     )
-    tf_udf = make_term_freq_udf(rules)
-    docs = docs.withColumn("tfs", tf_udf(F.col("doc_text"))).withColumn(
-        "doc_len",
-        F.coalesce(
-            F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x), F.lit(0)
-        ),
-    )
+    docs = apply_term_freqs(docs, rules)
     docs = docs.localCheckpoint()
     n_new = docs.count()
     if n_new == 0:

@@ -68,3 +68,77 @@ def test_rules_affect_results(built):
     assert len(got) > 0, "mapping nigght->night should hit edge-case docs"
     # stopwords are not searchable
     assert len(engine.top_k_pdf("with", 10)) == 0
+
+
+# ---------------------------------------------------------------------------
+# per-source rules routing (reference: keywordSentenceToKeywords resolves
+# the STORE's rules at tokenize time, MediaServiceLive.scala:1670-1676)
+# ---------------------------------------------------------------------------
+
+
+def test_per_source_rules_routing(spark, tmp_path):
+    """Two sources, identical raw text, different rules: the same
+    sentence must tokenize (and therefore index and match) differently
+    per source, and query tokenization must route by source too."""
+    import datetime
+
+    import pandas as pd
+
+    from sotohp_spark.functions.tokenizer import (
+        KeywordRulesRouter,
+        make_term_freq_udf_routed,
+    )
+
+    rules_a = KeywordRules(mappings=(("nigght", "night"),))
+    rules_b = KeywordRules(ignoring=frozenset({"nigght"}))
+    router = KeywordRulesRouter(
+        by_source=(("storeA", rules_a), ("storeB", rules_b)), default=None
+    )
+
+    # UDF level: same text, different maps per source
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": ["nigght watch", "nigght watch", "nigght watch"],
+                "source": ["storeA", "storeB", None],
+            }
+        )
+    )
+    maps = {
+        r["source"]: r["tfs"]
+        for r in df.withColumn(
+            "tfs", make_term_freq_udf_routed(router)("text", "source")
+        ).collect()
+    }
+    assert maps["storeA"] == {"night": 1, "watch": 1}
+    assert maps["storeB"] == {"watch": 1}
+    assert maps[None] == {"nigght": 1, "watch": 1}  # default: rules-free
+
+    # end to end: build a two-source index and query per source
+    ts = datetime.datetime(2025, 1, 1)
+    turns = pd.DataFrame(
+        [
+            ("convA", 0, "user", "nigght watch report", None, ts, "storeA"),
+            ("convB", 0, "user", "nigght watch report", None, ts, "storeB"),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "source"],
+    )
+    path = str(tmp_path / "routed")
+    cfg = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                       shuffle_partitions=2)
+    IndexBuilder(spark, path, cfg, rules=router).build(
+        spark.createDataFrame(turns), input_fingerprint="routed"
+    )
+    engine = QueryEngine(spark, path, rules=router)
+
+    # 'night' exists only where the mapping ran (storeA's doc)
+    hits = engine.top_k("night", 10, with_docs=True).select("conv_id").collect()
+    assert [r["conv_id"] for r in hits] == ["convA"]
+    # 'watch' survives both chains
+    both = engine.top_k("watch", 10, with_docs=True).select("conv_id").collect()
+    assert sorted(r["conv_id"] for r in both) == ["convA", "convB"]
+    # query-side routing: 'nigght' maps to night under storeA's rules
+    # (finds convA), is a stopword under storeB's rules (empty)
+    via_a = engine.top_k("nigght", 10, source="storeA", with_docs=True)
+    assert [r["conv_id"] for r in via_a.select("conv_id").collect()] == ["convA"]
+    assert engine.top_k("nigght", 10, source="storeB", with_docs=False).count() == 0
