@@ -94,6 +94,27 @@ class BuildInterrupted(RuntimeError):
     """Raised by the kill-switch in tests to simulate a mid-build crash."""
 
 
+# on-disk layout version, recorded in meta.json; bump when the docs /
+# postings schema changes and register the upgrade in index/migrate.py
+# (the reference ships an offline migrator for exactly this,
+# MediaMigrationTool.scala:24-136).  v1: docs without `source`;
+# v2: docs carry a nullable `source` column (per-source rules).
+SCHEMA_VERSION = 2
+
+
+def docs_output(df: DataFrame) -> DataFrame:
+    """Canonical docs-table projection (schema v2)."""
+    src = (
+        F.col("source")
+        if "source" in df.columns
+        else F.lit(None).cast("string")
+    )
+    return df.select(
+        "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs",
+        src.alias("source"),
+    )
+
+
 class IndexBuilder:
     def __init__(self, spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
                  rules: KeywordRules | None = None):
@@ -170,7 +191,7 @@ class IndexBuilder:
             # postings stage); readers that want only doc metadata get
             # the tfs column pruned away by the parquet scan for free.
             (
-                docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
+                docs_output(docs)
                 .write.mode("overwrite")
                 .parquet(self.docs_path)
             )
@@ -191,6 +212,7 @@ class IndexBuilder:
                 "block_size": cfg.block_size,
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
+                "schema_version": SCHEMA_VERSION,
                 "docs_done": True,
                 "postings_done": False,
             }

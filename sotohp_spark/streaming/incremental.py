@@ -231,11 +231,9 @@ def append_conversations(
         raise RuntimeError("test kill-switch: crash before docs commit")
 
     # ---- phase 2: docs-table append = the transaction point ----
-    (
-        docs.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
-        .write.mode("append")
-        .parquet(builder.docs_path)
-    )
+    from sotohp_spark.index.build import docs_output
+
+    docs_output(docs).write.mode("append").parquet(builder.docs_path)
 
     # ---- phase 3: derived state + marker removal ----
     meta = _refresh_derived_state(spark, builder)
@@ -308,11 +306,13 @@ def compact_index(
         F.max("doc_id").alias("max_doc"),
     ).collect()[0]
 
+    from sotohp_spark.index.build import docs_output
+
     tmp = builder.path + "_compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     new_builder = IndexBuilder(spark, tmp, cfg, rules)
     (
-        survivors.select("doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs")
+        docs_output(survivors)
         .repartitionByRange(cfg.shuffle_partitions, "doc_id")
         .write.mode("overwrite")
         .parquet(new_builder.docs_path)
