@@ -191,10 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "lineitem"),
     )
 
-    # --- transcript engine (rows-only: oracle is the pytest BM25 suite) ---
+    # --- transcript engine (DuckDB-oracled from the stored tf maps) ---
     q["transcripts_bm25_topk"] = _transcripts_bm25_topk
     q["transcripts_bm25_conjunctive"] = _transcripts_bm25_conjunctive
     q["transcripts_bm25_batch"] = _transcripts_bm25_batch
+    q["transcripts_bm25_time_filtered"] = _transcripts_bm25_time_filtered
     q["transcripts_doc_stats"] = _transcripts_doc_stats
     q["transcripts_postings_metrics"] = _transcripts_postings_metrics
 
@@ -274,6 +275,23 @@ def _transcripts_bm25_batch(spark, sf_dir):
     return engine.top_k_batch(
         [(q["query_id"], q["query_text"], int(q["k"])) for _, q in qs.iterrows()]
     ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+_TS_WINDOW = ("2025-02-01 00:00:00", "2025-02-28 23:59:59")
+
+
+def _transcripts_bm25_time_filtered(spark, sf_dir):
+    """Time-windowed search: doc ids are time-ordered, so the window
+    becomes a doc-id interval and untouched range buckets are pruned
+    (the reference's monthly-index routing analog)."""
+    import datetime
+
+    engine, _ = _transcript_index(spark, sf_dir)
+    lo = datetime.datetime.fromisoformat(_TS_WINDOW[0])
+    hi = datetime.datetime.fromisoformat(_TS_WINDOW[1])
+    return engine.top_k(
+        "error retry timeout", k=10, ts_min=lo, ts_max=hi
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_doc_stats(spark, sf_dir):
@@ -704,6 +722,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "error retry", k=10, conjunctive=True
     )
     o["transcripts_bm25_batch"] = _transcripts_batch_oracle_sql(n_queries=10)
+    o["transcripts_bm25_time_filtered"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10, ts_window=_TS_WINDOW
+    )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -726,10 +747,13 @@ FROM tf GROUP BY partition_id ORDER BY partition_id
 
 def _transcripts_bm25_oracle_sql(
     query_text: str, k: int, conjunctive: bool = False,
-    k1: float = 1.2, b: float = 0.75,
+    k1: float = 1.2, b: float = 0.75, ts_window: tuple | None = None,
 ) -> str:
     """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
-    contract as QueryEngine (sotohp_spark/operators/bm25.py)."""
+    contract as QueryEngine (sotohp_spark/operators/bm25.py).
+    ``ts_window`` restricts MEMBERSHIP only (df/avgdl/N stay global,
+    Lucene filter-query semantics — exactly what top_k(ts_min/ts_max)
+    does via the doc-id interval)."""
     from collections import Counter
 
     from sotohp_spark.functions.tokenizer import tokenize
@@ -739,9 +763,15 @@ def _transcripts_bm25_oracle_sql(
     having = (
         f"HAVING count(DISTINCT tf.term) = {len(qtf)}" if conjunctive else ""
     )
+    ts_where = (
+        f"WHERE tf.doc_ts BETWEEN TIMESTAMP '{ts_window[0]}'"
+        f" AND TIMESTAMP '{ts_window[1]}'"
+        if ts_window
+        else ""
+    )
     return f"""
 WITH tf AS (
-  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
   FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
   LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
 ),
@@ -762,6 +792,7 @@ scored AS (
          ) AS raw
   FROM tf JOIN q ON tf.term = q.term
   JOIN dft ON tf.term = dft.term CROSS JOIN g
+  {ts_where}
   GROUP BY tf.doc_id
   {having}
 )

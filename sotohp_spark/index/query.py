@@ -179,6 +179,40 @@ class QueryEngine:
         }
         return len(self._df_cache)
 
+    def _doc_bounds_for_ts(self, ts_min, ts_max):
+        """Translate a timestamp window to an inclusive doc-id interval.
+
+        Doc ids are assigned in (doc_ts, conv_id) order (docs.py), so a
+        time range IS a doc-id range — the engine's analog of the
+        reference's monthly-index routing (ElasticOperations.scala:
+        113-130 routes docs and deletes by month).  One pruned docs
+        scan (doc_ts min/max pushed into parquet row-group stats);
+        returns None when the window is empty."""
+        d = self._docs
+        if ts_min is not None:
+            d = d.where(F.col("doc_ts") >= ts_min)
+        if ts_max is not None:
+            d = d.where(F.col("doc_ts") <= ts_max)
+        row = d.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            return None
+        return int(row["lo"]), int(row["hi"])
+
+    def _prune_shards_to_bounds(self, shards: DataFrame, doc_bounds):
+        """range_bucket (hive partition pruning) + range_id shard filter
+        for a doc-id window."""
+        lo, hi = doc_bounds
+        rs = self.cfg.range_size
+        span = rs * self.cfg.ranges_per_batch
+        return shards.where(
+            (F.col("range_bucket") >= lo // span)
+            & (F.col("range_bucket") <= hi // span)
+            & (F.col("range_id") >= lo // rs)
+            & (F.col("range_id") <= hi // rs)
+        )
+
     def top_k(
         self,
         query_text: str,
@@ -186,10 +220,24 @@ class QueryEngine:
         conjunctive: bool = False,
         with_docs: bool = True,
         source=None,
+        ts_min=None,
+        ts_max=None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
+
         ``source`` selects the per-source rules chain for query
-        tokenization when the engine holds a KeywordRulesRouter."""
+        tokenization when the engine holds a KeywordRulesRouter.
+        ``ts_min``/``ts_max`` restrict results to conversations whose
+        doc_ts falls in the (inclusive) window — membership filter
+        only; scores keep global collection stats (Lucene filter-query
+        semantics).  Time-ordered doc ids turn the window into a doc-id
+        interval, so untouched range buckets are partition-pruned."""
+        doc_bounds = None
+        if ts_min is not None or ts_max is not None:
+            doc_bounds = self._doc_bounds_for_ts(ts_min, ts_max)
+            if doc_bounds is None:
+                out = self.spark.createDataFrame([], TOPK_SCHEMA)
+                return self._attach_docs(out) if with_docs else out
         weights, n_candidates = self.query_weights(query_text, source)
         spark = self.spark
         if conjunctive and len(weights) < len(
@@ -208,6 +256,8 @@ class QueryEngine:
         n_terms = len(terms)
 
         shards = self._postings.where(F.col("term").isin(terms))
+        if doc_bounds is not None:
+            shards = self._prune_shards_to_bounds(shards, doc_bounds)
 
         # the driver-local fast path needs the collected tombstone
         # array; with a large (distributed-only) delete set it is
@@ -216,7 +266,9 @@ class QueryEngine:
             self._deletes is not None
             and n_candidates <= self.LOCAL_PATH_MAX_POSTINGS
         ):
-            out = self._top_k_local(shards, weights, k, avgdl, conjunctive)
+            out = self._top_k_local(
+                shards, weights, k, avgdl, conjunctive, doc_bounds
+            )
             return self._attach_docs(out) if with_docs else out
         if conjunctive:
             # ranges lacking any query term can't contribute: semi-filter
@@ -233,7 +285,7 @@ class QueryEngine:
             rows = pdf.to_dict("records")
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
-                deletes=deletes,
+                deletes=deletes, doc_bounds=doc_bounds,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -355,7 +407,8 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
-    def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive):
+    def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive,
+                     doc_bounds=None):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
@@ -371,7 +424,7 @@ class QueryEngine:
         for rid in sorted(by_range):
             d, s = wand.score_range(
                 by_range[rid], weights, k, avgdl, conjunctive=conjunctive,
-                cfg=self.cfg, deletes=self._deletes,
+                cfg=self.cfg, deletes=self._deletes, doc_bounds=doc_bounds,
             )
             all_docs.append(d)
             all_scores.append(s)

@@ -41,6 +41,7 @@ def score_range(
     conjunctive: bool = False,
     cfg: EngineConfig = DEFAULT,
     deletes: np.ndarray | None = None,
+    doc_bounds: tuple | None = None,
 ):
     """Score one doc-id range.
 
@@ -48,11 +49,26 @@ def score_range(
     block_offsets, block_first_doc, block_last_doc, block_max_tf, block_min_dl, payload
     (one per query term present in this range).
     ``term_weights``: term -> qtf * idf  (precomputed on the driver).
+    ``doc_bounds``: optional inclusive (lo, hi) doc-id window (time-
+    filtered search: doc ids are time-ordered, so a timestamp range is
+    a doc-id interval).  Scores keep GLOBAL collection stats (Lucene
+    filter-query semantics: a filter changes membership, not scoring).
 
     Returns (doc_ids int64[], scores float64[]) of the local top-k.
     """
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    if doc_bounds is not None:
+        lo_b, hi_b = doc_bounds
+        # whole-shard / whole-block pruning: a shard whose doc window
+        # misses the bounds never decodes
+        shards = [
+            s
+            for s in shards
+            if s["last_doc"] >= lo_b and s["first_doc"] <= hi_b
+        ]
+        if not shards:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
 
     # canonical float-summation order: contributions accumulate by
     # (term, block) ascending — the oracle sums per-doc in the same
@@ -62,7 +78,9 @@ def score_range(
     if conjunctive:
         if len({s["term"] for s in shards}) < len(term_weights):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        return _score_conjunctive(shards, term_weights, k, avgdl, cfg, deletes)
+        return _score_conjunctive(
+            shards, term_weights, k, avgdl, cfg, deletes, doc_bounds
+        )
 
     # ---- disjunctive block-max path ----
     # gather all blocks: (start, end, weighted_ub, shard_idx, block_idx)
@@ -79,11 +97,15 @@ def score_range(
             cfg.k1,
             cfg.b,
         )
+        bi = np.arange(bf.size, dtype=np.int64)
+        if doc_bounds is not None:
+            keep = (bl >= doc_bounds[0]) & (bf <= doc_bounds[1])
+            bf, bl, ub, bi = bf[keep], bl[keep], ub[keep], bi[keep]
         starts.append(bf)
         ends.append(bl)
         ubs.append(ub)
         sidx.append(np.full(bf.size, si, dtype=np.int64))
-        bidx.append(np.arange(bf.size, dtype=np.int64))
+        bidx.append(bi)
     starts = np.concatenate(starts)
     ends = np.concatenate(ends)
     ubs = np.concatenate(ubs)
@@ -145,6 +167,12 @@ def score_range(
             continue
         dd = np.concatenate(piece_d)
         ss = np.concatenate(piece_s)
+        if doc_bounds is not None:
+            keep = (dd >= doc_bounds[0]) & (dd <= doc_bounds[1])
+            if not keep.all():
+                dd, ss = dd[keep], ss[keep]
+            if dd.size == 0:
+                continue
         if deletes is not None and deletes.size:
             keep = ~_is_deleted(dd, deletes)
             if not keep.all():
@@ -191,7 +219,8 @@ def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
 
 
 def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
-                       deletes: np.ndarray | None = None):
+                       deletes: np.ndarray | None = None,
+                       doc_bounds: tuple | None = None):
     """AND semantics: intersect doc ids across terms, exact scores."""
     per_term: dict[str, list] = {}
     for s in shards:
@@ -216,6 +245,10 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
     # intersect starting from the rarest term
     terms_sorted = sorted(decoded, key=lambda t: decoded[t][0].size)
     common = decoded[terms_sorted[0]][0]
+    if doc_bounds is not None:
+        common = common[(common >= doc_bounds[0]) & (common <= doc_bounds[1])]
+        if common.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     if deletes is not None and deletes.size:
         common = common[~_is_deleted(common, deletes)]
         if common.size == 0:

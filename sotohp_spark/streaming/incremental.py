@@ -270,6 +270,39 @@ def delete_conversations(
     return doomed.count()
 
 
+def update_conversations(
+    spark: SparkSession,
+    index_path: str,
+    new_turns: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+) -> dict:
+    """Upsert: re-index conversations that already exist, append the
+    rest — the reference's continuous re-enrichment of already-synced
+    Media (MediaServiceLive.scala:1351-1383: Media are updated after
+    first sync as events/keywords/starred change).
+
+    Implemented as tombstone-then-append in one call: conv_ids present
+    in the batch AND live in the index are tombstoned first, then the
+    whole batch goes through `append_conversations` (whose anti-join
+    now sees the old versions as deleted).  The new version gets fresh
+    doc_ids at the top of the id space; the old one disappears from
+    results immediately and physically at the next compaction."""
+    builder = IndexBuilder(spark, index_path, cfg, rules)
+    if builder._read_meta() is None:
+        raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
+    live = _live_conv_ids(spark, builder)
+    stale = [
+        r["conv_id"]
+        for r in new_turns.select("conv_id").distinct().join(
+            live, "conv_id", "left_semi"
+        ).collect()
+    ]
+    if stale:
+        delete_conversations(spark, index_path, stale)
+    return append_conversations(spark, index_path, new_turns, cfg, rules)
+
+
 def compact_index(
     spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
     rules: KeywordRules | None = None,

@@ -108,6 +108,43 @@ def test_crashed_append_rolls_back_no_double_postings(spark, tmp_path, split_cor
     assert not _glob.glob(f"{crashed}/_staging/*")
 
 
+def test_update_conversations_upserts(spark, tmp_path, split_corpus):
+    """The reference's re-enrichment flow: updating an already-indexed
+    conversation replaces its searchable content (tombstone + fresh
+    doc_ids), while unknown conv_ids in the same batch append."""
+    from sotohp_spark.streaming.incremental import update_conversations
+
+    _, pdf_a, pdf_b = split_corpus
+    path = str(tmp_path / "upsert")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    n0 = QueryEngine(spark, path).meta["n_docs"]
+
+    # batch = one existing conversation with corrected text + one new one
+    victim = pdf_a["conv_id"].iloc[0]
+    corrected = pdf_a[pdf_a["conv_id"] == victim].copy()
+    corrected["text"] = "zzupserted marker " + corrected["turn_idx"].astype(str)
+    new_conv = pdf_b[pdf_b["conv_id"] == pdf_b["conv_id"].iloc[0]]
+    batch = pd.concat([corrected, new_conv])
+
+    meta = update_conversations(spark, path, spark.createDataFrame(batch), CFG)
+    # old version tombstoned (still physically present) + 2 new docs
+    assert meta["n_docs"] == n0 + 2
+
+    engine = QueryEngine(spark, path)
+    hits = engine.top_k("zzupserted", 5).select("conv_id").collect()
+    assert [r["conv_id"] for r in hits] == [victim]
+    # idempotent: same batch again is a no-op (content identical? no —
+    # conv_ids now live, so the anti-join skips both)
+    meta2 = update_conversations(spark, path, spark.createDataFrame(batch), CFG)
+    assert meta2["n_docs"] == meta["n_docs"] + 2  # old 2 tombstoned, re-added
+
+    # still exactly one live version answering queries
+    hits2 = QueryEngine(spark, path).top_k("zzupserted", 5).select("conv_id").collect()
+    assert [r["conv_id"] for r in hits2] == [victim]
+
+
 def test_streaming_available_now(spark, tmp_path, split_corpus):
     _, pdf_a, pdf_b = split_corpus
     path = str(tmp_path / "streamed")

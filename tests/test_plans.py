@@ -45,6 +45,28 @@ def test_topk_plan_no_row_python_no_cartesian(engine):
     assert_no_cartesian(df)
 
 
+def test_time_filtered_search_prunes_partitions(engine):
+    """A timestamp window becomes a doc-id interval; the postings scan
+    must carry a range_bucket PARTITION filter (hive pruning) so
+    out-of-window buckets are never read."""
+    import datetime
+    import re
+
+    from sotohp_spark.plans.checks import formatted_plan
+
+    engine.LOCAL_PATH_MAX_POSTINGS = 0  # force the distributed plan
+    df = engine.top_k(
+        "error retry", 5, with_docs=False,
+        ts_min=datetime.datetime(2025, 2, 1),
+        ts_max=datetime.datetime(2025, 2, 28),
+    )
+    plan = formatted_plan(df)
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any("range_bucket" in f and (">=" in f or "<=" in f) for f in pf), (
+        f"no range_bucket partition pruning:\n{plan}"
+    )
+
+
 def test_positional_access_no_single_partition_window(spark):
     """every_nth_event / random_events must never funnel the table
     through one task: no Exchange SinglePartition anywhere in the plan

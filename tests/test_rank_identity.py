@@ -98,3 +98,72 @@ def test_empty_query_and_absent_terms(built):
     engine, oracle, _ = built
     assert len(engine.top_k_pdf("")) == 0
     assert len(engine.top_k_pdf("zzzqx qqqabsent")) == 0
+
+
+def test_time_filtered_topk_matches_filtered_oracle(spark, tmp_path_factory):
+    """ts_min/ts_max restrict membership only (global stats): the
+    engine's doc-id-interval implementation must equal the oracle's
+    score-then-filter-by-doc_ts, on both the local and the distributed
+    path."""
+    import datetime
+
+    import numpy as np
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import generate_transcripts_pdf
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.oracle.bm25_oracle import Bm25Oracle
+
+    cfg = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                       shuffle_partitions=4)
+    path = str(tmp_path_factory.mktemp("tsidx"))
+    pdf = generate_transcripts_pdf(0.05)
+    IndexBuilder(spark, path, cfg).build(
+        spark.createDataFrame(pdf), input_fingerprint="ts"
+    )
+    engine = QueryEngine(spark, path)
+    oracle = Bm25Oracle(pdf)
+
+    lo = datetime.datetime(2025, 2, 1)
+    hi = datetime.datetime(2025, 2, 28, 23, 59, 59)
+    in_window = set(
+        oracle.docs.index[
+            (oracle.docs["doc_ts"] >= lo) & (oracle.docs["doc_ts"] <= hi)
+        ]
+    )
+    assert 0 < len(in_window) < oracle.n_docs  # the window actually filters
+
+    for qt in ["error retry timeout", "search query", "retryTimeout"]:
+        full = oracle.top_k(qt, k=oracle.n_docs)
+        want = full[full["doc_id"].isin(in_window)].head(10)
+        for forced_distributed in (False, True):
+            engine.LOCAL_PATH_MAX_POSTINGS = (
+                0 if forced_distributed else QueryEngine.LOCAL_PATH_MAX_POSTINGS
+            )
+            got = engine.top_k(
+                qt, 10, with_docs=False, ts_min=lo, ts_max=hi
+            ).toPandas()
+            assert list(got["doc_id"]) == list(want["doc_id"]), (
+                qt, forced_distributed)
+            assert np.allclose(
+                got["score"].to_numpy(np.float64),
+                want["score"].to_numpy(np.float64),
+                atol=1e-9, rtol=0,
+            )
+
+    # empty window -> empty result, no error
+    assert (
+        engine.top_k(
+            "error", 10, with_docs=False,
+            ts_min=datetime.datetime(2030, 1, 1),
+        ).count()
+        == 0
+    )
+    # window filter composes with conjunctive mode
+    conj = engine.top_k(
+        "error retry", 10, conjunctive=True, with_docs=False,
+        ts_min=lo, ts_max=hi,
+    ).toPandas()
+    full_c = oracle.top_k("error retry", k=oracle.n_docs, conjunctive=True)
+    want_c = full_c[full_c["doc_id"].isin(in_window)].head(10)
+    assert list(conj["doc_id"]) == list(want_c["doc_id"])
