@@ -44,3 +44,89 @@ def session_windows_stream(turns_stream: DataFrame, gap: str = "30 minutes") -> 
     return src.groupBy(
         F.session_window("ts", gap).alias("sess"), "conv_id"
     ).agg(F.count("*").alias("n_turns"))
+
+
+def completed_conversations_stream(
+    turns_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState): declare a
+    conversation COMPLETE once no new turn has arrived for
+    ``gap_minutes`` of event time, and emit its summary exactly once.
+
+    This is the engine's ingest precondition made streaming: "a
+    conversation is indexed once complete" (streaming/incremental.py) —
+    the reference decides completeness by batch boundaries
+    (synchronize processes a finished directory scan); on a live turn
+    stream it needs per-key state + an event-time timeout, which the
+    built-in session_window cannot express as emit-once-per-key with
+    carried aggregates.
+
+    State per conv_id: (n_turns, min_ts, max_ts), updated per
+    micro-batch; the event-time timeout is re-armed to
+    max_ts + gap on every update and fires when the watermark passes
+    it.  Output rows feed straight into append_conversations.
+    """
+    import datetime
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, min_ts timestamp, max_ts timestamp"
+    )
+    state_schema = "n_turns long, min_ts timestamp, max_ts timestamp"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def detect(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": key[0],
+                        "n_turns": n,
+                        "min_ts": mn,
+                        "max_ts": mx,
+                    }
+                ]
+            )
+            return
+        n, mn, mx = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            b_mn, b_mx = pdf["ts"].min(), pdf["ts"].max()
+            mn = b_mn if mn is None else min(mn, b_mn)
+            mx = b_mx if mx is None else max(mx, b_mx)
+        if mx is not None:
+            state.update((int(n), mn, mx))
+            ts = mx.to_pydatetime() if hasattr(mx, "to_pydatetime") else mx
+            epoch_ms = int(
+                ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+            )
+            state.setTimeoutTimestamp(epoch_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=str),
+                "n_turns": pd.Series([], dtype="int64"),
+                "min_ts": pd.Series([], dtype="datetime64[us]"),
+                "max_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            detect,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -87,3 +87,68 @@ def test_windowed_counts_streaming(spark, tmp_path, turns):
         "SELECT sum(n_turns) AS s FROM win_counts"
     ).collect()[0]["s"]
     assert got == turns.count()
+
+
+def test_completed_conversations_stateful_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState, event-time
+    timeout): a conversation is emitted COMPLETE exactly once, after
+    the stream's watermark passes its last turn + gap; still-active
+    conversations are held in state."""
+    import datetime
+
+    import pandas as pd
+
+    from sotohp_spark.generator import TRANSCRIPT_SCHEMA
+    from sotohp_spark.streaming.windows import completed_conversations_stream
+
+    src = str(tmp_path / "turns_src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def turn(conv, idx, minutes):
+        return (conv, idx, "user", f"text {idx}", None,
+                t0 + datetime.timedelta(minutes=minutes))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    batch1 = pd.DataFrame(
+        [turn("convA", 0, 0), turn("convA", 1, 5), turn("convB", 0, 2)],
+        columns=cols,
+    )
+    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    emitted: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+        q = (
+            completed_conversations_stream(stream, gap_minutes=30)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(
+                    (r["conv_id"], r["n_turns"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert emitted == []  # nothing complete yet: watermark at batch max
+
+    # a much later turn for convC pushes the watermark past A/B's
+    # last-turn + 30 min -> both complete; C stays in state
+    batch2 = pd.DataFrame([turn("convC", 0, 180)], columns=cols)
+    spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for _ in range(3):  # timeouts fire on a subsequent (no-data) batch
+        run_once()
+        if len(emitted) >= 2:
+            break
+    got = dict(emitted)
+    assert got == {"convA": 2, "convB": 1}
+    assert len(emitted) == 2  # exactly-once per conversation
