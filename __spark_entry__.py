@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _ann_query_vec(), k=10, n_centroids=8, n_probe=4
     )
     q["embedding_neardup_exact"] = lambda s, d: _embedding_neardup_exact(s, d)
+    q["ann_index_topk"] = _ann_index_topk
 
     # --- generic operator surface (SURVEY §2) over the star schema ---
     q["q1_pricing_summary"] = lambda s, d: an.pricing_summary(_t(s, d, "lineitem"))
@@ -202,6 +203,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing (rows-only; decode is stubbed) ---
     q["multimodal_features"] = _multimodal_features
     return q
+
+
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _ann_index_topk(spark, sf_dir):
+    """Materialized SRP-LSH vector index: bucket = hive partition key,
+    probes prune partitions (the 100 TB layout made physical)."""
+    import os
+
+    from sotohp_spark.operators.ann_index import ann_index_topk, build_ann_index
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sotohp_ann_index_{tag}"
+    if tag not in _ANN_INDEX_CACHE:
+        build_ann_index(_t(spark, sf_dir, "embeddings"), path, bits=6, seed=42)
+        _ANN_INDEX_CACHE[tag] = path
+    return ann_index_topk(spark, path, _ann_query_vec(), k=10,
+                          multiprobe_hamming=2)
 
 
 def _embedding_neardup_exact(s, d):
@@ -432,6 +452,11 @@ FROM words
     )
     o["ann_cosine_topk_ivf"] = ivf_topk_oracle_sql(
         qv, k=10, n_centroids=8, n_probe=4
+    )
+    # the materialized index assigns buckets with the SAME seed-derived
+    # hyperplanes, so the on-the-fly LSH oracle is its oracle too
+    o["ann_index_topk"] = lsh_topk_oracle_sql(
+        qv, k=10, bits=6, multiprobe_hamming=2, seed=42
     )
     o["embedding_neardup_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

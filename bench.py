@@ -70,6 +70,17 @@ def main():
     lat.sort()
     p95_ms = lat[max(0, int(len(lat) * 0.95) - 1)] * 1000.0
 
+    # time-windowed search (doc-id interval + range_bucket pruning)
+    import datetime
+
+    t1 = time.time()
+    engine.top_k(
+        "error retry timeout", 10, with_docs=False,
+        ts_min=datetime.datetime(2025, 2, 1),
+        ts_max=datetime.datetime(2025, 2, 28, 23, 59, 59),
+    ).collect()
+    timings["topk_time_filtered"] = round(time.time() - t1, 3)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",

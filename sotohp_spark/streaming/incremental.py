@@ -310,9 +310,15 @@ def compact_index(
     """Compaction: physically drop tombstoned docs and recompute global
     stats — after this, scores reflect the surviving corpus exactly
     (fresh-build equivalence is pytest-enforced).  Implemented as a
-    rebuild from the surviving docs' stored tf maps — no re-tokenize,
-    no re-read of the raw turns; at cluster scale this runs per
-    range-bucket so only buckets containing tombstones rewrite."""
+    FULL rebuild from the surviving docs' stored tf maps — no
+    re-tokenize, no re-read of the raw turns.  Full (not per-bucket)
+    is deliberate: doc ids are re-densified so the result is
+    byte-equivalent to a fresh build, which is the invariant the tests
+    pin.  A bucket-local variant (keep sparse doc ids, rewrite only
+    tombstoned buckets) would be cheaper at low delete ratios but
+    gives up that equivalence; postings/doc-id layout supports it if
+    it is ever needed — the stage-2 one-job write already overwrites
+    per bucket."""
     import shutil
 
     builder = IndexBuilder(spark, index_path, cfg, rules)

@@ -98,6 +98,33 @@ def test_positional_access_no_single_partition_window(spark):
     assert [r["event_id"] for r in rnd.collect()] == picks
 
 
+def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized ANN index must (a) rank-match the on-the-fly
+    LSH path and (b) read only probed buckets: the scan carries a
+    bucket PARTITION filter."""
+    import re
+
+    from sotohp_spark.operators.ann import cosine_topk_lsh
+    from sotohp_spark.operators.ann_index import ann_index_topk, build_ann_index
+    from sotohp_spark.plans.checks import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float((i * 37 % 13) - 6) / 7.0 for i in range(64)]
+    path = str(tmp_path / "annidx")
+    meta = build_ann_index(emb, path, bits=6, seed=42)
+    assert meta["n_vectors"] == emb.count()
+
+    got = ann_index_topk(spark, path, qv, k=10, multiprobe_hamming=2)
+    want = cosine_topk_lsh(emb, qv, k=10, bits=6, multiprobe_hamming=2, seed=42)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = formatted_plan(got)
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any("bucket" in f and ("INSET" in f or " IN " in f) for f in pf), (
+        f"no bucket partition pruning:\n{plan}"
+    )
+
+
 def test_jaccard_no_forced_broadcast_of_sizes(spark):
     """The O(n_docs) sizes table must not be force-broadcast (driver
     OOM at scale) — only hint-free joins allowed in the pair plan."""
