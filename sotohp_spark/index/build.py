@@ -190,18 +190,26 @@ class IndexBuilder:
             # single write: the docs table keeps the tf maps (used by the
             # postings stage); readers that want only doc metadata get
             # the tfs column pruned away by the parquet scan for free.
+            # Global stats ride on the SAME pass via an Observation —
+            # no second full scan of the docs table (at 100 TB that
+            # re-read is a whole extra pass over the corpus).
+            from pyspark.sql import Observation
+
+            obs = Observation("docs_stats")
             (
                 docs_output(docs)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("doc_len").alias("avgdl"),
+                    F.max("doc_id").alias("max_doc"),
+                )
                 .write.mode("overwrite")
                 .parquet(self.docs_path)
             )
             log.info("stage1 docs+tokenize+write: %.1fs", time.time() - t_stage)
             t_stage = time.time()
-            stats = self.spark.read.parquet(self.docs_path).agg(
-                F.count("*").alias("n"),
-                F.avg("doc_len").alias("avgdl"),
-                F.max("doc_id").alias("max_doc"),
-            ).collect()[0]
+            stats = obs.get
             meta = {
                 "n_docs": int(stats["n"]),
                 "avgdl": float(stats["avgdl"]),
