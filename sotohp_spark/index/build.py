@@ -173,12 +173,21 @@ class IndexBuilder:
                 # state; docs are rebuilt below anyway.
                 log.warning(
                     "fingerprint changed (%s -> %s): clearing stale postings/"
-                    "term_stats/checkpoint state",
+                    "term_stats/checkpoint/tombstone state",
                     meta.get("fingerprint"), fingerprint,
                 )
                 self._rm_dir(self.postings_path)
                 self._rm_dir(self.term_stats_path)
                 self._rm_dir(self.state_path)
+                # tombstones reference the OLD doc-id space — left in
+                # place they would hide arbitrary new docs; staged /
+                # pending appends belong to the old corpus too
+                self._rm_dir(f"{self.path}/deletes")
+                self._rm_dir(f"{self.path}/_staging")
+                import glob as _glob
+
+                for m in _glob.glob(f"{self.path}/_meta/pending_append_*.json"):
+                    os.remove(m)
             t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             # exchange FIRST, tokenize after: the pandas UDF (the
@@ -221,6 +230,11 @@ class IndexBuilder:
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
                 "schema_version": SCHEMA_VERSION,
+                # doc ids are (doc_ts, conv_id)-ordered WITHIN a
+                # segment; appends add segments (Lucene-style).  Time-
+                # windowed search resolves a ts range to one doc-id
+                # interval per segment.
+                "segments": [[0, int(stats["max_doc"])]],
                 "docs_done": True,
                 "postings_done": False,
             }
@@ -350,16 +364,30 @@ class IndexBuilder:
             .parquet(self.postings_path)
             .where(F.col("range_bucket").isin(list(buckets)))
         )
-        metrics = committed.groupBy("range_bucket").agg(
-            F.sum("n_docs").alias("postings"),
-            F.sum("payload_bytes").alias("bytes"),
-            F.countDistinct("term").alias("n_terms"),
-            F.max("n_docs").alias("max_shard"),
-            F.avg("n_docs").alias("mean_shard"),
-        ).collect()
+        metrics = {
+            int(m["range_bucket"]): m
+            for m in committed.groupBy("range_bucket").agg(
+                F.sum("n_docs").alias("postings"),
+                F.sum("payload_bytes").alias("bytes"),
+                F.countDistinct("term").alias("n_terms"),
+                F.max("n_docs").alias("max_shard"),
+                F.avg("n_docs").alias("mean_shard"),
+            ).collect()
+        }
         wall_each = wall / max(len(buckets), 1)
         rows = []
-        for m in metrics:
+        # EVERY bucket of the batch gets a checkpoint row — a bucket
+        # whose docs all tokenize to nothing produces no postings files
+        # and would otherwise never be marked built (stage 2 would
+        # rescan it on every build call forever)
+        for bucket in buckets:
+            m = metrics.get(int(bucket))
+            if m is None:
+                rows.append(
+                    (int(bucket), fingerprint, "built", 0, 0, 1.0, 0,
+                     float(wall_each))
+                )
+                continue
             skew = (
                 float(m["max_shard"]) / float(m["mean_shard"])
                 if m["mean_shard"]
@@ -367,7 +395,7 @@ class IndexBuilder:
             )
             rows.append(
                 (
-                    int(m["range_bucket"]),
+                    int(bucket),
                     fingerprint,
                     "built",
                     int(m["postings"] or 0),

@@ -88,6 +88,18 @@ def migrate_index(
         .write.mode("overwrite")
         .parquet(dst.docs_path)
     )
+    # tombstones are part of the index state: carry them over verbatim
+    # (doc ids are preserved by migration), or deleted conversations
+    # would resurrect on the target
+    from sotohp_spark.streaming.incremental import _deletes_exist
+
+    if _deletes_exist(src):
+        (
+            spark.read.parquet(f"{src.path}/deletes")
+            .select("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{dst.path}/deletes")
+        )
     new_meta = dict(
         meta,
         schema_version=SCHEMA_VERSION,
@@ -138,9 +150,16 @@ def verify_parity(
         fail("meta avgdl differs")
 
     def docs_digest(path):
+        docs = spark.read.parquet(f"{path}/docs")
+        # cover EVERY column migrations can touch: doc_ts (time-windowed
+        # search depends on it) and source (the v1->v2 payload) included
+        src_col = (
+            F.coalesce(F.col("source"), F.lit("\x00"))
+            if "source" in docs.columns
+            else F.lit("\x00")
+        )
         return (
-            spark.read.parquet(f"{path}/docs")
-            .select(
+            docs.select(
                 F.crc32(
                     F.concat_ws(
                         "|",
@@ -148,6 +167,8 @@ def verify_parity(
                         "conv_id",
                         F.col("doc_len").cast("string"),
                         F.col("n_turns").cast("string"),
+                        F.col("doc_ts").cast("string"),
+                        src_col,
                     )
                 ).alias("h")
             )
@@ -159,6 +180,25 @@ def verify_parity(
     report["docs_digest"] = (int(da["s"]), int(db["s"]))
     if (da["s"], da["n"]) != (db["s"], db["n"]):
         fail("docs content digest differs")
+
+    def deletes_digest(path):
+        from sotohp_spark.streaming.incremental import _deletes_exist
+
+        b = IndexBuilder(spark, path)
+        if not _deletes_exist(b):
+            return (0, 0)
+        row = (
+            spark.read.parquet(f"{path}/deletes")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("s"))
+            .collect()[0]
+        )
+        return (int(row["n"]), int(row["s"] or 0))
+
+    report["deletes_digest"] = (deletes_digest(src_path), deletes_digest(dst_path))
+    if report["deletes_digest"][0] != report["deletes_digest"][1]:
+        fail("tombstone sets differ")
 
     ts_a = spark.read.parquet(f"{src_path}/term_stats").select("term", "df")
     ts_b = spark.read.parquet(f"{dst_path}/term_stats").select("term", "df")

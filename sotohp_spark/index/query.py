@@ -180,38 +180,62 @@ class QueryEngine:
         return len(self._df_cache)
 
     def _doc_bounds_for_ts(self, ts_min, ts_max):
-        """Translate a timestamp window to an inclusive doc-id interval.
+        """Translate a timestamp window to inclusive doc-id intervals,
+        ONE PER INDEX SEGMENT.
 
-        Doc ids are assigned in (doc_ts, conv_id) order (docs.py), so a
-        time range IS a doc-id range — the engine's analog of the
-        reference's monthly-index routing (ElasticOperations.scala:
-        113-130 routes docs and deletes by month).  One pruned docs
-        scan (doc_ts min/max pushed into parquet row-group stats);
-        returns None when the window is empty."""
+        Doc ids are assigned in (doc_ts, conv_id) order WITHIN a
+        segment (docs.py); each append creates a new segment at the top
+        of the id space (meta["segments"]), so the window is a union of
+        per-segment intervals — the engine's analog of the reference's
+        monthly-index routing (ElasticOperations.scala:113-130).  One
+        pruned docs scan (doc_ts min/max pushed into parquet row-group
+        stats); returns None when the window matches nothing.  A
+        single-interval answer would be WRONG after an append: a
+        February conversation appended after a March one gets a doc_id
+        above all of March, so the envelope would sweep March in."""
         d = self._docs
         if ts_min is not None:
             d = d.where(F.col("doc_ts") >= ts_min)
         if ts_max is not None:
             d = d.where(F.col("doc_ts") <= ts_max)
-        row = d.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        if row["lo"] is None:
-            return None
-        return int(row["lo"]), int(row["hi"])
+        segs = self.meta.get("segments") or [[0, self.meta["max_doc"]]]
+        if len(segs) == 1:
+            row = d.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            return None if row["lo"] is None else [(int(row["lo"]), int(row["hi"]))]
+        seg_df = self.spark.createDataFrame(
+            [(int(lo), int(hi)) for lo, hi in segs], "slo long, shi long"
+        )
+        rows = (
+            d.join(
+                F.broadcast(seg_df),
+                (F.col("doc_id") >= F.col("slo"))
+                & (F.col("doc_id") <= F.col("shi")),
+            )
+            .groupBy("slo")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()
+        )
+        ivs = sorted((int(r["lo"]), int(r["hi"])) for r in rows)
+        return ivs or None
 
     def _prune_shards_to_bounds(self, shards: DataFrame, doc_bounds):
         """range_bucket (hive partition pruning) + range_id shard filter
-        for a doc-id window."""
-        lo, hi = doc_bounds
+        for the doc-id intervals (coarse envelope per interval, exact
+        membership applied at decode time in score_range)."""
         rs = self.cfg.range_size
         span = rs * self.cfg.ranges_per_batch
-        return shards.where(
-            (F.col("range_bucket") >= lo // span)
-            & (F.col("range_bucket") <= hi // span)
-            & (F.col("range_id") >= lo // rs)
-            & (F.col("range_id") <= hi // rs)
-        )
+        pred = None
+        for lo, hi in doc_bounds:
+            p = (
+                (F.col("range_bucket") >= lo // span)
+                & (F.col("range_bucket") <= hi // span)
+                & (F.col("range_id") >= lo // rs)
+                & (F.col("range_id") <= hi // rs)
+            )
+            pred = p if pred is None else (pred | p)
+        return shards.where(pred)
 
     def top_k(
         self,
@@ -317,9 +341,15 @@ class QueryEngine:
             dels = np.unique(del_pdf["doc_id"].to_numpy(np.int64))
             return score_rows(shard_pdf, dels)
 
+        # prune the tombstone table to the CANDIDATE ranges before the
+        # cogroup: without this, every query shuffles the full deletes
+        # table and spawns a task per delete-only range with no shards
+        dels = self._deletes_by_range().join(
+            shards.select("range_id").distinct(), "range_id", "left_semi"
+        )
         return (
             shards.groupBy("range_id")
-            .cogroup(self._deletes_by_range().groupBy("range_id"))
+            .cogroup(dels.groupBy("range_id"))
             .applyInPandas(fn2, schema)
         )
 

@@ -90,6 +90,30 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def probe_buckets(
+    query_vec, bits: int, seed: int, multiprobe_hamming: int
+) -> list:
+    """THE canonical probe set: the query's SRP bucket plus every
+    bucket within ``multiprobe_hamming`` bit flips.  Single definition
+    shared by the on-the-fly path, the materialized index, and the
+    DuckDB oracle — bucket-assignment parity is the determinism
+    contract, so it must not be re-derived per call site."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qb = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
+    probe = {qb}
+    if multiprobe_hamming >= 1:
+        probe |= {qb ^ (1 << i) for i in range(bits)}
+    if multiprobe_hamming >= 2:
+        probe |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        }
+    return sorted(probe)
+
+
 def srp_bucket_col(vec_col, planes: np.ndarray):
     """b-bit bucket id: bit i = sign(dot(vec, plane_i)) — pure exprs."""
     bits = []
@@ -126,18 +150,7 @@ def cosine_topk_lsh(
     cluster key, so a probe reads ~(sum of probed buckets) rows."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
-
-    probe = [qbucket]
-    if multiprobe_hamming >= 1:
-        probe += [qbucket ^ (1 << i) for i in range(bits)]
-    if multiprobe_hamming >= 2:
-        probe += [
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        ]
+    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming)
 
     with_bucket = embeddings.withColumn("bucket", srp_bucket_col(F.col(vec_col), planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -168,17 +181,7 @@ def lsh_topk_oracle_sql(
     multiprobe set, and the final top-k are all reproduced exactly."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
-    probe = [qbucket]
-    if multiprobe_hamming >= 1:
-        probe += [qbucket ^ (1 << i) for i in range(bits)]
-    if multiprobe_hamming >= 2:
-        probe += [
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        ]
+    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_vec_lit(p)}::DOUBLE[])"
         f" >= 0 THEN {1 << i} ELSE 0 END)"

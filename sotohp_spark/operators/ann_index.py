@@ -20,14 +20,13 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sotohp_spark.operators.ann import (
     _hyperplanes,
     cosine_sim,
+    probe_buckets,
     srp_bucket_col,
 )
 
@@ -58,25 +57,6 @@ def build_ann_index(
     with open(f"{path}/_ann_meta.json", "w") as f:
         json.dump(meta, f)
     return meta
-
-
-def probe_buckets(query_vec, bits: int, seed: int, multiprobe_hamming: int) -> list:
-    """Deterministic probe set: the query's bucket plus all buckets
-    within the given Hamming distance of it."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, bits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qb = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
-    probe = {qb}
-    if multiprobe_hamming >= 1:
-        probe |= {qb ^ (1 << i) for i in range(bits)}
-    if multiprobe_hamming >= 2:
-        probe |= {
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        }
-    return sorted(probe)
 
 
 def ann_index_topk(

@@ -49,19 +49,36 @@ def score_range(
     block_offsets, block_first_doc, block_last_doc, block_max_tf, block_min_dl, payload
     (one per query term present in this range).
     ``term_weights``: term -> qtf * idf  (precomputed on the driver).
-    ``doc_bounds``: optional inclusive (lo, hi) doc-id window (time-
-    filtered search: doc ids are time-ordered, so a timestamp range is
-    a doc-id interval).  Scores keep GLOBAL collection stats (Lucene
-    filter-query semantics: a filter changes membership, not scoring).
+    ``doc_bounds``: optional inclusive doc-id window(s) — one (lo, hi)
+    tuple or a list of disjoint tuples (time-filtered search: doc ids
+    are time-ordered WITHIN each index segment, so a timestamp range is
+    one doc-id interval per segment — appends create new segments).
+    Scores keep GLOBAL collection stats (Lucene filter-query semantics:
+    a filter changes membership, not scoring).
 
     Returns (doc_ids int64[], scores float64[]) of the local top-k.
     """
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    bounds_mask = None
     if doc_bounds is not None:
-        lo_b, hi_b = doc_bounds
-        # whole-shard / whole-block pruning: a shard whose doc window
-        # misses the bounds never decodes
+        ivs = sorted(
+            [doc_bounds] if isinstance(doc_bounds, tuple) else list(doc_bounds)
+        )
+        if not ivs:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        iv_starts = np.array([lo for lo, _ in ivs], dtype=np.int64)
+        iv_ends = np.array([hi for _, hi in ivs], dtype=np.int64)
+        lo_b, hi_b = int(iv_starts[0]), int(iv_ends.max())
+
+        def bounds_mask(dd: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(iv_starts, dd, side="right") - 1
+            ok = pos >= 0
+            ok[ok] = dd[ok] <= iv_ends[pos[ok]]
+            return ok
+
+        # whole-shard pruning on the coarse envelope; exact interval
+        # membership is applied to decoded ids via bounds_mask
         shards = [
             s
             for s in shards
@@ -79,7 +96,7 @@ def score_range(
         if len({s["term"] for s in shards}) < len(term_weights):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return _score_conjunctive(
-            shards, term_weights, k, avgdl, cfg, deletes, doc_bounds
+            shards, term_weights, k, avgdl, cfg, deletes, bounds_mask
         )
 
     # ---- disjunctive block-max path ----
@@ -98,8 +115,8 @@ def score_range(
             cfg.b,
         )
         bi = np.arange(bf.size, dtype=np.int64)
-        if doc_bounds is not None:
-            keep = (bl >= doc_bounds[0]) & (bf <= doc_bounds[1])
+        if bounds_mask is not None:
+            keep = (bl >= lo_b) & (bf <= hi_b)
             bf, bl, ub, bi = bf[keep], bl[keep], ub[keep], bi[keep]
         starts.append(bf)
         ends.append(bl)
@@ -167,8 +184,8 @@ def score_range(
             continue
         dd = np.concatenate(piece_d)
         ss = np.concatenate(piece_s)
-        if doc_bounds is not None:
-            keep = (dd >= doc_bounds[0]) & (dd <= doc_bounds[1])
+        if bounds_mask is not None:
+            keep = bounds_mask(dd)
             if not keep.all():
                 dd, ss = dd[keep], ss[keep]
             if dd.size == 0:
@@ -220,7 +237,7 @@ def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
 
 def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
                        deletes: np.ndarray | None = None,
-                       doc_bounds: tuple | None = None):
+                       bounds_mask=None):
     """AND semantics: intersect doc ids across terms, exact scores."""
     per_term: dict[str, list] = {}
     for s in shards:
@@ -245,8 +262,8 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
     # intersect starting from the rarest term
     terms_sorted = sorted(decoded, key=lambda t: decoded[t][0].size)
     common = decoded[terms_sorted[0]][0]
-    if doc_bounds is not None:
-        common = common[(common >= doc_bounds[0]) & (common <= doc_bounds[1])]
+    if bounds_mask is not None:
+        common = common[bounds_mask(common)]
         if common.size == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     if deletes is not None and deletes.size:

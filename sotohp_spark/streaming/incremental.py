@@ -46,6 +46,17 @@ from sotohp_spark.operators.postings import build_postings_df
 log = logging.getLogger("sotohp_spark.incremental")
 
 
+def _deletes_exist(builder: IndexBuilder) -> bool:
+    """True iff the tombstone table exists (local FS or Hadoop FS)."""
+    path = f"{builder.path}/deletes"
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = builder.spark.sparkContext._jvm
+    conf = builder.spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def _live_conv_ids(spark: SparkSession, builder: IndexBuilder) -> DataFrame:
     """conv_ids with at least one NON-tombstoned docs row.
 
@@ -54,15 +65,17 @@ def _live_conv_ids(spark: SparkSession, builder: IndexBuilder) -> DataFrame:
     not a duplicate — anti-joining against all docs rows silently
     dropped the corrected version (delete-then-resync is a normal
     reference flow: ES delete routing, ElasticOperations.scala:113-130,
-    then re-synchronize)."""
+    then re-synchronize).  Existence is checked explicitly (no
+    swallowed read errors: a corrupt tombstone table must fail loudly,
+    not silently resurrect the update-loss bug)."""
     docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
-    deletes_path = f"{builder.path}/deletes"
-    if os.path.exists(deletes_path) or "://" in deletes_path:
-        try:
-            doomed = spark.read.parquet(deletes_path).select("doc_id").distinct()
-            docs = docs.join(doomed, "doc_id", "left_anti")
-        except Exception:
-            pass  # no deletes dir yet
+    if _deletes_exist(builder):
+        doomed = (
+            spark.read.parquet(f"{builder.path}/deletes")
+            .select("doc_id")
+            .distinct()
+        )
+        docs = docs.join(doomed, "doc_id", "left_anti")
     return docs.select("conv_id").distinct()
 
 
@@ -90,7 +103,13 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
         if cur_max is not None and cur_max > marker["pre_max_doc"]:
             log.warning("pending append %s already committed; refreshing stats",
                         marker["batch_id"])
-            _refresh_derived_state(spark, builder)
+            _refresh_derived_state(
+                spark, builder,
+                new_segment=(
+                    marker["pre_max_doc"] + 1,
+                    marker["pre_max_doc"] + marker["n_new"],
+                ),
+            )
         else:
             log.warning("rolling back uncommitted append %s (%d files)",
                         marker["batch_id"], len(marker["moved_files"]))
@@ -102,8 +121,16 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
         os.remove(mpath)
 
 
-def _refresh_derived_state(spark: SparkSession, builder: IndexBuilder) -> dict:
-    """Recompute meta globals + term_stats from the committed tables."""
+def _refresh_derived_state(
+    spark: SparkSession, builder: IndexBuilder, new_segment: tuple | None = None
+) -> dict:
+    """Recompute meta globals + term_stats from the committed tables.
+
+    ``new_segment``: (first_doc, last_doc) of a just-committed append —
+    recorded in meta["segments"] (doc ids are time-ordered only WITHIN
+    a segment; time-windowed search needs the boundaries).  Idempotent:
+    a segment already covered by the list is not re-added (crash
+    recovery may re-run this)."""
     meta = builder._read_meta()
     stats = spark.read.parquet(builder.docs_path).agg(
         F.count("*").alias("n"),
@@ -114,6 +141,12 @@ def _refresh_derived_state(spark: SparkSession, builder: IndexBuilder) -> dict:
         n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]),
         max_doc=int(stats["max_doc"]),
     )
+    if new_segment is not None:
+        lo, hi = int(new_segment[0]), int(new_segment[1])
+        segs = [list(s) for s in meta.get("segments", [[0, lo - 1]] if lo else [])]
+        if not segs or lo > segs[-1][1]:
+            segs.append([lo, hi])
+        meta["segments"] = segs
     postings = spark.read.option("basePath", builder.postings_path).parquet(
         builder.postings_path
     )
@@ -156,6 +189,17 @@ def append_conversations(
     ``_fail_before_commit``: test kill-switch — crash after the
     postings move, before the docs commit.
     """
+    if "://" in index_path:
+        # the 2-phase commit's marker/move/rollback steps use local
+        # filesystem ops (as does meta.json I/O throughout).  On an
+        # object store, run appends against a locally-mounted path or
+        # extend these to the Hadoop FileSystem API (rename/ listFiles/
+        # delete all exist there) — failing loudly beats silently
+        # committing docs whose postings never moved into the index.
+        raise NotImplementedError(
+            "incremental append requires a local/mounted index path; "
+            f"got {index_path}"
+        )
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     if meta is None:
@@ -236,7 +280,9 @@ def append_conversations(
     docs_output(docs).write.mode("append").parquet(builder.docs_path)
 
     # ---- phase 3: derived state + marker removal ----
-    meta = _refresh_derived_state(spark, builder)
+    meta = _refresh_derived_state(
+        spark, builder, new_segment=(pre_max_doc + 1, pre_max_doc + n_new)
+    )
     os.remove(marker_path)
     shutil.rmtree(f"{builder.path}/_staging", ignore_errors=True)
     return meta
@@ -260,11 +306,14 @@ def delete_conversations(
         "doc_id",
         (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
     )
-    # partitioned like the postings -> a reader that cogroups deletes
-    # with shards prunes tombstone files by bucket for free
+    # FLAT files with range_bucket as a plain sorted column (NOT a hive
+    # partition): parquet min/max stats on doc_id/range_bucket give the
+    # same file-level pruning, and flat layout stays read-compatible
+    # with tombstone files written before the column existed (hive
+    # subdirs next to flat files would break partition discovery).
     (
-        doomed.write.mode("append")
-        .partitionBy("range_bucket")
+        doomed.sortWithinPartitions("doc_id")
+        .write.mode("append")
         .parquet(f"{builder.path}/deletes")
     )
     return doomed.count()
@@ -362,6 +411,8 @@ def compact_index(
         avgdl=float(stats["avgdl"]),
         max_doc=int(stats["max_doc"]),
         fingerprint=meta["fingerprint"] + "+compact",
+        # re-densified ids are globally time-ordered again: one segment
+        segments=[[0, int(stats["max_doc"])]],
         postings_done=False,
     )
     new_builder._write_meta(new_meta)

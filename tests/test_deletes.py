@@ -102,6 +102,28 @@ def test_large_delete_sets_stay_distributed(spark, tmp_path):
     assert list(q1["doc_id"]) == list(single["doc_id"])
 
 
+def test_tombstone_layout_backward_compatible(spark, tmp_path):
+    """Tombstone files written before the range_bucket column existed
+    (flat, doc_id-only) must keep working next to new-format files in
+    the same deletes dir."""
+    pdf = generate_transcripts_pdf(0.04, seed=46)
+    path = str(tmp_path / "mixdel")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="m"
+    )
+    # legacy flat file: doc_id only
+    spark.createDataFrame([(0,)], "doc_id long").write.mode("append").parquet(
+        f"{path}/deletes"
+    )
+    # new-format delete on top
+    victims = [pdf["conv_id"].iloc[-1]]
+    delete_conversations(spark, path, victims)
+
+    engine = QueryEngine(spark, path)
+    assert engine._deletes.size == 2  # both formats read together
+    assert 0 not in set(engine.top_k_pdf("error", 50)["doc_id"])
+
+
 def test_delete_then_reappend_is_an_update(spark, tmp_path):
     """The reference's delete + re-sync flow: deleting a conversation
     and appending a corrected version must index the NEW version (not

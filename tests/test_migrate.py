@@ -76,3 +76,27 @@ def test_migrate_rejects_newer_schema(spark, v1_index, tmp_path):
     b._write_meta(meta)
     with pytest.raises(ValueError, match="newer"):
         migrate_index(spark, newer, str(tmp_path / "out"))
+
+
+def test_migrate_carries_tombstones(spark, tmp_path):
+    """Deleted conversations must stay deleted on the migrated target
+    (and parity must compare the tombstone sets)."""
+    from sotohp_spark.streaming.incremental import delete_conversations
+
+    src = str(tmp_path / "delsrc")
+    b = IndexBuilder(spark, src, CFG)
+    b.build(transcripts_df(spark, 0.03).localCheckpoint(), input_fingerprint="d")
+    engine = QueryEngine(spark, src)
+    victim_doc = int(engine.top_k_pdf("error", 1)["doc_id"].iloc[0])
+    victim = engine._docs.where(F.col("doc_id") == victim_doc).collect()[0][
+        "conv_id"
+    ]
+    delete_conversations(spark, src, [victim])
+
+    dst = str(tmp_path / "deldst")
+    report = migrate_index(spark, src, dst)
+    assert report["ok"] is True
+    assert report["deletes_digest"][0] == report["deletes_digest"][1] != (0, 0)
+    assert victim_doc not in set(
+        QueryEngine(spark, dst).top_k_pdf("error", 50)["doc_id"]
+    )

@@ -167,3 +167,73 @@ def test_time_filtered_topk_matches_filtered_oracle(spark, tmp_path_factory):
     full_c = oracle.top_k("error retry", k=oracle.n_docs, conjunctive=True)
     want_c = full_c[full_c["doc_id"].isin(in_window)].head(10)
     assert list(conj["doc_id"]) == list(want_c["doc_id"])
+
+
+def test_time_filter_correct_after_append_segments(spark, tmp_path):
+    """Appends put NEW doc ids at the top of the id space regardless of
+    their timestamps, so a single doc-id envelope would sweep in
+    out-of-window docs.  meta segments must keep the window exact:
+    appended February conversations are found by a February window and
+    NEVER returned by a March window (and vice versa)."""
+    import datetime
+
+    import pandas as pd
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import generate_transcripts_pdf
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.streaming.incremental import append_conversations
+
+    cfg = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                       shuffle_partitions=4)
+    path = str(tmp_path / "segidx")
+    base = generate_transcripts_pdf(0.04)  # conv starts span Jan-Mar 2025
+    IndexBuilder(spark, path, cfg).build(
+        spark.createDataFrame(base), input_fingerprint="seg"
+    )
+
+    # appended batch: NEW conversations, all timestamps mid-February,
+    # carrying a marker term
+    feb = datetime.datetime(2025, 2, 15, 12, 0, 0)
+    extra = pd.DataFrame(
+        [
+            (f"late-conv-{i:03d}", j, "user", f"zzfeb marker turn {j}", None,
+             feb + datetime.timedelta(minutes=10 * i + j))
+            for i in range(5)
+            for j in range(3)
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    append_conversations(spark, path, spark.createDataFrame(extra), cfg)
+
+    engine = QueryEngine(spark, path)
+    assert len(engine.meta["segments"]) == 2  # build + append
+
+    feb_lo, feb_hi = (datetime.datetime(2025, 2, 1),
+                      datetime.datetime(2025, 2, 28, 23, 59, 59))
+    mar_lo, mar_hi = (datetime.datetime(2025, 3, 1),
+                      datetime.datetime(2025, 3, 31, 23, 59, 59))
+
+    # the appended Feb conversations are visible through a Feb window
+    feb_hits = engine.top_k("zzfeb", 10, ts_min=feb_lo, ts_max=feb_hi)
+    assert feb_hits.count() == 5
+    # ... and invisible through a March window
+    assert engine.top_k("zzfeb", 10, with_docs=False,
+                        ts_min=mar_lo, ts_max=mar_hi).count() == 0
+
+    # no window leakage in either direction: every result's doc_ts is
+    # inside the requested window (this is exactly what a single
+    # envelope interval gets wrong after the append)
+    for lo, hi in [(feb_lo, feb_hi), (mar_lo, mar_hi)]:
+        got = engine.top_k("error retry", 50, ts_min=lo, ts_max=hi)
+        rows = got.select("doc_ts").collect()
+        assert rows, "window should match something"
+        assert all(lo <= r["doc_ts"] <= hi for r in rows)
+
+    # local and distributed paths agree under segmented bounds
+    a = engine.top_k("error retry", 10, with_docs=False,
+                     ts_min=feb_lo, ts_max=feb_hi).toPandas()
+    engine.LOCAL_PATH_MAX_POSTINGS = 0
+    b = engine.top_k("error retry", 10, with_docs=False,
+                     ts_min=feb_lo, ts_max=feb_hi).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
