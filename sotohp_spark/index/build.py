@@ -338,6 +338,16 @@ class IndexBuilder:
             log.info("stage3 term_stats: %.1fs", time.time() - t_stage)
         return meta
 
+    def has_deletes(self) -> bool:
+        """True iff the tombstone table exists (local or Hadoop FS)."""
+        path = f"{self.path}/deletes"
+        if "://" not in path:
+            return os.path.exists(path)
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+
     def _rm_dir(self, path: str) -> None:
         """Remove a directory tree on any Hadoop-visible filesystem
         (local shutil fast path; FileSystem API for object stores)."""

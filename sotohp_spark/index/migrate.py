@@ -91,13 +91,16 @@ def migrate_index(
     # tombstones are part of the index state: carry them over verbatim
     # (doc ids are preserved by migration), or deleted conversations
     # would resurrect on the target
-    from sotohp_spark.streaming.incremental import _deletes_exist
-
-    if _deletes_exist(src):
+    if src.has_deletes():
+        span = meta["range_size"] * meta.get("ranges_per_batch", 8)
         (
             spark.read.parquet(f"{src.path}/deletes")
-            .select("doc_id")
-            .write.mode("overwrite")
+            .select(
+                "doc_id",
+                (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
+            )
+            .sortWithinPartitions("doc_id")  # same layout as the writer:
+            .write.mode("overwrite")         # stats-prunable flat files
             .parquet(f"{dst.path}/deletes")
         )
     new_meta = dict(
@@ -182,10 +185,7 @@ def verify_parity(
         fail("docs content digest differs")
 
     def deletes_digest(path):
-        from sotohp_spark.streaming.incremental import _deletes_exist
-
-        b = IndexBuilder(spark, path)
-        if not _deletes_exist(b):
+        if not IndexBuilder(spark, path).has_deletes():
             return (0, 0)
         row = (
             spark.read.parquet(f"{path}/deletes")

@@ -101,14 +101,13 @@ class QueryEngine:
         range_id — per-range delete bitmaps co-partitioned with the
         shards, O(deletes-in-range) per task, no driver OOM and no
         per-task broadcast of a global array."""
-        import os
-
         import numpy as np
 
-        path = f"{self.path}/deletes"
-        if "://" not in path and not os.path.exists(path):
+        from sotohp_spark.index.build import IndexBuilder
+
+        if not IndexBuilder(self.spark, self.path).has_deletes():
             return np.zeros(0, dtype=np.int64)
-        df = self.spark.read.parquet(path).select("doc_id")
+        df = self.spark.read.parquet(f"{self.path}/deletes").select("doc_id")
         self._deletes_df = df
         n = df.count()
         if n > self.MAX_DRIVER_DELETES:
@@ -220,22 +219,42 @@ class QueryEngine:
         ivs = sorted((int(r["lo"]), int(r["hi"])) for r in rows)
         return ivs or None
 
+    # cap on the explicit bucket IN-list for partition pruning; above
+    # it a min/max envelope conjunct is used instead
+    MAX_PRUNE_BUCKET_LIST = 10_000
+
     def _prune_shards_to_bounds(self, shards: DataFrame, doc_bounds):
         """range_bucket (hive partition pruning) + range_id shard filter
-        for the doc-id intervals (coarse envelope per interval, exact
-        membership applied at decode time in score_range)."""
+        for the doc-id intervals.
+
+        The partition-prunable predicate must be a TOP-LEVEL conjunct
+        referencing ONLY the partition column: an OR of per-interval
+        conjunctions that mixes in range_id defeats
+        PruneFileSourcePartitions (it only extracts conjuncts whose
+        references are a subset of the partition columns) and every
+        bucket would be listed.  So: one bucket-only conjunct (IN-list,
+        or a min/max envelope if the list would be huge) AND the exact
+        per-interval OR as a data filter.  Exact doc membership is
+        applied at decode time in score_range."""
         rs = self.cfg.range_size
         span = rs * self.cfg.ranges_per_batch
-        pred = None
+        buckets: set = set()
         for lo, hi in doc_bounds:
-            p = (
-                (F.col("range_bucket") >= lo // span)
-                & (F.col("range_bucket") <= hi // span)
-                & (F.col("range_id") >= lo // rs)
-                & (F.col("range_id") <= hi // rs)
+            if len(buckets) <= self.MAX_PRUNE_BUCKET_LIST:
+                buckets.update(range(lo // span, hi // span + 1))
+        if len(buckets) <= self.MAX_PRUNE_BUCKET_LIST:
+            bucket_pred = F.col("range_bucket").isin(sorted(buckets))
+        else:
+            bucket_pred = (
+                F.col("range_bucket") >= min(lo // span for lo, _ in doc_bounds)
+            ) & (
+                F.col("range_bucket") <= max(hi // span for _, hi in doc_bounds)
             )
-            pred = p if pred is None else (pred | p)
-        return shards.where(pred)
+        range_pred = None
+        for lo, hi in doc_bounds:
+            p = (F.col("range_id") >= lo // rs) & (F.col("range_id") <= hi // rs)
+            range_pred = p if range_pred is None else (range_pred | p)
+        return shards.where(bucket_pred & range_pred)
 
     def top_k(
         self,

@@ -91,15 +91,17 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def probe_buckets(
-    query_vec, bits: int, seed: int, multiprobe_hamming: int
+    query_vec, bits: int, seed: int, multiprobe_hamming: int,
+    planes: np.ndarray | None = None,
 ) -> list:
     """THE canonical probe set: the query's SRP bucket plus every
     bucket within ``multiprobe_hamming`` bit flips.  Single definition
     shared by the on-the-fly path, the materialized index, and the
     DuckDB oracle — bucket-assignment parity is the determinism
-    contract, so it must not be re-derived per call site."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, bits, seed)
+    contract, so it must not be re-derived per call site.  Pass
+    ``planes`` when the caller already derived them (same seed/bits)."""
+    if planes is None:
+        planes = _hyperplanes(len(query_vec), bits, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qb = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv >= 0))
     probe = {qb}
@@ -148,9 +150,8 @@ def cosine_topk_lsh(
     `multiprobe_hamming` of the query's bucket.  At scale the bucket
     column is materialized once at ingest and used as a partition /
     cluster key, so a probe reads ~(sum of probed buckets) rows."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, bits, seed)
-    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming)
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming, planes)
 
     with_bucket = embeddings.withColumn("bucket", srp_bucket_col(F.col(vec_col), planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -179,9 +180,8 @@ def lsh_topk_oracle_sql(
     """DuckDB equivalent of cosine_topk_lsh: the SRP hyperplanes are
     seed-derived and emitted as literals, so bucket assignment, the
     multiprobe set, and the final top-k are all reproduced exactly."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, bits, seed)
-    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming)
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming, planes)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_vec_lit(p)}::DOUBLE[])"
         f" >= 0 THEN {1 << i} ELSE 0 END)"

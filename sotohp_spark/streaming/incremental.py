@@ -47,14 +47,34 @@ log = logging.getLogger("sotohp_spark.incremental")
 
 
 def _deletes_exist(builder: IndexBuilder) -> bool:
-    """True iff the tombstone table exists (local FS or Hadoop FS)."""
+    """True iff the tombstone table exists (delegates to IndexBuilder —
+    one definition for local and Hadoop filesystems)."""
+    return builder.has_deletes()
+
+
+def _normalize_deletes_layout(spark: SparkSession, builder: IndexBuilder) -> None:
+    """One-time in-place rewrite of a hive-partitioned tombstone dir
+    (deletes/range_bucket=N/...) to the flat layout.  Appending flat
+    files NEXT TO hive subdirs would leave parquet files at mixed
+    depths — Spark partition discovery rejects that dir forever
+    ('Conflicting directory structures') — so the writer normalizes
+    BEFORE it can create the mixed state."""
+    import shutil
+
     path = f"{builder.path}/deletes"
-    if "://" not in path:
-        return os.path.exists(path)
-    jvm = builder.spark.sparkContext._jvm
-    conf = builder.spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    if "://" in path or not os.path.isdir(path):
+        return
+    hive_dirs = [d for d in os.listdir(path) if d.startswith("range_bucket=")]
+    if not hive_dirs:
+        return
+    log.warning("normalizing hive-partitioned tombstones at %s to flat layout",
+                path)
+    doomed = spark.read.parquet(path).select("doc_id", "range_bucket")
+    tmp = path + "_flat_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    doomed.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def _live_conv_ids(spark: SparkSession, builder: IndexBuilder) -> DataFrame:
@@ -93,10 +113,15 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
     - max_doc advanced   -> the append committed but meta/term_stats
       may be stale: finish the derived-state recompute.
     """
-    markers = glob.glob(f"{builder.path}/_meta/pending_append_*.json")
-    for mpath in markers:
+    loaded = []
+    for mpath in glob.glob(f"{builder.path}/_meta/pending_append_*.json"):
         with open(mpath) as f:
-            marker = json.load(f)
+            loaded.append((mpath, json.load(f)))
+    # recover in doc-id order: two committed appends recovered out of
+    # order would drop the earlier one's segment from meta["segments"]
+    # (the append guard only extends past the last segment end)
+    loaded.sort(key=lambda t: t[1]["pre_max_doc"])
+    for mpath, marker in loaded:
         cur_max = spark.read.parquet(builder.docs_path).agg(
             F.max("doc_id")
         ).collect()[0][0]
@@ -299,6 +324,7 @@ def delete_conversations(
     (reindex_all) — scores of surviving docs are unchanged by a
     delete, only membership changes.  Append-only and idempotent."""
     builder = IndexBuilder(spark, index_path)
+    _normalize_deletes_layout(spark, builder)
     meta = builder._read_meta()
     span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")

@@ -124,6 +124,33 @@ def test_tombstone_layout_backward_compatible(spark, tmp_path):
     assert 0 not in set(engine.top_k_pdf("error", 50)["doc_id"])
 
 
+def test_tombstone_hive_layout_normalized(spark, tmp_path):
+    """A deletes dir written hive-partitioned (intermediate format)
+    must be normalized to flat BEFORE a flat append can create the
+    mixed-depth layout Spark partition discovery rejects."""
+    pdf = generate_transcripts_pdf(0.04, seed=47)
+    path = str(tmp_path / "hivedel")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="h"
+    )
+    # simulate the intermediate hive-partitioned tombstone layout
+    spark.createDataFrame([(0, 0)], "doc_id long, range_bucket int").write.mode(
+        "append"
+    ).partitionBy("range_bucket").parquet(f"{path}/deletes")
+
+    victims = [pdf["conv_id"].iloc[-1]]
+    delete_conversations(spark, path, victims)  # normalizes, then appends flat
+
+    import os
+
+    assert not any(
+        d.startswith("range_bucket=") for d in os.listdir(f"{path}/deletes")
+    )
+    engine = QueryEngine(spark, path)
+    assert engine._deletes.size == 2
+    assert 0 not in set(engine.top_k_pdf("error", 50)["doc_id"])
+
+
 def test_delete_then_reappend_is_an_update(spark, tmp_path):
     """The reference's delete + re-sync flow: deleting a conversation
     and appending a corrected version must index the NEW version (not

@@ -62,9 +62,12 @@ def test_time_filtered_search_prunes_partitions(engine):
     )
     plan = formatted_plan(df)
     pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
-    assert any("range_bucket" in f and (">=" in f or "<=" in f) for f in pf), (
-        f"no range_bucket partition pruning:\n{plan}"
-    )
+    # the bucket predicate may fold to =, IN/INSET, or range bounds
+    assert any(
+        "range_bucket" in f
+        and any(op in f for op in (" = ", "INSET", " IN ", ">=", "<="))
+        for f in pf
+    ), f"no range_bucket partition pruning:\n{plan}"
 
 
 def test_positional_access_no_single_partition_window(spark):

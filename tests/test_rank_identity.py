@@ -237,3 +237,21 @@ def test_time_filter_correct_after_append_segments(spark, tmp_path):
     b = engine.top_k("error retry", 10, with_docs=False,
                      ts_min=feb_lo, ts_max=feb_hi).toPandas()
     assert list(a["doc_id"]) == list(b["doc_id"])
+
+    # multi-interval bounds must still PARTITION-prune (the bucket
+    # predicate has to be a top-level conjunct on the partition column
+    # alone — an OR mixing range_id would defeat the pruner)
+    import re
+
+    from sotohp_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(
+        engine.top_k("error retry", 10, with_docs=False,
+                     ts_min=feb_lo, ts_max=feb_hi)
+    )
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any(
+        "range_bucket" in f
+        and any(op in f for op in (" = ", "INSET", " IN ", ">=", "<="))
+        for f in pf
+    ), f"multi-segment window lost partition pruning:\n{plan}"
