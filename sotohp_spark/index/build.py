@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sotohp_spark import fsio
 from sotohp_spark.config import EngineConfig, DEFAULT
 from sotohp_spark.functions.tokenizer import (
     KeywordRules,
@@ -184,10 +185,10 @@ class IndexBuilder:
                 # pending appends belong to the old corpus too
                 self._rm_dir(f"{self.path}/deletes")
                 self._rm_dir(f"{self.path}/_staging")
-                import glob as _glob
-
-                for m in _glob.glob(f"{self.path}/_meta/pending_append_*.json"):
-                    os.remove(m)
+                for m in fsio.glob(
+                    self.spark, f"{self.path}/_meta/pending_append_*.json"
+                ):
+                    fsio.remove(self.spark, m)
             t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             # exchange FIRST, tokenize after: the pandas UDF (the
@@ -340,28 +341,12 @@ class IndexBuilder:
 
     def has_deletes(self) -> bool:
         """True iff the tombstone table exists (local or Hadoop FS)."""
-        path = f"{self.path}/deletes"
-        if "://" not in path:
-            return os.path.exists(path)
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(conf).exists(p)
+        return fsio.exists(self.spark, f"{self.path}/deletes")
 
     def _rm_dir(self, path: str) -> None:
         """Remove a directory tree on any Hadoop-visible filesystem
         (local shutil fast path; FileSystem API for object stores)."""
-        import shutil
-
-        if "://" not in path:
-            shutil.rmtree(path, ignore_errors=True)
-            return
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            fs.delete(p, True)
+        fsio.rmtree(self.spark, path)
 
     # ------------------------------------------------------------------
     def _commit_state_many(self, buckets: list, fingerprint: str, wall: float):
@@ -421,9 +406,9 @@ class IndexBuilder:
         df.write.mode("append").parquet(self.state_path)
 
     def _built_buckets(self, fingerprint: str) -> set:
-        # cheap local-FS existence probe avoids a logged AnalysisException
-        # on fresh builds (object stores: the read below handles it)
-        if "://" not in self.state_path and not os.path.exists(self.state_path):
+        # cheap existence probe avoids a logged AnalysisException on
+        # fresh builds (one stat call on any filesystem)
+        if not fsio.exists(self.spark, self.state_path):
             return set()
         try:
             rows = (
@@ -445,22 +430,16 @@ class IndexBuilder:
     def reindex_all(self, turns: DataFrame, **kw) -> dict:
         """Full rebuild: clear checkpoint + meta, rebuild everything
         (the reference's `reindexAll`, MediaServiceLive.scala:1587-1612)."""
-        import shutil
-
-        shutil.rmtree(self.path, ignore_errors=True)
+        fsio.rmtree(self.spark, self.path)
         return self.build(turns, **kw)
 
     # ------------------------------------------------------------------
     def _read_meta(self):
         try:
-            with open(self.meta_path) as f:
-                return json.load(f)
+            return json.loads(fsio.read_text(self.spark, self.meta_path))
         except (OSError, json.JSONDecodeError):
             return None
 
     def _write_meta(self, meta: dict):
-        os.makedirs(os.path.dirname(self.meta_path), exist_ok=True)
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(tmp, self.meta_path)
+        fsio.mkdirs(self.spark, os.path.dirname(self.meta_path))
+        fsio.write_text_atomic(self.spark, self.meta_path, json.dumps(meta, indent=1))

@@ -65,8 +65,11 @@ class QueryEngine:
         self.spark = spark
         self.path = index_path.rstrip("/")
         self.rules = rules
-        with open(f"{self.path}/_meta/meta.json") as f:
-            self.meta = json.load(f)
+        from sotohp_spark import fsio
+
+        self.meta = json.loads(
+            fsio.read_text(spark, f"{self.path}/_meta/meta.json")
+        )
         self.cfg = cfg or EngineConfig(
             k1=self.meta["k1"],
             b=self.meta["b"],

@@ -18,10 +18,11 @@ ann.lsh_topk_oracle_sql) always agree on bucket assignment.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from sotohp_spark import fsio
 
 from sotohp_spark.operators.ann import (
     _hyperplanes,
@@ -50,12 +51,11 @@ def build_ann_index(
         .partitionBy("bucket")
         .parquet(path)
     )
-    n = embeddings.sparkSession.read.parquet(path).count()
+    spark = embeddings.sparkSession
+    n = spark.read.parquet(path).count()
     meta = {"dim": dim, "bits": bits, "seed": seed, "n_vectors": int(n),
             "id_col": id_col, "vec_col": vec_col}
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/_ann_meta.json", "w") as f:
-        json.dump(meta, f)
+    fsio.write_text_atomic(spark, f"{path}/_ann_meta.json", json.dumps(meta))
     return meta
 
 
@@ -69,8 +69,7 @@ def ann_index_topk(
     """Top-k cosine over the materialized index.  The bucket predicate
     is a PARTITION filter: unprobed buckets are never read
     (plan-asserted in tests/test_plans.py)."""
-    with open(f"{path}/_ann_meta.json") as f:
-        meta = json.load(f)
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_meta.json"))
     probe = probe_buckets(
         query_vec, meta["bits"], meta["seed"], multiprobe_hamming
     )

@@ -27,16 +27,15 @@ O(new data), and readers of old ranges are undisturbed.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import logging
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sotohp_spark import fsio
 from sotohp_spark.config import EngineConfig, DEFAULT
 from sotohp_spark.functions.tokenizer import KeywordRules
 from sotohp_spark.index.build import IndexBuilder, apply_term_freqs
@@ -59,22 +58,20 @@ def _normalize_deletes_layout(spark: SparkSession, builder: IndexBuilder) -> Non
     depths — Spark partition discovery rejects that dir forever
     ('Conflicting directory structures') — so the writer normalizes
     BEFORE it can create the mixed state."""
-    import shutil
-
     path = f"{builder.path}/deletes"
-    if "://" in path or not os.path.isdir(path):
+    if not fsio.exists(spark, path):
         return
-    hive_dirs = [d for d in os.listdir(path) if d.startswith("range_bucket=")]
+    hive_dirs = fsio.glob(spark, f"{path}/range_bucket=*")
     if not hive_dirs:
         return
     log.warning("normalizing hive-partitioned tombstones at %s to flat layout",
                 path)
     doomed = spark.read.parquet(path).select("doc_id", "range_bucket")
     tmp = path + "_flat_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsio.rmtree(spark, tmp)
     doomed.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    fsio.rmtree(spark, path)
+    fsio.move_dir(spark, tmp, path)
 
 
 def _live_conv_ids(spark: SparkSession, builder: IndexBuilder) -> DataFrame:
@@ -114,9 +111,8 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
       may be stale: finish the derived-state recompute.
     """
     loaded = []
-    for mpath in glob.glob(f"{builder.path}/_meta/pending_append_*.json"):
-        with open(mpath) as f:
-            loaded.append((mpath, json.load(f)))
+    for mpath in fsio.glob(spark, f"{builder.path}/_meta/pending_append_*.json"):
+        loaded.append((mpath, json.loads(fsio.read_text(spark, mpath))))
     # recover in doc-id order: two committed appends recovered out of
     # order would drop the earlier one's segment from meta["segments"]
     # (the append guard only extends past the last segment end)
@@ -139,11 +135,8 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
             log.warning("rolling back uncommitted append %s (%d files)",
                         marker["batch_id"], len(marker["moved_files"]))
             for dst in marker["moved_files"]:
-                try:
-                    os.remove(dst)
-                except FileNotFoundError:
-                    pass
-        os.remove(mpath)
+                fsio.remove(spark, dst, missing_ok=True)
+        fsio.remove(spark, mpath)
 
 
 def _refresh_derived_state(
@@ -213,18 +206,14 @@ def append_conversations(
 
     ``_fail_before_commit``: test kill-switch — crash after the
     postings move, before the docs commit.
+
+    All control-plane I/O (marker, moves, rollback) goes through the
+    fsio shim, so the append runs against any Hadoop-visible path
+    (hdfs://, s3a://, file://) as well as local disk.  On object
+    stores without atomic rename, the marker-before-moves ordering is
+    what keeps a crash recoverable — recovery re-reads the marker and
+    reconciles, it never depends on a move being atomic.
     """
-    if "://" in index_path:
-        # the 2-phase commit's marker/move/rollback steps use local
-        # filesystem ops (as does meta.json I/O throughout).  On an
-        # object store, run appends against a locally-mounted path or
-        # extend these to the Hadoop FileSystem API (rename/ listFiles/
-        # delete all exist there) — failing loudly beats silently
-        # committing docs whose postings never moved into the index.
-        raise NotImplementedError(
-            "incremental append requires a local/mounted index path; "
-            f"got {index_path}"
-        )
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     if meta is None:
@@ -275,26 +264,27 @@ def append_conversations(
         .parquet(staging)
     )
     moves = []
-    for src in glob.glob(f"{staging}/range_bucket=*/*.parquet"):
+    for src in fsio.glob(spark, f"{staging}/range_bucket=*/*.parquet"):
         bucket_dir = os.path.basename(os.path.dirname(src))
         dst_dir = f"{builder.postings_path}/{bucket_dir}"
-        os.makedirs(dst_dir, exist_ok=True)
+        fsio.mkdirs(spark, dst_dir)
         moves.append((src, f"{dst_dir}/append-{batch_id}-{os.path.basename(src)}"))
     marker_path = f"{builder.path}/_meta/pending_append_{batch_id}.json"
-    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
-    with open(marker_path, "w") as f:
-        json.dump(
+    fsio.write_text_atomic(
+        spark,
+        marker_path,
+        json.dumps(
             {
                 "batch_id": batch_id,
                 "pre_max_doc": pre_max_doc,
                 "n_new": n_new,
                 "moved_files": [dst for _, dst in moves],
-            },
-            f,
-        )
+            }
+        ),
+    )
     for src, dst in moves:
-        os.replace(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
+        fsio.rename_overwrite(spark, src, dst)
+    fsio.rmtree(spark, staging)
 
     if _fail_before_commit:
         raise RuntimeError("test kill-switch: crash before docs commit")
@@ -308,8 +298,8 @@ def append_conversations(
     meta = _refresh_derived_state(
         spark, builder, new_segment=(pre_max_doc + 1, pre_max_doc + n_new)
     )
-    os.remove(marker_path)
-    shutil.rmtree(f"{builder.path}/_staging", ignore_errors=True)
+    fsio.remove(spark, marker_path)
+    fsio.rmtree(spark, f"{builder.path}/_staging")
     return meta
 
 
@@ -394,8 +384,6 @@ def compact_index(
     gives up that equivalence; postings/doc-id layout supports it if
     it is ever needed — the stage-2 one-job write already overwrites
     per bucket."""
-    import shutil
-
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     deletes_path = f"{builder.path}/deletes"
@@ -423,7 +411,7 @@ def compact_index(
     from sotohp_spark.index.build import docs_output
 
     tmp = builder.path + "_compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsio.rmtree(spark, tmp)
     new_builder = IndexBuilder(spark, tmp, cfg, rules)
     (
         docs_output(survivors)
@@ -445,8 +433,8 @@ def compact_index(
     new_meta = new_builder.build(turns=None, input_fingerprint=new_meta["fingerprint"])
 
     # atomic-ish swap
-    shutil.rmtree(builder.path)
-    shutil.move(tmp, builder.path)
+    fsio.rmtree(spark, builder.path)
+    fsio.move_dir(spark, tmp, builder.path)
     return new_meta
 
 
