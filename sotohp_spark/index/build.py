@@ -95,6 +95,68 @@ class BuildInterrupted(RuntimeError):
     """Raised by the kill-switch in tests to simulate a mid-build crash."""
 
 
+def compact_marker_path(index_path: str) -> str:
+    """Pending-compaction marker, SIBLING of the index dir — it must
+    survive both directory renames of the swap."""
+    return index_path.rstrip("/") + "._compact_pending.json"
+
+
+def _complete_compact_swap(spark, index_path: str, _fail_after: str | None = None):
+    """Finish (or re-finish) a compaction swap from any crash point.
+
+    The swap replaces ``rmtree(live); move(tmp, live)`` — whose crash
+    window left NO live index — with a marker-guarded rename chain:
+
+        marker written (tmp is COMPLETE at this point)
+        1. live  -> <path>_compact_old     (retire)
+        2. tmp   -> live                   (promote)
+        3. rmtree old; remove marker       (cleanup)
+
+    Every state the chain can crash in is distinguishable from the
+    directories that exist, so this function is idempotent: it runs the
+    remaining steps and no others.  Renames are atomic on POSIX/HDFS;
+    on object stores the marker + re-run discipline covers the
+    non-atomic copy (fsio.py module docstring).
+
+    ``_fail_after``: test kill-switch ('retire' | 'promote').
+    """
+    path = index_path.rstrip("/")
+    marker = compact_marker_path(path)
+    tmp, old = path + "_compact_tmp", path + "_compact_old"
+    if fsio.exists(spark, f"{tmp}/_meta/meta.json"):
+        if fsio.exists(spark, f"{path}/_meta/meta.json"):
+            fsio.rmtree(spark, old)  # stale old from a double crash
+            fsio.move_dir(spark, path, old)
+        elif fsio.exists(spark, path):
+            fsio.rmtree(spark, path)  # torn live dir without meta
+        if _fail_after == "retire":
+            raise RuntimeError("test kill-switch: crash after live retire")
+        fsio.move_dir(spark, tmp, path)
+    if _fail_after == "promote":
+        raise RuntimeError("test kill-switch: crash after tmp promote")
+    if not fsio.exists(spark, f"{path}/_meta/meta.json"):
+        raise RuntimeError(
+            f"compaction swap recovery failed: no live index at {path} "
+            f"and no complete staging at {tmp}"
+        )
+    fsio.rmtree(spark, old)
+    fsio.remove(spark, marker, missing_ok=True)
+
+
+def recover_pending_compact(spark, index_path: str) -> bool:
+    """Crash recovery for an interrupted compaction swap — called on
+    every engine/builder open (QueryEngine.__init__, build, append,
+    delete, compact).  The marker exists iff a swap was in flight; the
+    staging index was complete before the marker was written, so
+    finishing the swap is always safe.  Returns True if recovery ran."""
+    marker = compact_marker_path(index_path)
+    if not fsio.exists(spark, marker):
+        return False
+    log.warning("recovering interrupted compaction swap at %s", index_path)
+    _complete_compact_swap(spark, index_path)
+    return True
+
+
 # on-disk layout version, recorded in meta.json; bump when the docs /
 # postings schema changes and register the upgrade in index/migrate.py
 # (the reference ships an offline migrator for exactly this,
@@ -160,6 +222,7 @@ class IndexBuilder:
         """
         cfg = self.cfg
         fingerprint = input_fingerprint or "default"
+        recover_pending_compact(self.spark, self.path)
 
         # ---- stage 1: docs + doc stats (deterministic, idempotent) ----
         # Skipped on resume if already built for the same fingerprint.

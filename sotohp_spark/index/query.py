@@ -66,7 +66,11 @@ class QueryEngine:
         self.path = index_path.rstrip("/")
         self.rules = rules
         from sotohp_spark import fsio
+        from sotohp_spark.index.build import recover_pending_compact
 
+        # engine open = recovery point: an interrupted compaction swap
+        # is finished here, so a reader never sees a missing/torn index
+        recover_pending_compact(spark, self.path)
         self.meta = json.loads(
             fsio.read_text(spark, f"{self.path}/_meta/meta.json")
         )

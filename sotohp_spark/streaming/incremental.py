@@ -214,6 +214,9 @@ def append_conversations(
     what keeps a crash recoverable — recovery re-reads the marker and
     reconciles, it never depends on a move being atomic.
     """
+    from sotohp_spark.index.build import recover_pending_compact
+
+    recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     if meta is None:
@@ -313,6 +316,9 @@ def delete_conversations(
     stats (N, avgdl, df) keep counting deleted docs until a compaction
     (reindex_all) — scores of surviving docs are unchanged by a
     delete, only membership changes.  Append-only and idempotent."""
+    from sotohp_spark.index.build import recover_pending_compact
+
+    recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path)
     _normalize_deletes_layout(spark, builder)
     meta = builder._read_meta()
@@ -353,6 +359,9 @@ def update_conversations(
     now sees the old versions as deleted).  The new version gets fresh
     doc_ids at the top of the id space; the old one disappears from
     results immediately and physically at the next compaction."""
+    from sotohp_spark.index.build import recover_pending_compact
+
+    recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     if builder._read_meta() is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
@@ -371,6 +380,7 @@ def update_conversations(
 def compact_index(
     spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
     rules: KeywordRules | None = None,
+    _fail_during_swap: str | None = None,
 ) -> dict:
     """Compaction: physically drop tombstoned docs and recompute global
     stats — after this, scores reflect the surviving corpus exactly
@@ -384,6 +394,9 @@ def compact_index(
     gives up that equivalence; postings/doc-id layout supports it if
     it is ever needed — the stage-2 one-job write already overwrites
     per bucket."""
+    from sotohp_spark.index.build import recover_pending_compact
+
+    recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
     deletes_path = f"{builder.path}/deletes"
@@ -432,9 +445,21 @@ def compact_index(
     new_builder._write_meta(new_meta)
     new_meta = new_builder.build(turns=None, input_fingerprint=new_meta["fingerprint"])
 
-    # atomic-ish swap
-    fsio.rmtree(spark, builder.path)
-    fsio.move_dir(spark, tmp, builder.path)
+    # crash-safe swap: the marker is written only once the staging index
+    # is COMPLETE; the rename chain (retire live -> promote tmp ->
+    # cleanup) is resumable from any crash point by
+    # recover_pending_compact, which every engine/builder open runs.
+    from sotohp_spark.index.build import (
+        _complete_compact_swap,
+        compact_marker_path,
+    )
+
+    fsio.write_text_atomic(
+        spark,
+        compact_marker_path(builder.path),
+        json.dumps({"tmp": tmp, "n_docs": int(stats["n"])}),
+    )
+    _complete_compact_swap(spark, builder.path, _fail_after=_fail_during_swap)
     return new_meta
 
 
