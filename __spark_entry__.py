@@ -251,7 +251,8 @@ _T_CFG = dict(range_size=64, block_size=16, ranges_per_batch=8,
               shuffle_partitions=8)
 # the driver's correctness gate runs at sf0.01; the oracle reads the
 # index this process just built there (Spark runs before the oracle)
-_ORACLE_INDEX_DOCS = "/tmp/sotohp_index_sf0.01/docs/*.parquet"
+# v3 layout: docs are hive-partitioned by range_bucket, one glob level down
+_ORACLE_INDEX_DOCS = "/tmp/sotohp_index_sf0.01/docs/*/*.parquet"
 
 
 def _transcript_index(spark, sf_dir):

@@ -15,7 +15,8 @@ committing the checkpoint row last.
 
 Index layout on disk (all parquet):
 
-    <index>/docs/                 doc_id, conv_id, doc_ts, n_turns, doc_len
+    <index>/docs/range_bucket=<b>/       doc_id, conv_id, doc_ts, n_turns,
+                                         doc_len, tfs, source
     <index>/postings/range_bucket=<b>/   shards sorted by term
     <index>/term_stats/           term, df, cf
     <index>/_meta/meta.json       N, avgdl, config, fingerprint
@@ -161,12 +162,17 @@ def recover_pending_compact(spark, index_path: str) -> bool:
 # postings schema changes and register the upgrade in index/migrate.py
 # (the reference ships an offline migrator for exactly this,
 # MediaMigrationTool.scala:24-136).  v1: docs without `source`;
-# v2: docs carry a nullable `source` column (per-source rules).
-SCHEMA_VERSION = 2
+# v2: docs carry a nullable `source` column (per-source rules);
+# v3: docs hive-partitioned by range_bucket (same bucket key as the
+# postings) — bucket-local compaction can rewrite ONLY tombstoned
+# docs partitions, and doc-id-interval reads (time-windowed search,
+# stage-2 resume, metadata joins) get partition pruning instead of
+# relying on row-group stats.
+SCHEMA_VERSION = 3
 
 
 def docs_output(df: DataFrame) -> DataFrame:
-    """Canonical docs-table projection (schema v2)."""
+    """Canonical docs-table column projection."""
     src = (
         F.col("source")
         if "source" in df.columns
@@ -176,6 +182,25 @@ def docs_output(df: DataFrame) -> DataFrame:
         "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs",
         src.alias("source"),
     )
+
+
+def docs_bucket_col(cfg: EngineConfig):
+    """The docs hive-partition key: doc_id // (range_size *
+    ranges_per_batch) — identical to the postings bucket."""
+    bucket_span = cfg.range_size * cfg.ranges_per_batch
+    return (F.col("doc_id") / F.lit(bucket_span)).cast("int")
+
+
+def write_docs(df: DataFrame, path: str, cfg: EngineConfig,
+               mode: str = "overwrite", repartition: bool = True) -> None:
+    """Write the docs table in the v3 layout: range-partitioned by
+    doc_id within files, hive-partitioned by range_bucket on disk.
+    ``repartition=False`` when the caller already laid the frame out
+    by doc_id range (stage 1 does, before tokenizing)."""
+    out = docs_output(df).withColumn("range_bucket", docs_bucket_col(cfg))
+    if repartition:
+        out = out.repartitionByRange(cfg.shuffle_partitions, "doc_id")
+    out.write.mode(mode).partitionBy("range_bucket").parquet(path)
 
 
 class IndexBuilder:
@@ -227,6 +252,18 @@ class IndexBuilder:
         # ---- stage 1: docs + doc stats (deterministic, idempotent) ----
         # Skipped on resume if already built for the same fingerprint.
         meta = self._read_meta()
+        if (
+            meta is not None
+            and meta.get("fingerprint") == fingerprint
+            and int(meta.get("schema_version", 1)) != SCHEMA_VERSION
+        ):
+            # resuming across an on-disk layout change would mix layouts
+            # (e.g. flat + hive-partitioned docs) — fail loudly toward
+            # the offline migration tool instead
+            raise ValueError(
+                f"index at {self.path} is schema v{meta.get('schema_version', 1)}"
+                f", engine writes v{SCHEMA_VERSION}; run index.migrate_index"
+            )
         if meta is None or meta.get("fingerprint") != fingerprint:
             if meta is not None and meta.get("fingerprint") != fingerprint:
                 # CHANGED input on an existing index: the new corpus may
@@ -271,6 +308,7 @@ class IndexBuilder:
             obs = Observation("docs_stats")
             (
                 docs_output(docs)
+                .withColumn("range_bucket", docs_bucket_col(cfg))
                 .observe(
                     obs,
                     F.count(F.lit(1)).alias("n"),
@@ -278,6 +316,7 @@ class IndexBuilder:
                     F.max("doc_id").alias("max_doc"),
                 )
                 .write.mode("overwrite")
+                .partitionBy("range_bucket")
                 .parquet(self.docs_path)
             )
             log.info("stage1 docs+tokenize+write: %.1fs", time.time() - t_stage)
@@ -324,27 +363,24 @@ class IndexBuilder:
             chunks = [[b] for b in remaining]
         else:
             chunks = [remaining] if remaining else []
-        doc_tf = None
+        docs_raw = None
         batches_done = 0
         for chunk in chunks:
-            if doc_tf is None:
-                doc_tf = (
-                    self.spark.read.parquet(self.docs_path)
-                    .select(
-                        "doc_id",
-                        "doc_len",
-                        F.explode("tfs").alias("term", "tf"),
-                    )
-                )
+            if docs_raw is None:
+                docs_raw = self.spark.read.parquet(self.docs_path)
             t0 = time.time()
-            lo = min(chunk) * bucket_span
-            hi = (max(chunk) + 1) * bucket_span
-            part = doc_tf.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            if len(chunk) < (max(chunk) - min(chunk) + 1):
-                # resume hole: keep only the unbuilt buckets
+            part = docs_raw
+            if len(chunk) < n_buckets:
+                # v3 layout: range_bucket is the docs hive-partition key,
+                # so a resume touching a subset of buckets reads ONLY
+                # those docs partitions (partition pruning, not just
+                # row-group stats on doc_id)
                 part = part.where(
-                    (F.col("doc_id") / bucket_span).cast("int").isin(chunk)
+                    F.col("range_bucket").isin([int(b) for b in chunk])
                 )
+            part = part.select(
+                "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
+            )
             shards = build_postings_df(part, meta["avgdl"], cfg)
             shards = shards.withColumn(
                 "range_bucket",

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sotohp_spark.config import EngineConfig, DEFAULT
-from sotohp_spark.index.build import SCHEMA_VERSION, IndexBuilder, docs_output
+from sotohp_spark.index.build import SCHEMA_VERSION, IndexBuilder, write_docs
 
 log = logging.getLogger("sotohp_spark.migrate")
 
@@ -39,8 +39,15 @@ def _v1_to_v2(docs: DataFrame) -> DataFrame:
     return docs.withColumn("source", F.lit(None).cast("string"))
 
 
+def _v2_to_v3(docs: DataFrame) -> DataFrame:
+    """v3 is a LAYOUT change only (docs hive-partitioned by
+    range_bucket); columns are unchanged, and the partitioned rewrite
+    itself happens in write_docs — the transform is the identity."""
+    return docs
+
+
 # version -> transform that upgrades docs FROM that version to the next
-_UPGRADES = {1: _v1_to_v2}
+_UPGRADES = {1: _v1_to_v2, 2: _v2_to_v3}
 
 
 class ParityError(RuntimeError):
@@ -82,12 +89,7 @@ def migrate_index(
     )
     dst = IndexBuilder(spark, dst_path, cfg)
     dst._rm_dir(dst.path)  # target must start empty (offline tool)
-    (
-        docs_output(docs)
-        .repartitionByRange(cfg.shuffle_partitions, "doc_id")
-        .write.mode("overwrite")
-        .parquet(dst.docs_path)
-    )
+    write_docs(docs, dst.docs_path, cfg)
     # tombstones are part of the index state: carry them over verbatim
     # (doc ids are preserved by migration), or deleted conversations
     # would resurrect on the target

@@ -293,9 +293,9 @@ def append_conversations(
         raise RuntimeError("test kill-switch: crash before docs commit")
 
     # ---- phase 2: docs-table append = the transaction point ----
-    from sotohp_spark.index.build import docs_output
+    from sotohp_spark.index.build import write_docs
 
-    docs_output(docs).write.mode("append").parquet(builder.docs_path)
+    write_docs(docs, builder.docs_path, cfg, mode="append")
 
     # ---- phase 3: derived state + marker removal ----
     meta = _refresh_derived_state(
@@ -421,17 +421,12 @@ def compact_index(
         F.max("doc_id").alias("max_doc"),
     ).collect()[0]
 
-    from sotohp_spark.index.build import docs_output
+    from sotohp_spark.index.build import write_docs
 
     tmp = builder.path + "_compact_tmp"
     fsio.rmtree(spark, tmp)
     new_builder = IndexBuilder(spark, tmp, cfg, rules)
-    (
-        docs_output(survivors)
-        .repartitionByRange(cfg.shuffle_partitions, "doc_id")
-        .write.mode("overwrite")
-        .parquet(new_builder.docs_path)
-    )
+    write_docs(survivors, new_builder.docs_path, cfg)
     new_meta = dict(
         meta,
         n_docs=int(stats["n"]),

@@ -28,7 +28,13 @@ def v1_index(spark, tmp_path_factory):
     b = IndexBuilder(spark, path, CFG)
     b.build(transcripts_df(spark, 0.04).localCheckpoint(), input_fingerprint="m")
 
-    docs_v1 = spark.read.parquet(b.docs_path).drop("source").localCheckpoint()
+    # faithful v1 shape: no source column, FLAT layout (no hive
+    # range_bucket partitioning — that arrived in v3)
+    docs_v1 = (
+        spark.read.parquet(b.docs_path)
+        .drop("source", "range_bucket")
+        .localCheckpoint()
+    )
     docs_v1.write.mode("overwrite").parquet(b.docs_path)
     meta = b._read_meta()
     meta.pop("schema_version", None)
