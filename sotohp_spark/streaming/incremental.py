@@ -221,6 +221,7 @@ def append_conversations(
     meta = builder._read_meta()
     if meta is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
+    _recover_pending_bucket_compact(spark, builder)
     _recover_pending_append(spark, builder)
 
     fresh_turns = new_turns.join(
@@ -320,6 +321,7 @@ def delete_conversations(
 
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path)
+    _recover_pending_bucket_compact(spark, builder)
     _normalize_deletes_layout(spark, builder)
     meta = builder._read_meta()
     span = meta["range_size"] * meta.get("ranges_per_batch", 8)
@@ -363,6 +365,7 @@ def update_conversations(
 
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
+    _recover_pending_bucket_compact(spark, builder)
     if builder._read_meta() is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
     live = _live_conv_ids(spark, builder)
@@ -386,18 +389,17 @@ def compact_index(
     stats — after this, scores reflect the surviving corpus exactly
     (fresh-build equivalence is pytest-enforced).  Implemented as a
     FULL rebuild from the surviving docs' stored tf maps — no
-    re-tokenize, no re-read of the raw turns.  Full (not per-bucket)
-    is deliberate: doc ids are re-densified so the result is
-    byte-equivalent to a fresh build, which is the invariant the tests
-    pin.  A bucket-local variant (keep sparse doc ids, rewrite only
-    tombstoned buckets) would be cheaper at low delete ratios but
-    gives up that equivalence; postings/doc-id layout supports it if
-    it is ever needed — the stage-2 one-job write already overwrites
-    per bucket."""
+    re-tokenize, no re-read of the raw turns.  Doc ids are re-densified
+    so the result is byte-equivalent to a fresh build (the invariant
+    the tests pin) and global stats are refreshed to the surviving
+    corpus.  For the cheap low-delete-ratio path that keeps sparse ids
+    and EXACT pre-compaction scores, use `compact_buckets` — it
+    rewrites only the tombstoned buckets."""
     from sotohp_spark.index.build import recover_pending_compact
 
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
+    _recover_pending_bucket_compact(spark, builder)
     meta = builder._read_meta()
     deletes_path = f"{builder.path}/deletes"
     try:
@@ -456,6 +458,184 @@ def compact_index(
     )
     _complete_compact_swap(spark, builder.path, _fail_after=_fail_during_swap)
     return new_meta
+
+
+def _bucket_compact_marker(builder: IndexBuilder) -> str:
+    return f"{builder.path}/_meta/pending_compact_buckets.json"
+
+
+def _apply_bucket_swap(spark: SparkSession, builder: IndexBuilder, marker: dict):
+    """Per-bucket staged swap, resumable from any crash point.
+
+    For every affected bucket of docs/ and postings/: if its staged dir
+    still exists -> delete the live bucket dir and rename the staged one
+    in; if the marker recorded the bucket as EMPTY (zero survivors) ->
+    delete the live dir; otherwise the bucket was already swapped by a
+    previous run -> leave it.  The explicit empty-bucket lists are what
+    make re-runs safe: without them, "staged dir missing" would be
+    ambiguous between already-swapped and zero-survivors, and recovery
+    could delete freshly-swapped data."""
+    staging = marker["staging"]
+    for sub, base in (
+        ("docs", builder.docs_path),
+        ("postings", builder.postings_path),
+    ):
+        empty = set(marker[f"empty_{sub}"])
+        for b in marker["affected"]:
+            staged = f"{staging}/{sub}/range_bucket={b}"
+            live = f"{base}/range_bucket={b}"
+            if fsio.exists(spark, staged):
+                fsio.rmtree(spark, live)
+                fsio.move_dir(spark, staged, live)
+            elif b in empty:
+                fsio.rmtree(spark, live)
+
+
+def _finish_bucket_compact(spark: SparkSession, builder: IndexBuilder,
+                           marker: dict, marker_path: str):
+    _apply_bucket_swap(spark, builder, marker)
+    fsio.rmtree(spark, f"{builder.path}/deletes")
+    fsio.rmtree(spark, marker["staging"])
+    fsio.remove(spark, marker_path, missing_ok=True)
+
+
+def _recover_pending_bucket_compact(spark: SparkSession, builder: IndexBuilder):
+    """Crash recovery for compact_buckets — run on engine/builder open.
+    A torn swap can leave a live bucket dir deleted with its replacement
+    still in staging (docs temporarily missing from results), so READERS
+    recover too, not just writers."""
+    marker_path = _bucket_compact_marker(builder)
+    if not fsio.exists(spark, marker_path):
+        return False
+    log.warning("recovering interrupted bucket compaction at %s", builder.path)
+    marker = json.loads(fsio.read_text(spark, marker_path))
+    _finish_bucket_compact(spark, builder, marker, marker_path)
+    return True
+
+
+def compact_buckets(
+    spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+    _fail_after: str | None = None,
+) -> dict:
+    """BUCKET-LOCAL compaction: physically drop tombstoned docs from
+    only the range buckets that contain them.
+
+    Contract (vs `compact_index`, the full re-densify):
+    - doc ids stay SPARSE (never reused; max_doc/segments unchanged);
+    - global stats are NOT recomputed — meta (n_docs, avgdl) and
+      term_stats (df) keep counting the removed docs, exactly as the
+      tombstone-filtered index did, so every query's ranks AND scores
+      are IDENTICAL before and after (pytest-pinned).  Lucene has the
+      same behavior between a per-segment merge and a full optimize;
+    - only affected bucket directories of docs/ and postings/ are
+      rewritten — at a 0.1% delete ratio this touches ~0.1% of a
+      100 TB index instead of rewriting all of it.
+
+    Protocol (crash-safe; _recover_pending_bucket_compact on open):
+      1. stage survivors of the affected buckets (docs + rebuilt
+         postings from the stored tf maps) under _staging/ — durable
+         before anything live is touched;
+      2. write the marker (affected buckets + explicit empty-bucket
+         lists);
+      3. per-bucket swap: delete live dir, rename staged dir in;
+      4. drop the tombstone table, staging, and marker.
+    A crash before 3 leaves the live index untouched; a crash inside
+    3/4 is finished idempotently by recovery.
+
+    ``_fail_after``: test kill-switch ('stage' = after the marker,
+    before any swap; 'docs_swap' = after docs swapped, before
+    postings).
+    """
+    from sotohp_spark.index.build import recover_pending_compact, write_docs
+
+    recover_pending_compact(spark, index_path)
+    builder = IndexBuilder(spark, index_path, cfg, rules)
+    _recover_pending_bucket_compact(spark, builder)
+    meta = builder._read_meta()
+    if meta is None:
+        raise ValueError(f"no index at {index_path}")
+    if not builder.has_deletes():
+        return meta
+
+    span = meta["range_size"] * meta.get("ranges_per_batch", 8)
+    doomed = (
+        spark.read.parquet(f"{builder.path}/deletes")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    affected = sorted(
+        int(r["b"])
+        for r in doomed.select(
+            (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    if not affected:
+        return meta
+
+    # ---- 1. stage survivors (docs + postings) for affected buckets ----
+    staging = f"{builder.path}/_staging/compact_buckets"
+    fsio.rmtree(spark, staging)
+    surv = (
+        spark.read.parquet(builder.docs_path)
+        .where(F.col("range_bucket").isin(affected))
+        .join(doomed, "doc_id", "left_anti")
+    )
+    write_docs(surv, f"{staging}/docs", cfg)
+    surv_staged = spark.read.parquet(f"{staging}/docs")
+    doc_tf = surv_staged.select(
+        "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
+    )
+    # avgdl passed UNCHANGED: stored block-max metadata is avgdl-free
+    # and scores must keep the pre-compaction collection stats
+    shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
+    shards = shards.withColumn(
+        "range_bucket",
+        (F.col("range_id").cast("long") * meta["range_size"] / span).cast("int"),
+    )
+    (
+        shards.repartition(cfg.shuffle_partitions, "term")
+        .sortWithinPartitions("term", "range_id")
+        .write.mode("overwrite")
+        .partitionBy("range_bucket")
+        .parquet(f"{staging}/postings")
+    )
+
+    # ---- 2. marker with explicit empty-bucket lists ----
+    def _staged_buckets(sub):
+        return {
+            int(p.rsplit("range_bucket=", 1)[1])
+            for p in fsio.glob(spark, f"{staging}/{sub}/range_bucket=*")
+        }
+
+    marker = {
+        "staging": staging,
+        "affected": affected,
+        "empty_docs": sorted(set(affected) - _staged_buckets("docs")),
+        "empty_postings": sorted(set(affected) - _staged_buckets("postings")),
+    }
+    marker_path = _bucket_compact_marker(builder)
+    fsio.write_text_atomic(spark, marker_path, json.dumps(marker))
+    if _fail_after == "stage":
+        raise RuntimeError("test kill-switch: crash after staging+marker")
+
+    # ---- 3+4. swap and clean up ----
+    if _fail_after == "docs_swap":
+        # swap ONLY docs, then crash — postings still carry the doomed
+        # docs while the docs table no longer does
+        partial = dict(marker, affected=marker["affected"])
+        for b in marker["affected"]:
+            staged = f"{staging}/docs/range_bucket={b}"
+            live = f"{builder.docs_path}/range_bucket={b}"
+            if fsio.exists(spark, staged):
+                fsio.rmtree(spark, live)
+                fsio.move_dir(spark, staged, live)
+            elif b in set(marker["empty_docs"]):
+                fsio.rmtree(spark, live)
+        raise RuntimeError("test kill-switch: crash after docs swap")
+    _finish_bucket_compact(spark, builder, marker, marker_path)
+    return meta
 
 
 def stream_ingest_available_now(
