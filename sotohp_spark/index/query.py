@@ -69,8 +69,17 @@ class QueryEngine:
         from sotohp_spark.index.build import recover_pending_compact
 
         # engine open = recovery point: an interrupted compaction swap
-        # is finished here, so a reader never sees a missing/torn index
+        # (full or bucket-local) is finished here, so a reader never
+        # sees a missing/torn index
         recover_pending_compact(spark, self.path)
+        from sotohp_spark.index.build import IndexBuilder
+        from sotohp_spark.streaming.incremental import (
+            _recover_pending_bucket_compact,
+        )
+
+        _recover_pending_bucket_compact(
+            spark, IndexBuilder(spark, self.path)
+        )
         self.meta = json.loads(
             fsio.read_text(spark, f"{self.path}/_meta/meta.json")
         )
@@ -84,13 +93,22 @@ class QueryEngine:
         self._postings = (
             spark.read.option("basePath", f"{self.path}/postings")
             .parquet(f"{self.path}/postings")
+            # COMMITTED-SNAPSHOT GUARD: phase 1 of a concurrent 2-phase
+            # append moves postings files into the live tree BEFORE the
+            # docs-table commit; their shards cover only doc ids above
+            # this engine's meta["max_doc"] (ids are allocated past the
+            # committed maximum), so one shard-level predicate masks
+            # every uncommitted/ghost posting.  first_doc is a plain
+            # data column -> parquet row-group pruning makes it ~free.
+            .where(F.col("first_doc") <= int(self.meta["max_doc"]))
         )
         self._term_stats = spark.read.parquet(f"{self.path}/term_stats")
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
-        # postings build) is pruned out of every docs scan
+        # postings build) is pruned out of every docs scan; range_bucket
+        # (the hive partition key) rides along for DPP in _attach_docs
         self._docs = spark.read.parquet(f"{self.path}/docs").select(
-            "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
+            "range_bucket", "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
         )
         if max_driver_deletes is not None:
             self.MAX_DRIVER_DELETES = max_driver_deletes
@@ -495,9 +513,21 @@ class QueryEngine:
         return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
 
     def _attach_docs(self, topk: DataFrame) -> DataFrame:
+        """Join doc metadata onto a (tiny) top-k frame.
+
+        INNER join with the k-row side broadcast: the committed-snapshot
+        guard on the postings scan means every scored doc_id exists in
+        the docs table, so no left join is needed (broadcasting the
+        preserved side of a left-outer join is unsupported anyway — the
+        old hint was silently ignored).  The derived range_bucket join
+        key triggers dynamic partition pruning on the docs scan: only
+        the hive partitions holding the k result docs are read."""
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = topk.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
         return (
-            F.broadcast(topk)
-            .join(self._docs, "doc_id", "left")
+            self._docs.join(F.broadcast(keyed), ["range_bucket", "doc_id"])
             .select("doc_id", "conv_id", "score", "doc_ts", "n_turns", "doc_len")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )

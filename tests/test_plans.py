@@ -19,7 +19,7 @@ from sotohp_spark.plans.checks import (
 
 
 @pytest.fixture(scope="module")
-def engine(spark, tmp_path_factory):
+def _engine(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("planidx"))
     cfg = EngineConfig(range_size=32, block_size=8, ranges_per_batch=4,
                        shuffle_partitions=4)
@@ -27,6 +27,16 @@ def engine(spark, tmp_path_factory):
         transcripts_df(spark, 0.03), input_fingerprint="plans"
     )
     return QueryEngine(spark, path)
+
+
+@pytest.fixture
+def engine(_engine):
+    """Per-test view of the module engine that RESTORES class-level
+    threshold overrides — a test forcing the distributed plan
+    (LOCAL_PATH_MAX_POSTINGS = 0) must not leak it into later tests."""
+    saved = _engine.LOCAL_PATH_MAX_POSTINGS
+    yield _engine
+    _engine.LOCAL_PATH_MAX_POSTINGS = saved
 
 
 def test_postings_scan_pushes_term_filter(engine):
@@ -99,6 +109,34 @@ def test_positional_access_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in formatted_plan(rnd)
     picks = sorted({(48271 * i + 7) % 1000 for i in range(5)})
     assert [r["event_id"] for r in rnd.collect()] == picks
+
+
+def test_attach_docs_uses_dpp_and_broadcast(engine):
+    """The doc-metadata join must (a) broadcast the k-row side into a
+    BroadcastHashJoin (the old broadcast-left left-outer hint was
+    silently unsupported) and (b) dynamic-partition-prune the docs scan
+    via the derived range_bucket key — only partitions holding result
+    docs are read."""
+    import re
+
+    from sotohp_spark.plans.checks import formatted_plan
+
+    engine.LOCAL_PATH_MAX_POSTINGS = 0  # force the distributed plan
+    df = engine.top_k("error retry", 5, with_docs=True)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any(
+        "range_bucket" in f and "dynamicpruning" in f for f in pf
+    ), f"no dynamic partition pruning on the docs scan:\n{plan}"
+
+
+def test_postings_scan_masks_uncommitted_appends(engine):
+    """The committed-snapshot guard (first_doc <= meta.max_doc) must
+    reach the postings parquet scan as a pushed filter."""
+    engine.LOCAL_PATH_MAX_POSTINGS = 0  # force the distributed plan
+    df = engine.top_k("error retry", 5, with_docs=False)
+    assert_pushed_filter(df, "first_doc")
 
 
 def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
