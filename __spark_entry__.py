@@ -200,7 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_doc_stats"] = _transcripts_doc_stats
     q["transcripts_postings_metrics"] = _transcripts_postings_metrics
 
-    # --- multimodal plumbing (rows-only; decode is stubbed) ---
+    # --- multimodal plumbing (decode stubbed; metadata columns oracled:
+    # media derives deterministically from documents) ---
     q["multimodal_features"] = _multimodal_features
     return q
 
@@ -339,10 +340,24 @@ def _transcripts_postings_metrics(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
-    from sotohp_spark.operators.multimodal import extract_features, synthetic_media
+    """Media derived deterministically from the documents table, so the
+    DuckDB oracle can recompute every output column in SQL (the decode
+    itself stays a stub; the mapInPandas plumbing under test is real)."""
+    from sotohp_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
 
-    return extract_features(synthetic_media(spark, n=64)).select(
-        "media_id", "kind", "n_bytes", "ok", F.size("feature").alias("feature_dim")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(media_from_documents(docs)).select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "ok",
+        F.when(F.col("ok"), F.size("feature"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("feature_dim"),
     )
 
 
@@ -403,6 +418,21 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
     o["dedup_ngram_jaccard"] = _jaccard_oracle_sql(
         threshold=0.5, n=3, max_df=200
     )
+
+    # media_from_documents is closed-form over (doc_id, text), so every
+    # output of the mapInPandas extraction except the stub feature
+    # vector itself is recomputable in SQL (feature_dim checks the
+    # vector's shape; null payload -> ok=false, n_bytes=0, dim null)
+    o["multimodal_features"] = """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CASE WHEN doc_id % 17 = 0 THEN 0
+       ELSE octet_length(CAST(text AS BLOB)) END::BIGINT AS n_bytes,
+  (doc_id % 17) <> 0 AS ok,
+  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 8 END::BIGINT AS feature_dim
+FROM documents
+"""
 
     o["text_metrics"] = r"""
 WITH words AS (

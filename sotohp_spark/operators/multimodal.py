@@ -96,6 +96,33 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table DERIVED from the documents corpus:
+    every field is a pure function of (doc_id, text) — kind cycles by
+    doc_id, the payload is the UTF-8 bytes of the text (null every
+    17th row: the decode-failure path), typed metadata is arithmetic
+    on doc_id.  Because the derivation is closed-form, an external SQL
+    engine can recompute the pipeline's metadata outputs exactly —
+    which is how the driver's DuckDB oracle checks the mapInPandas
+    feature-extraction row (media_id, kind, n_bytes, ok, feature_dim)
+    without needing the binary payloads on its side."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int"))
+    is_img = kind == F.lit("image")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .alias("payload"),
+        F.when(is_img, (F.col("doc_id") % 1024 + 64).cast("int")).alias("width"),
+        F.when(is_img, (F.col("doc_id") % 768 + 64).cast("int")).alias("height"),
+        F.when(~is_img, (F.col("doc_id") % 600000 + 1000).cast("int")).alias(
+            "duration_ms"
+        ),
+    )
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.Generator(np.random.PCG64(seed))
