@@ -619,11 +619,21 @@ SELECT pos, event_id, user_id, event_type FROM (
 ) WHERE pos % 1000 = 0
 """
 
+    # mirrors analytics.lcg_positions: iterate x=(48271x+12345) mod N
+    # from x0=seed past collisions until 10 distinct picks (cap 1000)
     o["random_select_seeded"] = """
-WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS n FROM events),
+lcg(i, x, picked) AS (
+  SELECT 1, (48271 * (7 % n.n) + 12345) % n.n,
+         [((48271 * (7 % n.n) + 12345) % n.n)] FROM n
+  UNION ALL
+  SELECT i + 1, (48271 * x + 12345) % n.n,
+         list_distinct(list_append(picked, (48271 * x + 12345) % n.n))
+  FROM lcg, n WHERE len(picked) < 10 AND i < 1000
+),
 picks AS (
-  SELECT DISTINCT (48271 * s.i + 7) % n.n AS pos
-  FROM generate_series(0, 9) s(i), n
+  SELECT DISTINCT unnest(picked) AS pos
+  FROM (SELECT picked FROM lcg ORDER BY i DESC LIMIT 1)
 ),
 idx AS (
   SELECT row_number() OVER (ORDER BY event_id) - 1 AS pos,

@@ -86,7 +86,10 @@ PARTITION_STATE_SCHEMA = T.StructType(
         T.StructField("compressed_bytes", T.LongType(), False),
         T.StructField("skew_ratio", T.DoubleType(), False),
         T.StructField("n_terms", T.LongType(), False),
-        T.StructField("wall_time_sec", T.DoubleType(), False),
+        # the bucket's amortized share of its BATCH's wall time (the
+        # one-job stage-2 writer builds many buckets per job, so a true
+        # per-bucket wall does not exist) — named to say so
+        T.StructField("wall_share_sec", T.DoubleType(), False),
         T.StructField("built_at", T.TimestampType(), False),
     ]
 )
@@ -314,6 +317,8 @@ class IndexBuilder:
                     F.count(F.lit(1)).alias("n"),
                     F.avg("doc_len").alias("avgdl"),
                     F.max("doc_id").alias("max_doc"),
+                    F.min("doc_ts").alias("ts_lo"),
+                    F.max("doc_ts").alias("ts_hi"),
                 )
                 .write.mode("overwrite")
                 .partitionBy("range_bucket")
@@ -336,8 +341,11 @@ class IndexBuilder:
                 # doc ids are (doc_ts, conv_id)-ordered WITHIN a
                 # segment; appends add segments (Lucene-style).  Time-
                 # windowed search resolves a ts range to one doc-id
-                # interval per segment.
+                # interval per segment; segment_ts (the per-segment
+                # event-time bounds, aligned with segments) lets it skip
+                # or whole-include segments WITHOUT a docs scan.
                 "segments": [[0, int(stats["max_doc"])]],
+                "segment_ts": [[str(stats["ts_lo"]), str(stats["ts_hi"])]],
                 "docs_done": True,
                 "postings_done": False,
             }

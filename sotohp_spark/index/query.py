@@ -203,6 +203,14 @@ class QueryEngine:
         }
         return len(self._df_cache)
 
+    @staticmethod
+    def _coerce_ts(v):
+        import datetime
+
+        if v is None or isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime.fromisoformat(str(v))
+
     def _doc_bounds_for_ts(self, ts_min, ts_max):
         """Translate a timestamp window to inclusive doc-id intervals,
         ONE PER INDEX SEGMENT.
@@ -211,38 +219,77 @@ class QueryEngine:
         segment (docs.py); each append creates a new segment at the top
         of the id space (meta["segments"]), so the window is a union of
         per-segment intervals — the engine's analog of the reference's
-        monthly-index routing (ElasticOperations.scala:113-130).  One
-        pruned docs scan (doc_ts min/max pushed into parquet row-group
-        stats); returns None when the window matches nothing.  A
+        monthly-index routing (ElasticOperations.scala:113-130).  A
         single-interval answer would be WRONG after an append: a
         February conversation appended after a March one gets a doc_id
-        above all of March, so the envelope would sweep March in."""
-        d = self._docs
-        if ts_min is not None:
-            d = d.where(F.col("doc_ts") >= ts_min)
-        if ts_max is not None:
-            d = d.where(F.col("doc_ts") <= ts_max)
-        segs = self.meta.get("segments") or [[0, self.meta["max_doc"]]]
-        if len(segs) == 1:
-            row = d.agg(
-                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-            ).collect()[0]
-            return None if row["lo"] is None else [(int(row["lo"]), int(row["hi"]))]
-        seg_df = self.spark.createDataFrame(
-            [(int(lo), int(hi)) for lo, hi in segs], "slo long, shi long"
-        )
-        rows = (
-            d.join(
-                F.broadcast(seg_df),
-                (F.col("doc_id") >= F.col("slo"))
-                & (F.col("doc_id") <= F.col("shi")),
+        above all of March, so the envelope would sweep March in.
+
+        meta["segment_ts"] (per-segment event-time bounds, recorded at
+        build/append) answers the common cases from METADATA ALONE:
+        a segment disjoint from the window is skipped, one fully inside
+        it contributes its whole id interval — the interactive monthly-
+        window query never runs a docs-scan job.  Only segments the
+        window PARTIALLY overlaps need a scan, and that scan is pruned
+        to their range buckets (hive partition pruning on docs)."""
+        w_lo, w_hi = self._coerce_ts(ts_min), self._coerce_ts(ts_max)
+        segs = [
+            (int(lo), int(hi))
+            for lo, hi in self.meta.get("segments") or [[0, self.meta["max_doc"]]]
+        ]
+        seg_ts = self.meta.get("segment_ts") or []
+        full, partial = [], []
+        for idx, (lo, hi) in enumerate(segs):
+            b = seg_ts[idx] if idx < len(seg_ts) else None
+            if b is None:
+                partial.append((lo, hi))  # unknown bounds: must scan
+                continue
+            s_lo, s_hi = self._coerce_ts(b[0]), self._coerce_ts(b[1])
+            if (w_lo is not None and s_hi < w_lo) or (
+                w_hi is not None and s_lo > w_hi
+            ):
+                continue  # disjoint: skip without touching data
+            if (w_lo is None or w_lo <= s_lo) and (w_hi is None or s_hi <= w_hi):
+                full.append((lo, hi))  # window covers the whole segment
+            else:
+                partial.append((lo, hi))
+
+        ivs = list(full)
+        if partial:
+            d = self._docs
+            span = self.cfg.range_size * self.cfg.ranges_per_batch
+            buckets = sorted(
+                {b for lo, hi in partial for b in range(lo // span, hi // span + 1)}
             )
-            .groupBy("slo")
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .collect()
-        )
-        ivs = sorted((int(r["lo"]), int(r["hi"])) for r in rows)
-        return ivs or None
+            d = d.where(F.col("range_bucket").isin(buckets))
+            if ts_min is not None:
+                d = d.where(F.col("doc_ts") >= ts_min)
+            if ts_max is not None:
+                d = d.where(F.col("doc_ts") <= ts_max)
+            if len(partial) == 1:
+                lo, hi = partial[0]
+                row = (
+                    d.where(F.col("doc_id").between(lo, hi))
+                    .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                    .collect()[0]
+                )
+                if row["lo"] is not None:
+                    ivs.append((int(row["lo"]), int(row["hi"])))
+            else:
+                seg_df = self.spark.createDataFrame(
+                    [(lo, hi) for lo, hi in partial], "slo long, shi long"
+                )
+                rows = (
+                    d.join(
+                        F.broadcast(seg_df),
+                        (F.col("doc_id") >= F.col("slo"))
+                        & (F.col("doc_id") <= F.col("shi")),
+                    )
+                    .groupBy("slo")
+                    .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                    .collect()
+                )
+                ivs.extend((int(r["lo"]), int(r["hi"])) for r in rows)
+        return sorted(ivs) or None
 
     # cap on the explicit bucket IN-list for partition pruning; above
     # it a min/max envelope conjunct is used instead
@@ -435,13 +482,19 @@ class QueryEngine:
         conj = conjunctive
         shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
 
+        # ship the (possibly 10^5-entry) query-weight table ONCE per
+        # executor as a broadcast variable instead of pickling it into
+        # every task closure — at eval-sweep scale the per-task
+        # serialization tax is real
+        bc_queries = spark.sparkContext.broadcast(per_query)
+
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             by_term: dict[str, list] = {}
             for r in rows:
                 by_term.setdefault(r["term"], []).append(r)
             out = []
-            for qid, (weights, kk) in per_query.items():
+            for qid, (weights, kk) in bc_queries.value.items():
                 qrows = [r for t in weights for r in by_term.get(t, ())]
                 if not qrows:
                     continue

@@ -277,6 +277,26 @@ def every_nth_event(events, n: int = 1000) -> DataFrame:
     )
 
 
+def lcg_positions(n_total: int, n_pick: int, seed: int) -> list:
+    """Draw n_pick DISTINCT positions in [0, n_total) by iterating a
+    Lehmer-style LCG (x = (48271*x + 12345) mod N; public constants
+    from the minstd generator) past collisions — a strided draw
+    silently returned FEWER than n_pick rows whenever positions
+    collided.  The iteration cap (mirrored in the SQL oracle's
+    recursive CTE) bounds the pathological short-cycle case; both
+    sides then agree on the possibly-short result."""
+    a, c = 48271, 12345
+    x = seed % n_total
+    seen: set = set()
+    want = min(n_pick, n_total)
+    for _ in range(100 * n_pick):
+        x = (a * x + c) % n_total
+        seen.add(x)
+        if len(seen) >= want:
+            break
+    return sorted(seen)
+
+
 def random_events(events, n_pick: int = 10, seed: int = 7) -> DataFrame:
     """Seeded uniform row selection — the reference's random pick via
     maxPosition (ApiApp.scala:804-814): draw k positions in [0, N)
@@ -285,7 +305,7 @@ def random_events(events, n_pick: int = 10, seed: int = 7) -> DataFrame:
     maxPosition driver-side the same way); everything else is a
     broadcast semi-join against the positional index."""
     n_total = events.count()
-    picks = sorted({(48271 * i + seed) % n_total for i in range(n_pick)})
+    picks = lcg_positions(n_total, n_pick, seed)
     pos_df = events.sparkSession.createDataFrame(
         [(p,) for p in picks], "pos long"
     )

@@ -140,15 +140,18 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
 
 
 def _refresh_derived_state(
-    spark: SparkSession, builder: IndexBuilder, new_segment: tuple | None = None
+    spark: SparkSession, builder: IndexBuilder, new_segment: tuple | None = None,
+    new_segment_ts: tuple | None = None,
 ) -> dict:
     """Recompute meta globals + term_stats from the committed tables.
 
     ``new_segment``: (first_doc, last_doc) of a just-committed append —
     recorded in meta["segments"] (doc ids are time-ordered only WITHIN
-    a segment; time-windowed search needs the boundaries).  Idempotent:
-    a segment already covered by the list is not re-added (crash
-    recovery may re-run this)."""
+    a segment; time-windowed search needs the boundaries).
+    ``new_segment_ts``: the segment's (min doc_ts, max doc_ts); if the
+    caller doesn't know them (crash recovery), they are recomputed with
+    one pruned docs scan.  Idempotent: a segment already covered by the
+    list is not re-added (crash recovery may re-run this)."""
     meta = builder._read_meta()
     stats = spark.read.parquet(builder.docs_path).agg(
         F.count("*").alias("n"),
@@ -164,6 +167,20 @@ def _refresh_derived_state(
         segs = [list(s) for s in meta.get("segments", [[0, lo - 1]] if lo else [])]
         if not segs or lo > segs[-1][1]:
             segs.append([lo, hi])
+            if new_segment_ts is None:
+                row = (
+                    spark.read.parquet(builder.docs_path)
+                    .where(F.col("doc_id").between(lo, hi))
+                    .agg(F.min("doc_ts").alias("a"), F.max("doc_ts").alias("b"))
+                    .collect()[0]
+                )
+                new_segment_ts = (row["a"], row["b"])
+            seg_ts = list(meta.get("segment_ts") or [])
+            # keep ALIGNED with segments; pad unknown older entries
+            while len(seg_ts) < len(segs) - 1:
+                seg_ts.append(None)
+            seg_ts.append([str(new_segment_ts[0]), str(new_segment_ts[1])])
+            meta["segment_ts"] = seg_ts
         meta["segments"] = segs
     postings = spark.read.option("basePath", builder.postings_path).parquet(
         builder.postings_path
@@ -241,14 +258,25 @@ def append_conversations(
     )
     docs = apply_term_freqs(docs, rules)
     docs = docs.localCheckpoint()
-    n_new = docs.count()
+    # one distributed aggregate: batch size, an order-independent
+    # content digest for the batch id (no O(batch) driver collect —
+    # the verify_parity crc32-sum pattern), and the segment's event-
+    # time bounds for meta["segment_ts"] (time-windowed search prunes
+    # whole segments from these without a docs scan)
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.col("conv_id"))).alias("digest"),
+        F.min("conv_id").alias("lo"),
+        F.max("conv_id").alias("hi"),
+        F.min("doc_ts").alias("ts_lo"),
+        F.max("doc_ts").alias("ts_hi"),
+    ).collect()[0]
+    n_new = int(agg["n"])
     if n_new == 0:
         return meta
 
     batch_id = hashlib.md5(
-        json.dumps(sorted(
-            r["conv_id"] for r in docs.select("conv_id").collect()
-        )).encode()
+        f"{int(agg['digest'])}|{n_new}|{agg['lo']}|{agg['hi']}".encode()
     ).hexdigest()[:16]
 
     # ---- phase 1: postings -> staging, then move under the marker ----
@@ -300,7 +328,8 @@ def append_conversations(
 
     # ---- phase 3: derived state + marker removal ----
     meta = _refresh_derived_state(
-        spark, builder, new_segment=(pre_max_doc + 1, pre_max_doc + n_new)
+        spark, builder, new_segment=(pre_max_doc + 1, pre_max_doc + n_new),
+        new_segment_ts=(agg["ts_lo"], agg["ts_hi"]),
     )
     fsio.remove(spark, marker_path)
     fsio.rmtree(spark, f"{builder.path}/_staging")
@@ -421,6 +450,8 @@ def compact_index(
         F.count("*").alias("n"),
         F.avg("doc_len").alias("avgdl"),
         F.max("doc_id").alias("max_doc"),
+        F.min("doc_ts").alias("ts_lo"),
+        F.max("doc_ts").alias("ts_hi"),
     ).collect()[0]
 
     from sotohp_spark.index.build import write_docs
@@ -437,6 +468,7 @@ def compact_index(
         fingerprint=meta["fingerprint"] + "+compact",
         # re-densified ids are globally time-ordered again: one segment
         segments=[[0, int(stats["max_doc"])]],
+        segment_ts=[[str(stats["ts_lo"]), str(stats["ts_hi"])]],
         postings_done=False,
     )
     new_builder._write_meta(new_meta)

@@ -68,8 +68,6 @@ def completed_conversations_stream(
     max_ts + gap on every update and fires when the watermark passes
     it.  Output rows feed straight into append_conversations.
     """
-    import datetime
-
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -79,6 +77,11 @@ def completed_conversations_stream(
     )
     state_schema = "n_turns long, min_ts timestamp, max_ts timestamp"
     gap_ms = gap_minutes * 60 * 1000
+    # pandas timestamps arriving in the state function are NAIVE in the
+    # SESSION timezone — localizing them as UTC would offset the
+    # timeout by the tz delta whenever spark.sql.session.timeZone is
+    # not UTC (conversations would complete early/late by that delta)
+    tz_name = turns_stream.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def detect(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -105,9 +108,8 @@ def completed_conversations_stream(
             mx = b_mx if mx is None else max(mx, b_mx)
         if mx is not None:
             state.update((int(n), mn, mx))
-            ts = mx.to_pydatetime() if hasattr(mx, "to_pydatetime") else mx
             epoch_ms = int(
-                ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+                pd.Timestamp(mx).tz_localize(tz_name).timestamp() * 1000
             )
             state.setTimeoutTimestamp(epoch_ms + gap_ms)
         yield pd.DataFrame(

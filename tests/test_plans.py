@@ -107,8 +107,14 @@ def test_positional_access_no_single_partition_window(spark):
 
     rnd = random_events(events, n_pick=5, seed=7)
     assert "Exchange SinglePartition" not in formatted_plan(rnd)
-    picks = sorted({(48271 * i + 7) % 1000 for i in range(5)})
+    # independent mirror of the LCG draw (iterate past collisions)
+    x, seen = 7 % 1000, set()
+    while len(seen) < 5:
+        x = (48271 * x + 12345) % 1000
+        seen.add(x)
+    picks = sorted(seen)
     assert [r["event_id"] for r in rnd.collect()] == picks
+    assert len(picks) == 5
 
 
 def test_attach_docs_uses_dpp_and_broadcast(engine):

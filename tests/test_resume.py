@@ -145,5 +145,5 @@ def test_metrics_emitted_per_partition(spark, tmp_path, turns):
         assert r["postings_count"] > 0
         assert r["compressed_bytes"] > 0
         assert r["skew_ratio"] >= 1.0
-        assert r["wall_time_sec"] > 0
+        assert r["wall_share_sec"] > 0
         assert r["built_at"] is not None
