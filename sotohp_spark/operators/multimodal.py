@@ -54,10 +54,32 @@ def decode_available() -> bool:
         return False
 
 
+def default_decoder():
+    """A (payload, dim) -> feature callable backed by PIL, or None when
+    no decoder library is importable.  Resolved INSIDE the mapInPandas
+    partition function, so the import cost is paid once per partition
+    on the executor (the per-executor model-loading pattern; the
+    reference serializes its non-thread-safe predictors the same way,
+    FacesProcessor.scala:167-192)."""
+    if not decode_available():
+        return None
+    import io as _io  # pragma: no cover - needs PIL in the env
+
+    from PIL import Image  # pragma: no cover
+
+    def _decode(payload: bytes, dim: int) -> list:  # pragma: no cover
+        img = Image.open(_io.BytesIO(payload)).convert("L").resize((dim, dim))
+        arr = np.asarray(img, dtype=np.float64)
+        return (arr.mean(axis=0) / 255.0).astype(np.float32).tolist()
+
+    return _decode  # pragma: no cover
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list:
     """Deterministic stand-in for a real decode+embed: folds payload
-    bytes into `dim` float buckets.  Replaced by the real decoder when
-    decode_available()."""
+    bytes into `dim` float buckets.  Used for kinds with no decoder
+    (audio/video), for undecodable payloads, and for everything when
+    no decoder library is present."""
     if payload is None:
         return None
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -68,18 +90,33 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list:
     return (folded.mean(axis=0) / 255.0).astype(np.float32).tolist()
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches in, one model
-    (here: the stub) initialized per partition — the pattern for
-    per-executor model loading (the reference serializes non-thread-
-    safe predictors with a semaphore, FacesProcessor.scala:167-192;
-    Spark gets the same safety from partition-serial execution)."""
+def extract_features(
+    media: DataFrame, dim: int = 8, decoder="auto"
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one decoder
+    initialized per partition on the executor.
+
+    ``decoder``: 'auto' resolves the real PIL-backed decoder when the
+    library is importable (image payloads only) and falls back to the
+    deterministic byte-fold stub otherwise; pass an explicit
+    (payload, dim) -> list callable to inject one (tests drive the
+    real-decoder code path this way without PIL in the env).  A payload
+    the decoder rejects falls back to the stub rather than failing the
+    batch — decode errors are data, not crashes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode_available():  # pragma: no cover
-            raise NotImplementedError(
-                "real decoder wiring goes here (PIL/cv2 not in this env)"
-            )
+        dec = default_decoder() if decoder == "auto" else decoder
+
+        def featurize(kind: str, payload) -> list | None:
+            if payload is None:
+                return None
+            if dec is not None and kind == "image":
+                try:
+                    return dec(payload, dim)
+                except Exception:
+                    return _fake_feature(payload, dim)
+            return _fake_feature(payload, dim)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -88,7 +125,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ),
-                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                    "feature": [
+                        featurize(k, p)
+                        for k, p in zip(pdf["kind"], pdf["payload"])
+                    ],
                     "ok": pdf["payload"].notna(),
                 }
             )

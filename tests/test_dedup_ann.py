@@ -175,3 +175,34 @@ def test_multimodal_plumbing(spark):
         feats.sort_values("media_id").reset_index(drop=True),
         feats2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+def test_multimodal_injected_decoder_path(spark):
+    """The real-decoder code path (decoder applies to image payloads,
+    stub covers audio/video and decode failures) driven via an injected
+    callable — same plumbing PIL would ride.  Defined as a closure so
+    cloudpickle ships it by value (test modules aren't importable on
+    executors, exactly like a notebook-defined decoder)."""
+    from sotohp_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    def unit_decoder(payload, dim):
+        if len(payload) < 4:
+            raise ValueError("too short to decode")
+        return [1.0] * dim
+
+    feats = extract_features(
+        synthetic_media(spark, n=32), dim=4, decoder=unit_decoder
+    ).toPandas().set_index("media_id")
+    ok = feats[feats["ok"]]
+    assert (ok["feature"].map(len) == 4).all()
+    # every decodable image went through the injected decoder...
+    img = ok[ok["kind"] == "image"]
+    assert len(img) and all(list(f) == [1.0] * 4 for f in img["feature"])
+    # ...audio/video stay on the deterministic fold (not all-ones)
+    rest = ok[ok["kind"] != "image"]
+    assert len(rest) and any(list(f) != [1.0] * 4 for f in rest["feature"])
+    # null payloads unaffected
+    assert feats.loc[0, "feature"] is None and not feats.loc[0, "ok"]
