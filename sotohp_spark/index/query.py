@@ -106,8 +106,18 @@ class QueryEngine:
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
         # postings build) is pruned out of every docs scan; range_bucket
-        # (the hive partition key) rides along for DPP in _attach_docs
-        self._docs = spark.read.parquet(f"{self.path}/docs").select(
+        # (the hive partition key, layout v3) rides along for DPP in
+        # _attach_docs.  Pre-v3 flat docs tables don't have the
+        # partition column — derive it (no pruning, same semantics) so
+        # the engine stays READ-compatible across layouts (the offline
+        # migrator upgrades writes; reads must not require it).
+        docs = spark.read.parquet(f"{self.path}/docs")
+        if "range_bucket" not in docs.columns:
+            span = self.cfg.range_size * self.cfg.ranges_per_batch
+            docs = docs.withColumn(
+                "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+            )
+        self._docs = docs.select(
             "range_bucket", "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
         )
         if max_driver_deletes is not None:

@@ -575,6 +575,11 @@ def compact_buckets(
     A crash before 3 leaves the live index untouched; a crash inside
     3/4 is finished idempotently by recovery.
 
+    `partition_state` rows are NOT rewritten: like Lucene segment
+    metadata, they describe the batch that originally built each
+    bucket (fingerprint, wall share); post-compaction postings counts
+    are recomputable from the live postings table when needed.
+
     ``_fail_after``: test kill-switch ('stage' = after the marker,
     before any swap; 'docs_swap' = after docs swapped, before
     postings).
