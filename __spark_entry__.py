@@ -200,10 +200,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_doc_stats"] = _transcripts_doc_stats
     q["transcripts_postings_metrics"] = _transcripts_postings_metrics
 
+    # --- F4: DMS -> decimal-degrees geo parse (reference
+    # package.scala:475-536; specs synthesized deterministically from
+    # events so DuckDB mirrors the parse) ---
+    q["dms_geo_parse"] = _dms_geo_parse
+
     # --- multimodal plumbing (decode stubbed; metadata columns oracled:
     # media derives deterministically from documents) ---
     q["multimodal_features"] = _multimodal_features
     return q
+
+
+def _dms_geo_parse(spark, sf_dir):
+    """Two DMS quote dialects + malformed rows (quarantined to null),
+    parsed with pure column expressions (functions/geo.py)."""
+    from sotohp_spark.functions.geo import dms_to_decimal
+
+    ev = _t(spark, sf_dir, "events")
+    deg = (F.col("event_id") % 90).cast("string")
+    minu = (F.col("user_id") % 60).cast("string")
+    sec = (F.col("event_id") % 60).cast("string")
+    ref = F.when(F.col("event_id") % 2 == 0, F.lit("N")).otherwise(F.lit("S"))
+    ascii_spec = F.concat(
+        deg, F.lit("° "), minu, F.lit("' "), sec, F.lit('" '), ref
+    )
+    uni_spec = F.concat(
+        deg, F.lit("° "), minu, F.lit("′ "), sec, F.lit("″ "), ref
+    )
+    spec = (
+        F.when(F.col("event_id") % 13 == 0, F.concat(deg, F.lit(" deg "), minu))
+        .when(F.col("user_id") % 2 == 0, ascii_spec)
+        .otherwise(uni_spec)
+    )
+    return ev.select(
+        "event_id",
+        spec.alias("spec"),
+        F.round(dms_to_decimal(spec, "lat"), 6).alias("lat_dd"),
+    )
 
 
 _ANN_INDEX_CACHE: dict = {}
@@ -642,6 +675,30 @@ idx AS (
 )
 SELECT idx.pos, event_id, user_id, event_type
 FROM idx JOIN picks USING (pos) ORDER BY pos
+"""
+
+    from sotohp_spark.functions.geo import dms_oracle_expr
+
+    o["dms_geo_parse"] = f"""
+WITH specs AS (
+  SELECT event_id,
+    CASE WHEN event_id % 13 = 0
+      THEN concat(CAST(event_id % 90 AS VARCHAR), ' deg ',
+                  CAST(user_id % 60 AS VARCHAR))
+    WHEN user_id % 2 = 0
+      THEN concat(CAST(event_id % 90 AS VARCHAR), '° ',
+                  CAST(user_id % 60 AS VARCHAR), ''' ',
+                  CAST(event_id % 60 AS VARCHAR), '" ',
+                  CASE WHEN event_id % 2 = 0 THEN 'N' ELSE 'S' END)
+    ELSE concat(CAST(event_id % 90 AS VARCHAR), '° ',
+                CAST(user_id % 60 AS VARCHAR), '′ ',
+                CAST(event_id % 60 AS VARCHAR), '″ ',
+                CASE WHEN event_id % 2 = 0 THEN 'N' ELSE 'S' END)
+    END AS spec
+  FROM events
+)
+SELECT event_id, spec, round({dms_oracle_expr("spec", "lat")}, 6) AS lat_dd
+FROM specs
 """
 
     o["geo_travel_distance"] = """
