@@ -100,7 +100,11 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    # Hadoop rename reports failure by RETURNING false, not raising —
+    # a swallowed failure here would mean a commit protocol proceeding
+    # without its marker/meta, which recovery could never see
+    if not fs.rename(tmp, p):
+        raise OSError(f"atomic write failed: rename {tmp} -> {path}")
 
 
 def remove(spark, path: str, missing_ok: bool = True) -> None:

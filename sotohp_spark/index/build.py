@@ -251,6 +251,16 @@ class IndexBuilder:
         cfg = self.cfg
         fingerprint = input_fingerprint or "default"
         recover_pending_compact(self.spark, self.path)
+        if self._read_meta() is not None:
+            # a pending BUCKET compaction must also be reconciled before
+            # any rebuild decision: its marker refers to the CURRENT
+            # index's staged dirs, and leaving it behind would let a
+            # later open "recover" against a freshly rebuilt index
+            from sotohp_spark.streaming.incremental import (
+                _recover_pending_bucket_compact,
+            )
+
+            _recover_pending_bucket_compact(self.spark, self)
 
         # ---- stage 1: docs + doc stats (deterministic, idempotent) ----
         # Skipped on resume if already built for the same fingerprint.
@@ -292,6 +302,14 @@ class IndexBuilder:
                     self.spark, f"{self.path}/_meta/pending_append_*.json"
                 ):
                     fsio.remove(self.spark, m)
+                # any pending bucket-compact marker was reconciled above;
+                # remove defensively so a stale one can never replay its
+                # empty-bucket deletions against the rebuilt index
+                fsio.remove(
+                    self.spark,
+                    f"{self.path}/_meta/pending_compact_buckets.json",
+                    missing_ok=True,
+                )
             t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             # exchange FIRST, tokenize after: the pandas UDF (the

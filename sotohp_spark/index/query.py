@@ -213,13 +213,24 @@ class QueryEngine:
         }
         return len(self._df_cache)
 
-    @staticmethod
-    def _coerce_ts(v):
+    def _coerce_ts(self, v):
+        """Normalize a window bound to a NAIVE session-local datetime —
+        meta['segment_ts'] stores naive session-tz wall times (str of a
+        Spark timestamp), so a tz-AWARE caller argument must be
+        converted to the session zone before comparison (Spark's own
+        column filters do the equivalent on the scan side)."""
         import datetime
 
-        if v is None or isinstance(v, datetime.datetime):
-            return v
-        return datetime.datetime.fromisoformat(str(v))
+        if v is None:
+            return None
+        if not isinstance(v, datetime.datetime):
+            v = datetime.datetime.fromisoformat(str(v))
+        if v.tzinfo is not None:
+            from zoneinfo import ZoneInfo
+
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+            v = v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
+        return v
 
     def _doc_bounds_for_ts(self, ts_min, ts_max):
         """Translate a timestamp window to inclusive doc-id intervals,
@@ -267,10 +278,27 @@ class QueryEngine:
         if partial:
             d = self._docs
             span = self.cfg.range_size * self.cfg.ranges_per_batch
-            buckets = sorted(
-                {b for lo, hi in partial for b in range(lo // span, hi // span + 1)}
-            )
-            d = d.where(F.col("range_bucket").isin(buckets))
+            # same IN-list cap as _prune_shards_to_bounds: a segment
+            # spanning millions of buckets must not materialize them
+            # all into a literal list — fall back to min/max envelopes
+            n_buckets = sum(hi // span - lo // span + 1 for lo, hi in partial)
+            if n_buckets <= self.MAX_PRUNE_BUCKET_LIST:
+                buckets = sorted(
+                    {
+                        b
+                        for lo, hi in partial
+                        for b in range(lo // span, hi // span + 1)
+                    }
+                )
+                d = d.where(F.col("range_bucket").isin(buckets))
+            else:
+                pred = None
+                for lo, hi in partial:
+                    p = (F.col("range_bucket") >= lo // span) & (
+                        F.col("range_bucket") <= hi // span
+                    )
+                    pred = p if pred is None else (pred | p)
+                d = d.where(pred)
             if ts_min is not None:
                 d = d.where(F.col("doc_ts") >= ts_min)
             if ts_max is not None:
@@ -495,8 +523,16 @@ class QueryEngine:
         # ship the (possibly 10^5-entry) query-weight table ONCE per
         # executor as a broadcast variable instead of pickling it into
         # every task closure — at eval-sweep scale the per-task
-        # serialization tax is real
+        # serialization tax is real.  The PREVIOUS batch's broadcast is
+        # unpersisted here (not destroyed: a still-unexecuted DataFrame
+        # holding it can lazily re-broadcast), bounding a long eval
+        # session to one outstanding weight table instead of leaking
+        # one per call.
+        prev = getattr(self, "_batch_bc", None)
+        if prev is not None:
+            prev.unpersist()
         bc_queries = spark.sparkContext.broadcast(per_query)
+        self._batch_bc = bc_queries
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")

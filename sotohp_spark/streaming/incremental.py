@@ -238,6 +238,18 @@ def append_conversations(
     meta = builder._read_meta()
     if meta is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
+    from sotohp_spark.index.build import SCHEMA_VERSION
+
+    if int(meta.get("schema_version", 1)) != SCHEMA_VERSION:
+        # appending v3 hive-partitioned docs into a pre-v3 FLAT docs dir
+        # would leave parquet files at mixed depths — partition
+        # discovery then rejects the table forever ('Conflicting
+        # directory structures'), wedging every later open
+        raise ValueError(
+            f"index at {index_path} is schema "
+            f"v{meta.get('schema_version', 1)}, appends write "
+            f"v{SCHEMA_VERSION}; run index.migrate_index first"
+        )
     _recover_pending_bucket_compact(spark, builder)
     _recover_pending_append(spark, builder)
 
@@ -424,7 +436,7 @@ def compact_index(
     corpus.  For the cheap low-delete-ratio path that keeps sparse ids
     and EXACT pre-compaction scores, use `compact_buckets` — it
     rewrites only the tombstoned buckets."""
-    from sotohp_spark.index.build import recover_pending_compact
+    from sotohp_spark.index.build import SCHEMA_VERSION, recover_pending_compact
 
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
@@ -469,6 +481,10 @@ def compact_index(
         # re-densified ids are globally time-ordered again: one segment
         segments=[[0, int(stats["max_doc"])]],
         segment_ts=[[str(stats["ts_lo"]), str(stats["ts_hi"])]],
+        # the staging docs were just written in the CURRENT layout —
+        # carrying a pre-v3 source's version forward would trip the
+        # build()'s layout guard after the full rewrite
+        schema_version=SCHEMA_VERSION,
         postings_done=False,
     )
     new_builder._write_meta(new_meta)
@@ -496,7 +512,8 @@ def _bucket_compact_marker(builder: IndexBuilder) -> str:
     return f"{builder.path}/_meta/pending_compact_buckets.json"
 
 
-def _apply_bucket_swap(spark: SparkSession, builder: IndexBuilder, marker: dict):
+def _apply_bucket_swap(spark: SparkSession, builder: IndexBuilder, marker: dict,
+                       only_sub: str | None = None):
     """Per-bucket staged swap, resumable from any crash point.
 
     For every affected bucket of docs/ and postings/: if its staged dir
@@ -506,12 +523,18 @@ def _apply_bucket_swap(spark: SparkSession, builder: IndexBuilder, marker: dict)
     previous run -> leave it.  The explicit empty-bucket lists are what
     make re-runs safe: without them, "staged dir missing" would be
     ambiguous between already-swapped and zero-survivors, and recovery
-    could delete freshly-swapped data."""
+    could delete freshly-swapped data.
+
+    ``only_sub``: restrict to one of 'docs'/'postings' — used by the
+    mid-swap kill-switch so the crash test exercises the SAME code the
+    real recovery runs."""
     staging = marker["staging"]
     for sub, base in (
         ("docs", builder.docs_path),
         ("postings", builder.postings_path),
     ):
+        if only_sub is not None and sub != only_sub:
+            continue
         empty = set(marker[f"empty_{sub}"])
         for b in marker["affected"]:
             staged = f"{staging}/{sub}/range_bucket={b}"
@@ -584,7 +607,11 @@ def compact_buckets(
     before any swap; 'docs_swap' = after docs swapped, before
     postings).
     """
-    from sotohp_spark.index.build import recover_pending_compact, write_docs
+    from sotohp_spark.index.build import (
+        SCHEMA_VERSION,
+        recover_pending_compact,
+        write_docs,
+    )
 
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
@@ -592,9 +619,27 @@ def compact_buckets(
     meta = builder._read_meta()
     if meta is None:
         raise ValueError(f"no index at {index_path}")
+    if int(meta.get("schema_version", 1)) != SCHEMA_VERSION:
+        raise ValueError(
+            f"index at {index_path} is schema "
+            f"v{meta.get('schema_version', 1)}; bucket compaction rewrites "
+            f"the v{SCHEMA_VERSION} layout — run index.migrate_index first"
+        )
     if not builder.has_deletes():
         return meta
 
+    # bucket geometry comes from META, never from the caller's cfg: a
+    # cfg whose range_size/ranges_per_batch differ from the build's
+    # would bucket the staged survivors differently from `affected`
+    # and the swap would delete live buckets it never staged
+    cfg = EngineConfig(
+        k1=meta["k1"],
+        b=meta["b"],
+        range_size=meta["range_size"],
+        block_size=meta["block_size"],
+        ranges_per_batch=meta.get("ranges_per_batch", 8),
+        shuffle_partitions=cfg.shuffle_partitions,
+    )
     span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     doomed = (
         spark.read.parquet(f"{builder.path}/deletes")
@@ -659,17 +704,10 @@ def compact_buckets(
 
     # ---- 3+4. swap and clean up ----
     if _fail_after == "docs_swap":
-        # swap ONLY docs, then crash — postings still carry the doomed
-        # docs while the docs table no longer does
-        partial = dict(marker, affected=marker["affected"])
-        for b in marker["affected"]:
-            staged = f"{staging}/docs/range_bucket={b}"
-            live = f"{builder.docs_path}/range_bucket={b}"
-            if fsio.exists(spark, staged):
-                fsio.rmtree(spark, live)
-                fsio.move_dir(spark, staged, live)
-            elif b in set(marker["empty_docs"]):
-                fsio.rmtree(spark, live)
+        # swap ONLY docs (through the real swap code), then crash —
+        # postings still carry the doomed docs while the docs table no
+        # longer does
+        _apply_bucket_swap(spark, builder, marker, only_sub="docs")
         raise RuntimeError("test kill-switch: crash after docs swap")
     _finish_bucket_compact(spark, builder, marker, marker_path)
     return meta

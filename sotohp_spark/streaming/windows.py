@@ -108,8 +108,14 @@ def completed_conversations_stream(
             mx = b_mx if mx is None else max(mx, b_mx)
         if mx is not None:
             state.update((int(n), mn, mx))
+            # ambiguous=True / shift_forward: an event time inside a
+            # DST transition hour picks the DST side deterministically
+            # instead of poison-pilling the stream (the timeout shifts
+            # by at most the transition delta, bounded by the gap)
             epoch_ms = int(
-                pd.Timestamp(mx).tz_localize(tz_name).timestamp() * 1000
+                pd.Timestamp(mx)
+                .tz_localize(tz_name, ambiguous=True, nonexistent="shift_forward")
+                .timestamp() * 1000
             )
             state.setTimeoutTimestamp(epoch_ms + gap_ms)
         yield pd.DataFrame(

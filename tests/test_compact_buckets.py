@@ -115,6 +115,74 @@ def test_bucket_compact_score_identity_and_locality(spark, tmp_path):
     assert meta2["max_doc"] > meta["max_doc"]
 
 
+def test_bucket_compact_ignores_mismatched_caller_cfg(spark, tmp_path):
+    """Bucket geometry must come from META: a caller cfg whose
+    range_size/ranges_per_batch differ from the build's (e.g. the
+    DEFAULT arg) would stage survivors under different bucket ids than
+    `affected` and the swap would delete live buckets it never staged
+    — silent data loss."""
+    from sotohp_spark.config import DEFAULT
+
+    path = str(tmp_path / "cfgidx")
+    _build_with_bucket0_deletes(spark, path)
+    before = {qt: QueryEngine(spark, path).top_k_pdf(qt, 15) for qt in QUERIES}
+
+    compact_buckets(spark, path, DEFAULT)  # span 2^17*8, not CFG's 16
+
+    eng = QueryEngine(spark, path)
+    for qt in QUERIES:
+        got = eng.top_k_pdf(qt, 15)
+        assert list(got["doc_id"]) == list(before[qt]["doc_id"]), qt
+    assert not fsio.exists(spark, f"{path}/deletes")
+    assert spark.read.parquet(f"{path}/docs").where(F.col("doc_id") < 6).count() == 0
+
+
+def test_stale_bucket_marker_cannot_bite_rebuilt_index(spark, tmp_path):
+    """A bucket-compact marker left by a crash must be reconciled (and
+    removed) by a later rebuild — otherwise the next engine open would
+    replay its empty-bucket deletions against the NEW index."""
+    path = str(tmp_path / "staleidx")
+    pdf, _ = _build_with_bucket0_deletes(spark, path)
+    with pytest.raises(RuntimeError, match="kill-switch"):
+        compact_buckets(spark, path, CFG, _fail_after="stage")
+    assert fsio.exists(spark, f"{path}/_meta/pending_compact_buckets.json")
+
+    # full rebuild over a fresh corpus (new fingerprint)
+    pdf2 = generate_transcripts_pdf(0.06, seed=99)
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf2), input_fingerprint="rebuilt"
+    )
+    assert not fsio.exists(spark, f"{path}/_meta/pending_compact_buckets.json")
+
+    eng = QueryEngine(spark, path)  # open must NOT delete any bucket
+    n_docs = spark.read.parquet(f"{path}/docs").count()
+    assert n_docs == eng.meta["n_docs"] == len(pdf2["conv_id"].unique())
+    assert eng.top_k_pdf("error retry timeout", 5).shape[0] == 5
+
+
+def test_append_refuses_pre_v3_layout(spark, tmp_path):
+    """Appending v3 hive docs into a flat pre-v3 docs dir would create
+    the mixed-depth layout partition discovery rejects forever — the
+    append must refuse up front."""
+    path = str(tmp_path / "v2idx")
+    pdf, _ = _build_with_bucket0_deletes(spark, path)
+    b = IndexBuilder(spark, path, CFG)
+    flat = spark.read.parquet(b.docs_path).drop("range_bucket").localCheckpoint()
+    flat.write.mode("overwrite").parquet(b.docs_path)
+    meta = b._read_meta()
+    meta["schema_version"] = 2
+    b._write_meta(meta)
+
+    extra = generate_transcripts_pdf(0.03, seed=7)
+    extra = extra.assign(conv_id=extra["conv_id"] + "-new")
+    with pytest.raises(ValueError, match="migrate"):
+        append_conversations(spark, path, spark.createDataFrame(extra), CFG)
+    with pytest.raises(ValueError, match="migrate"):
+        compact_buckets(spark, path, CFG)
+    # the flat docs dir is still readable (nothing was half-appended)
+    assert spark.read.parquet(b.docs_path).count() > 0
+
+
 @pytest.mark.parametrize("crash_point", ["stage", "docs_swap"])
 def test_bucket_compact_crash_recovers(spark, tmp_path, crash_point):
     path = str(tmp_path / f"bidx_{crash_point}")
