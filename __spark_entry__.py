@@ -205,10 +205,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events so DuckDB mirrors the parse) ---
     q["dms_geo_parse"] = _dms_geo_parse
 
+    # --- training-pipeline ops: concat-then-chunk sequence packing
+    # (distributed prefix sum, no single-partition window) and
+    # incremental dedup of a new batch against a MATERIALIZED corpus
+    # signature index (O(batch) hashing, not O(corpus)) ---
+    q["token_budget_packing"] = _token_budget_packing
+    q["dedup_incremental_lsh"] = _dedup_incremental_lsh
+
     # --- multimodal plumbing (decode stubbed; metadata columns oracled:
     # media derives deterministically from documents) ---
     q["multimodal_features"] = _multimodal_features
     return q
+
+
+def _token_budget_packing(spark, sf_dir):
+    from sotohp_spark.operators.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget=2048)
+
+
+_SIG_INDEX_CACHE: dict = {}
+
+
+def _dedup_incremental_lsh(spark, sf_dir):
+    """Corpus = first 80% of doc ids (signature index materialized once
+    per process), new batch = last 20%; candidates are (new, corpus)
+    pairs sharing an LSH band."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from sotohp_spark.operators.dedup import (
+        build_signature_index,
+        neardup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    max_id = docs.agg(_F.max("doc_id")).collect()[0][0]
+    split = (int(max_id) + 1) * 4 // 5
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sotohp_sig_index_{tag}"
+    if tag not in _SIG_INDEX_CACHE:
+        build_signature_index(docs.where(_F.col("doc_id") < split), path)
+        _SIG_INDEX_CACHE[tag] = path
+    return neardup_against_index(docs.where(_F.col("doc_id") >= split), path)
 
 
 def _dms_geo_parse(spark, sf_dir):
@@ -447,6 +487,26 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
     o["dedup_minhash_lsh"] = _minhash_oracle_sql(num_hashes=16, bands=4, n=3)
+    o["dedup_incremental_lsh"] = _minhash_oracle_sql(
+        num_hashes=16, bands=4, n=3, incremental=True
+    )
+
+    # concat-then-chunk packing: the oracle affords the naive global
+    # window; the engine's distributed prefix sum must match it exactly
+    o["token_budget_packing"] = """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, cum // 2048 AS pack_id, cum % 2048 AS pack_offset
+FROM c
+"""
     o["dedup_simhash"] = _simhash_oracle_sql(max_hamming=3)
     o["dedup_ngram_jaccard"] = _jaccard_oracle_sql(
         threshold=0.5, n=3, max_df=200
@@ -980,7 +1040,10 @@ WHERE r.rank <= qk.k
 """
 
 
-def _minhash_oracle_sql(num_hashes: int, bands: int, n: int) -> str:
+def _minhash_oracle_sql(num_hashes: int, bands: int, n: int,
+                        incremental: bool = False) -> str:
+    """``incremental=True`` mirrors dedup_incremental_lsh: (new, corpus)
+    pairs across the 80% doc-id split instead of all-pairs."""
     from sotohp_spark.operators.dedup import _MINHASH_M, _minhash_params
 
     rows_per_band = num_hashes // bands
@@ -998,6 +1061,18 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, n: int) -> str:
         )
         for bi in range(bands)
     )
+    if incremental:
+        final_select = """
+SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+FROM bandkeys a JOIN bandkeys b
+  ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
+  AND b.doc_id <  (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)"""
+    else:
+        final_select = """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bandkeys a JOIN bandkeys b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
@@ -1024,9 +1099,7 @@ WITH toks AS (
     {band_rows}
   ) AS v(band, bkey)) b
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bandkeys a JOIN bandkeys b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+{final_select}
 """
 
 

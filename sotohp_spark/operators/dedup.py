@@ -124,7 +124,7 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     docs: DataFrame,
     id_col="doc_id",
     text_col="text",
@@ -132,16 +132,12 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
-
-    bands * rows_per_band = num_hashes; a pair colliding on any band is
-    a candidate (verify with exact jaccard downstream).
-    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
-    """
+    """(doc, band, bkey) LSH band keys — the bucketing contract shared
+    by the all-pairs path, the materialized signature index, and the
+    DuckDB oracle (same constants, same md5-of-joined-rows key)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, shingle_n, num_hashes)
-
-    band_keys = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -163,6 +159,25 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.bkey")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    bands * rows_per_band = num_hashes; a pair colliding on any band is
+    a candidate (verify with exact jaccard downstream).
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    band_keys = minhash_band_keys(
+        docs, id_col, text_col, shingle_n, num_hashes, bands
+    )
 
     a = band_keys.alias("a")
     b = band_keys.alias("b")
@@ -328,4 +343,66 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs a MATERIALIZED signature index
+# ---------------------------------------------------------------------------
+
+def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
+                          text_col="text", shingle_n: int = 3,
+                          num_hashes: int = 16, bands: int = 4) -> dict:
+    """Materialize the corpus's LSH band keys once, hive-partitioned by
+    band — the 100 TB incremental-dedup shape: deduping a new crawl
+    batch against an existing corpus must NOT re-shingle and re-hash
+    the corpus per batch.  Hash params ride in a meta file so the probe
+    side (and the DuckDB oracle) always buckets identically."""
+    import json
+
+    from sotohp_spark import fsio
+
+    keys = minhash_band_keys(docs, id_col, text_col, shingle_n, num_hashes, bands)
+    (
+        keys.repartition("band", "bkey")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    meta = {
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "n_docs": int(docs.count()),
+    }
+    fsio.write_text_atomic(spark, f"{path}/_sig_meta.json", json.dumps(meta))
+    return meta
+
+
+def neardup_against_index(new_docs: DataFrame, path: str, id_col="doc_id",
+                          text_col="text") -> DataFrame:
+    """Candidate near-dup pairs (new_doc, corpus_doc): hash ONLY the new
+    batch (O(batch), not O(corpus)) and bucket-join it against the
+    stored band keys.  Returns distinct (new_doc, corpus_doc)."""
+    import json
+
+    from sotohp_spark import fsio
+
+    spark = new_docs.sparkSession
+    meta = json.loads(fsio.read_text(spark, f"{path}/_sig_meta.json"))
+    probe = minhash_band_keys(
+        new_docs, id_col, text_col,
+        meta["shingle_n"], meta["num_hashes"], meta["bands"],
+    )
+    corpus = (
+        spark.read.option("basePath", path).parquet(path)
+        .select(F.col("doc").alias("corpus_doc"), "band", "bkey")
+    )
+    return (
+        probe.select(F.col("doc").alias("new_doc"), "band", "bkey")
+        .join(corpus, ["band", "bkey"])
+        .where(F.col("new_doc") != F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc")
+        .distinct()
     )

@@ -59,3 +59,53 @@ def with_global_position(
         .withColumn(pos_col, (F.col("_offset") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+
+
+def with_running_total(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    num_ranges: int = 32,
+    total_col: str = "running_total",
+) -> DataFrame:
+    """Add the EXCLUSIVE running total of ``value_col`` in
+    ``order_cols`` order — `SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)` without its single-partition window.
+
+    Same 3-step distributed prefix-sum as with_global_position, summing
+    a value instead of counting rows: range exchange, per-partition
+    windowed cumsum, plus an O(partitions) offsets table broadcast
+    back.  ``order_cols`` must be a total order."""
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+
+    sums = sorted(
+        (r["_pid"], r["s"] or 0)
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, off = [], 0
+    for pid, s in sums:
+        offsets.append((pid, off))
+        off += int(s)
+    odf = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            "_part_cum", F.coalesce(F.sum(value_col).over(win), F.lit(0))
+        )
+        .join(F.broadcast(odf), "_pid")
+        .withColumn(
+            total_col, (F.col("_offset") + F.col("_part_cum")).cast("long")
+        )
+        .drop("_pid", "_part_cum", "_offset")
+    )

@@ -159,6 +159,38 @@ def test_ann_ivf_recall(embeddings):
     assert recall >= 0.6
 
 
+def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, sf_dir):
+    """Deduping a new batch against the materialized signature index
+    must find exactly the cross-split candidate pairs the all-pairs LSH
+    finds — same bucketing contract — while hashing only the batch."""
+    from sotohp_spark.operators.dedup import (
+        build_signature_index,
+        minhash_lsh_candidates,
+        neardup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    split = (int(max_id) + 1) * 4 // 5
+    corpus = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+
+    path = "/tmp/test_sig_index"
+    build_signature_index(corpus, path)
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in neardup_against_index(new, path).collect()
+    }
+
+    full = minhash_lsh_candidates(docs)
+    want = {
+        (r["doc_b"], r["doc_a"])
+        for r in full.collect()
+        if r["doc_a"] < split <= r["doc_b"]
+    }
+    assert got == want and len(want) > 0
+
+
 def test_multimodal_plumbing(spark):
     from sotohp_spark.operators.multimodal import extract_features, synthetic_media
 

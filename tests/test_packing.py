@@ -1,0 +1,49 @@
+"""Token-budget packing (concat-then-chunk) and the distributed
+prefix-sum it rides on: values must match the naive global-window
+cumsum exactly, and the plan must not contain the single-partition
+window that cumsum naively compiles to."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from sotohp_spark.operators.packing import pack_documents
+from sotohp_spark.operators.positional import with_running_total
+from sotohp_spark.plans.checks import formatted_plan
+
+
+def test_running_total_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"k": range(100), "v": [(i * 37) % 13 for i in range(100)]}
+    )
+    got = (
+        with_running_total(spark.createDataFrame(pdf), ["k"], "v", num_ranges=8)
+        .orderBy("k")
+        .toPandas()
+    )
+    want = pdf["v"].cumsum().shift(1, fill_value=0)
+    assert list(got["running_total"]) == list(want)
+
+
+def test_packing_matches_oracle_semantics(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 512
+    got = pack_documents(docs, budget=budget).orderBy("doc_id").toPandas()
+
+    ref = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n"),
+    ).orderBy("doc_id").toPandas()
+    cum = ref["n"].cumsum().shift(1, fill_value=0)
+    assert list(got["n_tokens"]) == list(ref["n"])
+    assert list(got["pack_id"]) == list(cum // budget)
+    assert list(got["pack_offset"]) == list(cum % budget)
+    # packs are contiguous and start at 0
+    assert got["pack_id"].iloc[0] == 0
+    assert (got["pack_id"].diff().dropna() >= 0).all()
+
+
+def test_packing_plan_no_single_partition_window(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(pack_documents(docs, budget=2048))
+    assert "Exchange SinglePartition" not in plan
