@@ -211,11 +211,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # signature index (O(batch) hashing, not O(corpus)) ---
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
+    q["stratified_sample"] = _stratified_sample
 
     # --- multimodal plumbing (decode stubbed; metadata columns oracled:
     # media derives deterministically from documents) ---
     q["multimodal_features"] = _multimodal_features
     return q
+
+
+_SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def _stratified_sample(spark, sf_dir):
+    """Corpus-mixing downsample by language, deterministic per (doc_id,
+    seed) — identical membership on any cluster size, mirrored in SQL."""
+    from sotohp_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", _SAMPLE_RATES, seed=42
+    ).select("doc_id", "lang")
 
 
 def _token_budget_packing(spark, sf_dir):
@@ -490,6 +504,17 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
     o["dedup_incremental_lsh"] = _minhash_oracle_sql(
         num_hashes=16, bands=4, n=3, incremental=True
     )
+
+    rate_cases = "\n    ".join(
+        f"WHEN lang = '{v}' THEN {int(r * 1_000_000)}"
+        for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
+           AS BIGINT) % 1000000
+  < CASE {rate_cases} ELSE 0 END
+"""
 
     # concat-then-chunk packing: the oracle affords the naive global
     # window; the engine's distributed prefix sum must match it exactly

@@ -47,3 +47,31 @@ def test_packing_plan_no_single_partition_window(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = formatted_plan(pack_documents(docs, budget=2048))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    """Membership is a pure function of (id, seed): identical under any
+    partition layout, disjoint seeds differ, per-stratum rates order
+    the kept fractions."""
+    from sotohp_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.8, "zh": 0.2}
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(17), "lang", rates
+        ).collect()
+    }
+    assert a == b and a  # layout-independent
+    c = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", rates, seed=7).collect()
+    }
+    assert c != a  # seed changes the draw
+    kept = stratified_sample(docs, "lang", rates).groupBy("lang").count().collect()
+    kept = {r["lang"]: r["count"] for r in kept}
+    tot = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(kept) <= {"en", "zh"}  # unlisted strata default to 0
+    assert kept["en"] / tot["en"] > kept.get("zh", 0) / tot["zh"]
