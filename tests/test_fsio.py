@@ -122,7 +122,22 @@ def test_full_lifecycle_on_file_uri(spark, tmp_path, corpus):
     assert delete_conversations(spark, local, doomed) == 5
     _assert_rank_identical(spark, uri, local)
 
-    # --- compaction swap on the URI path ---
+    # --- BUCKET-LOCAL compaction through the FS API first: staged
+    # survivors, marker, per-bucket swap — all on file:// paths ---
+    from sotohp_spark.streaming.incremental import compact_buckets
+
+    meta_u = compact_buckets(spark, uri, CFG)
+    meta_l = compact_buckets(spark, local, CFG)
+    assert meta_u["n_docs"] == meta_l["n_docs"]
+    assert not fsio.exists(spark, f"{uri}/deletes")
+    assert not fsio.exists(spark, f"{uri}/_staging/compact_buckets")
+    _assert_rank_identical(spark, uri, local)
+
+    # --- full compaction swap on the URI path (re-densify), with
+    # fresh victims from the appended batch ---
+    doomed2 = sorted(pdf_b["conv_id"].unique())[:2]
+    assert delete_conversations(spark, uri, doomed2) == 2
+    assert delete_conversations(spark, local, doomed2) == 2
     meta_u = compact_index(spark, uri, CFG)
     meta_l = compact_index(spark, local, CFG)
     assert meta_u["n_docs"] == meta_l["n_docs"]
