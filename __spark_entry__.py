@@ -257,12 +257,18 @@ def _dedup_incremental_lsh(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     max_id = docs.agg(_F.max("doc_id")).collect()[0][0]
     split = (int(max_id) + 1) * 4 // 5
+    # per-process path (pid suffix) + cache keyed on the FULL sf_dir:
+    # concurrent driver processes must not race an overwrite of one
+    # shared dir, and same-basename sf dirs must not reuse each other's
+    # index
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/sotohp_sig_index_{tag}"
-    if tag not in _SIG_INDEX_CACHE:
+    path = f"/tmp/sotohp_sig_index_{tag}_{_os.getpid()}"
+    if sf_dir not in _SIG_INDEX_CACHE:
         build_signature_index(docs.where(_F.col("doc_id") < split), path)
-        _SIG_INDEX_CACHE[tag] = path
-    return neardup_against_index(docs.where(_F.col("doc_id") >= split), path)
+        _SIG_INDEX_CACHE[sf_dir] = path
+    return neardup_against_index(
+        docs.where(_F.col("doc_id") >= split), _SIG_INDEX_CACHE[sf_dir]
+    )
 
 
 def _dms_geo_parse(spark, sf_dir):

@@ -357,26 +357,41 @@ def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
     band — the 100 TB incremental-dedup shape: deduping a new crawl
     batch against an existing corpus must NOT re-shingle and re-hash
     the corpus per batch.  Hash params ride in a meta file so the probe
-    side (and the DuckDB oracle) always buckets identically."""
+    side (and the DuckDB oracle) always buckets identically.
+
+    Publish is stage-then-swap: data AND meta land in a _tmp dir first,
+    then replace the live path — a reader never sees band files without
+    their meta or a half-written key set.  (The index is a DERIVED
+    artifact: a crash inside the final swap loses only the index, and a
+    rebuild recreates it; contrast the primary index's marker-based
+    recovery, which must never lose source data.)"""
     import json
 
     from sotohp_spark import fsio
 
+    spark = docs.sparkSession
+    tmp = path.rstrip("/") + "_tmp"
+    fsio.rmtree(spark, tmp)
     keys = minhash_band_keys(docs, id_col, text_col, shingle_n, num_hashes, bands)
     (
         keys.repartition("band", "bkey")
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(path)
+        .parquet(tmp)
     )
-    spark = docs.sparkSession
     meta = {
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "bands": bands,
-        "n_docs": int(docs.count()),
+        # counted from the materialized keys (one cheap scan of the
+        # just-written files), never a second full pass over the corpus
+        "n_docs": int(
+            spark.read.parquet(tmp).agg(F.countDistinct("doc")).collect()[0][0]
+        ),
     }
-    fsio.write_text_atomic(spark, f"{path}/_sig_meta.json", json.dumps(meta))
+    fsio.write_text_atomic(spark, f"{tmp}/_sig_meta.json", json.dumps(meta))
+    fsio.rmtree(spark, path)
+    fsio.move_dir(spark, tmp, path)
     return meta
 
 

@@ -55,6 +55,9 @@ def pack_documents(
     return ranged.select(
         id_col,
         F.col(token_col).cast("long").alias("n_tokens"),
-        (F.col("_cum") / F.lit(budget)).cast("long").alias("pack_id"),
+        # integer division (`div`), NOT double division cast to long:
+        # doubles lose exactness past 2^53 and would contradict the
+        # %-computed offset (pack_offset must equal cum - pack_id*budget)
+        F.expr(f"_cum div {int(budget)}").alias("pack_id"),
         (F.col("_cum") % F.lit(budget)).alias("pack_offset"),
     )

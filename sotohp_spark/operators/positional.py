@@ -23,44 +23,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_global_position(
-    df: DataFrame,
-    order_cols: list,
-    num_ranges: int = 32,
-    pos_col: str = "pos",
-) -> DataFrame:
-    """Add a dense 0-based ``pos_col`` ordered by ``order_cols``.
-
-    ``order_cols`` must be a total order (unique key / tie-broken) for
-    the position to be deterministic.
-    """
-    spark = df.sparkSession
-    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pin partition ids: the counts job and the window job must see the
-    # exact same partitioning
-    ranged = ranged.localCheckpoint(eager=False)
-
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    )
-    offsets, off = [], 0
-    for pid, n in counts:
-        offsets.append((pid, off))
-        off += n
-    odf = spark.createDataFrame(offsets, "_pid int, _offset long")
-
-    win = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        ranged.withColumn("_rn", F.row_number().over(win) - 1)
-        .join(F.broadcast(odf), "_pid")
-        .withColumn(pos_col, (F.col("_offset") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_offset")
-    )
-
-
 def with_running_total(
     df: DataFrame,
     order_cols: list,
@@ -72,14 +34,17 @@ def with_running_total(
     ``order_cols`` order — `SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
     PRECEDING AND 1 PRECEDING)` without its single-partition window.
 
-    Same 3-step distributed prefix-sum as with_global_position, summing
-    a value instead of counting rows: range exchange, per-partition
-    windowed cumsum, plus an O(partitions) offsets table broadcast
-    back.  ``order_cols`` must be a total order."""
+    Distributed prefix scan: range exchange on the ordering key,
+    per-partition windowed cumsum, plus an exclusive prefix sum of the
+    per-partition totals — an O(partitions)-row table collected once
+    and broadcast-joined back.  ``order_cols`` must be a total order.
+    ``with_global_position`` is the value=1 case of this scan."""
     spark = df.sparkSession
     ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # pin partition ids: the totals job and the window job must see the
+    # exact same partitioning
     ranged = ranged.localCheckpoint(eager=False)
 
     sums = sorted(
@@ -109,3 +74,22 @@ def with_running_total(
         )
         .drop("_pid", "_part_cum", "_offset")
     )
+
+
+def with_global_position(
+    df: DataFrame,
+    order_cols: list,
+    num_ranges: int = 32,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Add a dense 0-based ``pos_col`` ordered by ``order_cols``: the
+    exclusive running total of 1 (ONE prefix-scan implementation to
+    maintain, not two).  ``order_cols`` must be a total order
+    (unique key / tie-broken) for the position to be deterministic."""
+    return with_running_total(
+        df.withColumn("_one", F.lit(1)),
+        order_cols,
+        "_one",
+        num_ranges=num_ranges,
+        total_col=pos_col,
+    ).drop("_one")

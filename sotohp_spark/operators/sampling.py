@@ -24,13 +24,18 @@ _M = 1_000_000
 
 
 def sample_key(id_col, seed: int) -> Column:
-    """Uniform-ish integer in [0, M) derived from (id, seed)."""
+    """Uniform-ish integer in [0, M) derived from (id, seed).
+
+    F.concat (NOT concat_ws) so a NULL id null-propagates: the key is
+    null, every comparison is false, and null-id rows are always
+    dropped — matching the SQL oracle's ``id::VARCHAR || seed`` and
+    keeping membership a pure function of a real id."""
     return (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws("|", F.col(id_col).cast("string"),
-                                F.lit(str(seed)))
+                    F.concat(F.col(id_col).cast("string"),
+                             F.lit("|" + str(seed)))
                 ),
                 1,
                 8,

@@ -159,7 +159,7 @@ def test_ann_ivf_recall(embeddings):
     assert recall >= 0.6
 
 
-def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, sf_dir):
+def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, sf_dir, tmp_path):
     """Deduping a new batch against the materialized signature index
     must find exactly the cross-split candidate pairs the all-pairs LSH
     finds — same bucketing contract — while hashing only the batch."""
@@ -175,7 +175,7 @@ def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") < split)
     new = docs.where(F.col("doc_id") >= split)
 
-    path = "/tmp/test_sig_index"
+    path = str(tmp_path / "sig_index")
     build_signature_index(corpus, path)
     got = {
         (r["new_doc"], r["corpus_doc"])
