@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
     q["stratified_sample"] = _stratified_sample
+    q["curation_pipeline"] = _curation_pipeline
 
     # --- multimodal plumbing (decode stubbed; metadata columns oracled:
     # media derives deterministically from documents) ---
@@ -236,6 +237,26 @@ def _token_budget_packing(spark, sf_dir):
     from sotohp_spark.operators.packing import pack_documents
 
     return pack_documents(_docs(spark, sf_dir), budget=2048)
+
+
+def _curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation in ONE plan: exact dedup (keep
+    the min-id representative per identical text) -> stratified
+    language downsample -> token-budget packing of the survivors.
+    Every stage is deterministic and the whole composition is mirrored
+    in SQL — the shape of a real pretraining-corpus build."""
+    from sotohp_spark.operators.dedup import distinct_by_text
+    from sotohp_spark.operators.packing import pack_documents
+    from sotohp_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    keep = distinct_by_text(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    sampled = stratified_sample(kept, "lang", _SAMPLE_RATES, seed=42)
+    packed = pack_documents(sampled, budget=2048)
+    return packed.join(sampled.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "pack_id", "pack_offset"
+    )
 
 
 _SIG_INDEX_CACHE: dict = {}
@@ -520,6 +541,30 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
            AS BIGINT) % 1000000
   < CASE {rate_cases} ELSE 0 END
+"""
+
+    o["curation_pipeline"] = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep USING (doc_id)
+), sampled AS (
+  SELECT doc_id, lang, text FROM kept
+  WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
+             AS BIGINT) % 1000000
+    < CASE {rate_cases} ELSE 0 END
+), t AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+  FROM sampled
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum // 2048 AS pack_id, cum % 2048 AS pack_offset
+FROM c
 """
 
     # concat-then-chunk packing: the oracle affords the naive global
