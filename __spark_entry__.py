@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
     q["stratified_sample"] = _stratified_sample
     q["curation_pipeline"] = _curation_pipeline
+    q["lm_quality_scores"] = _lm_quality_scores
 
     # --- multimodal plumbing (decode stubbed; metadata columns oracled:
     # media derives deterministically from documents) ---
@@ -237,6 +238,12 @@ def _token_budget_packing(spark, sf_dir):
     from sotohp_spark.operators.packing import pack_documents
 
     return pack_documents(_docs(spark, sf_dir), budget=2048)
+
+
+def _lm_quality_scores(spark, sf_dir):
+    from sotohp_spark.operators.lm import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir), k=0.5)
 
 
 def _curation_pipeline(spark, sf_dir):
@@ -541,6 +548,23 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
            AS BIGINT) % 1000000
   < CASE {rate_cases} ELSE 0 END
+"""
+
+    # smoothed unigram LM quality scores: P(w) = (c+k)/(N+kV), k=0.5;
+    # arithmetic-only (+ ln), so the engines agree at 6-dp rounding
+    o["lm_quality_scores"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), totals AS (
+  SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM counts
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+  round(avg(ln((c + 0.5) / (totals.n + 0.5 * totals.v))), 6) AS avg_logprob
+FROM toks t JOIN counts USING (w), totals
+GROUP BY t.doc_id
 """
 
     o["curation_pipeline"] = f"""

@@ -49,6 +49,29 @@ def test_packing_plan_no_single_partition_window(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_lm_scores_rank_repetitive_text_high(spark):
+    """A smoothed unigram LM must score text made of corpus-common
+    tokens above text of hapaxes, and average the exact add-k
+    log-probabilities."""
+    import math
+
+    from sotohp_spark.operators.lm import unigram_logprob_scores
+
+    rows = [(0, "the the the the"), (1, "the cat sat"), (2, "xylo qwerty")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    # model: N=9 tokens, V=5 distinct (the,cat,sat,xylo,qwerty); c(the)=5
+    n, v, k = 9.0, 5.0, 0.5
+    lp = lambda c: math.log((c + k) / (n + k * v))
+    assert got[0] == (4, round(lp(5), 6))
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round((lp(5) + lp(1) + lp(1)) / 3, 6)) <= 1e-6
+    assert got[0][1] > got[1][1] > got[2][1]  # common > mixed > hapax
+
+
 def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
     """Membership is a pure function of (id, seed): identical under any
     partition layout, disjoint seeds differ, per-stratum rates order
