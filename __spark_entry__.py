@@ -260,8 +260,9 @@ def _curation_pipeline(spark, sf_dir):
     keep = distinct_by_text(docs).select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(keep, "doc_id")
     sampled = stratified_sample(kept, "lang", _SAMPLE_RATES, seed=42)
-    packed = pack_documents(sampled, budget=2048)
-    return packed.join(sampled.select("doc_id", "lang"), "doc_id").select(
+    # lang threads THROUGH the packer (carry_cols): a join back to
+    # `sampled` would re-execute the dedup+sample subtree a second time
+    return pack_documents(sampled, budget=2048, carry_cols=("lang",)).select(
         "doc_id", "lang", "n_tokens", "pack_id", "pack_offset"
     )
 

@@ -34,25 +34,29 @@ def unigram_logprob_scores(
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob) per document with >= 1 token.
 
-    N (total tokens) and V (vocabulary size) are two scalars — one tiny
-    aggregate collected to the driver, embedded as literals (the model
-    constants, not data).  Empty documents have no tokens to score and
-    are omitted, exactly like the SQL mirror's join semantics."""
+    N (total tokens) and V (vocabulary size) ride as a ONE-ROW
+    broadcast cross join, not a driver collect: the whole function
+    stays a lazy plan (no Spark job at construction time), an empty
+    corpus yields an empty result instead of a crash, and the counts
+    exchange is shared between the model and the totals branch
+    (ReusedExchange).  Empty documents have no tokens to score and are
+    omitted, exactly like the SQL mirror's join semantics."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(simple_tokens(F.col(text_col))).alias("w"),
     )
     counts = toks.groupBy("w").agg(F.count("*").alias("c"))
     totals = counts.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    ).collect()[0]
-    n_total, vocab = int(totals["n"]), int(totals["v"])
+        F.sum("c").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
     logp = F.log(
         (F.col("c") + F.lit(float(k)))
-        / F.lit(float(n_total) + float(k) * vocab)
+        / (F.col("_n") + F.lit(float(k)) * F.col("_v"))
     )
     return (
         toks.join(counts, "w")
+        .crossJoin(F.broadcast(totals))
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -33,20 +33,24 @@ def pack_documents(
     text_col: str = "text",
     token_col: str | None = None,
     num_ranges: int = 32,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(id, n_tokens, pack_id, pack_offset) under concat-then-chunk
-    packing in ``id_col`` order.
+    """(id[, carry...], n_tokens, pack_id, pack_offset) under
+    concat-then-chunk packing in ``id_col`` order.
 
     ``token_col``: use a precomputed token-count column; default counts
     whitespace tokens of ``text_col`` (the same definition the text
-    metrics and the oracle use)."""
+    metrics and the oracle use).  ``carry_cols``: extra columns to keep
+    through the scan — callers composing pipelines thread metadata here
+    instead of re-joining (and thereby re-executing) their upstream
+    subtree."""
     if token_col is None:
         docs = docs.withColumn(
             "n_tokens", F.size(simple_tokens(F.col(text_col))).cast("long")
         )
         token_col = "n_tokens"
     ranged = with_running_total(
-        docs.select(id_col, token_col),
+        docs.select(id_col, token_col, *carry_cols),
         [id_col],
         token_col,
         num_ranges=num_ranges,
@@ -54,6 +58,7 @@ def pack_documents(
     )
     return ranged.select(
         id_col,
+        *carry_cols,
         F.col(token_col).cast("long").alias("n_tokens"),
         # integer division (`div`), NOT double division cast to long:
         # doubles lose exactness past 2^53 and would contradict the
