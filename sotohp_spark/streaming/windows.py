@@ -36,6 +36,22 @@ def windowed_turn_counts(
     )
 
 
+def deduped_turns_stream(
+    turns_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once turn stream under at-least-once delivery: drop
+    re-delivered (conv_id, turn_idx) rows.  Streaming uses
+    dropDuplicatesWithinWatermark so the dedup state is BOUNDED by
+    event time (plain dropDuplicates keys state forever — an unbounded
+    state store on an infinite stream); batch frames take the plain
+    distinct, same semantics."""
+    if turns_stream.isStreaming:
+        return turns_stream.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    return turns_stream.dropDuplicates(["conv_id", "turn_idx"])
+
+
 def session_windows_stream(turns_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (session_window) per conversation."""
     src = turns_stream

@@ -190,6 +190,13 @@ def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, sf_dir, tmp_path)
     }
     assert got == want and len(want) > 0
 
+    # the probe plan READS the materialized index (a parquet scan of
+    # the sig-index path) — it must not re-shingle the corpus
+    from sotohp_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(neardup_against_index(new, path))
+    assert "sig_index" in plan and "Scan parquet" in plan
+
 
 def test_multimodal_plumbing(spark):
     from sotohp_spark.operators.multimodal import extract_features, synthetic_media

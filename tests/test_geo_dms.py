@@ -71,3 +71,24 @@ def test_longitude_table_matches_reference(spark):
 def test_invalid_specs_quarantine_to_null(spark):
     got = _parse(spark, INVALID, "lat")
     assert all(g is None for g in got), got
+
+
+def test_compose_parse_roundtrip_property(spark):
+    """Property: any (d, m, s, ref, dialect) composed into a spec
+    parses back to exactly d + m/60 + s/3600 with the hemisphere sign —
+    one batched Spark job over a hypothesis-style grid (deterministic
+    enumeration; per-example Spark jobs would take minutes)."""
+    cases = []
+    for d in (0, 1, 45, 89):
+        for m in (0, 7, 59):
+            for s, s_txt in ((0.0, "0"), (30.5, "30.5"), (59.999, "59.999")):
+                for ref in ("N", "S"):
+                    for q_min, q_sec in (("'", '"'), ("′", "″"), ("'", "''")):
+                        spec = f"{d}° {m}{q_min} {s_txt}{q_sec} {ref}"
+                        want = d + m / 60 + s / 3600
+                        cases.append((spec, want if ref == "N" else -want))
+    got = _parse(spark, [c[0] for c in cases], "lat")
+    for (spec, want), g in zip(cases, got):
+        assert g is not None and math.isclose(
+            g, want, rel_tol=0, abs_tol=1e-9
+        ), (spec, g, want)

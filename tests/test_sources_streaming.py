@@ -89,6 +89,37 @@ def test_windowed_counts_streaming(spark, tmp_path, turns):
     assert got == turns.count()
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path, turns):
+    """At-least-once delivery: a source containing every turn TWICE
+    must dedup to exactly one row per (conv_id, turn_idx), with state
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    from sotohp_spark.streaming.windows import deduped_turns_stream
+
+    src = str(tmp_path / "dup_src")
+    turns.coalesce(1).write.mode("overwrite").parquet(src)
+    turns.coalesce(1).write.mode("append").parquet(src)  # re-delivery
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (
+        deduped_turns_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT conv_id || '#' || turn_idx) AS d "
+        "FROM deduped"
+    ).collect()[0]
+    assert got["n"] == got["d"] == turns.count()
+
+    # batch path: same semantics through the same helper
+    dup_batch = spark.read.parquet(src)
+    assert deduped_turns_stream(dup_batch).count() == turns.count()
+
+
 def test_completed_conversations_stateful_stream(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState, event-time
     timeout): a conversation is emitted COMPLETE exactly once, after
