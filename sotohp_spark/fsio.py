@@ -42,6 +42,32 @@ def is_remote(path: str) -> bool:
     return "://" in path or bool(_SCHEME.match(path))
 
 
+# Object stores whose Hadoop "rename" is a non-atomic copy+delete.
+# Multi-file swap protocols (compaction) REQUIRE atomic rename — a
+# crash mid-copy leaves states the marker discipline cannot
+# distinguish (partially-deleted staging vs complete live), so those
+# operations fail fast on these schemes instead of risking promoting
+# a partial directory (see streaming/incremental.py compact_buckets).
+_NON_ATOMIC_RENAME_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "swift",
+}
+
+
+def scheme(path: str) -> str | None:
+    """URI scheme of a path, or None for plain local paths."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/", path)
+    return m.group(1).lower() if m else None
+
+
+def atomic_rename_supported(path: str) -> bool:
+    """True when the path's filesystem renames atomically (POSIX
+    local, file://, hdfs://, viewfs://...); False for object stores
+    where rename = copy+delete."""
+    s = scheme(path)
+    return s is None or s not in _NON_ATOMIC_RENAME_SCHEMES
+
+
 def _jfs(spark, path: str):
     """(FileSystem, Path, jvm) for a URI path."""
     jvm = spark.sparkContext._jvm
@@ -98,6 +124,28 @@ def write_text_atomic(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # Overwriting rename in ONE operation: FileSystem.rename refuses
+    # to clobber, and delete-then-rename leaves a crash window with
+    # the destination ABSENT (for meta.json that reads as "no index").
+    # FileContext.rename(..., Rename.OVERWRITE) is atomic wherever the
+    # underlying FS renames atomically (local, HDFS).
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), conf
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        arr = spark.sparkContext._gateway.new_array(ren, 1)
+        arr[0] = ren.OVERWRITE
+        fc.rename(tmp, p, arr)
+        return
+    except Exception:
+        # No AbstractFileSystem registered for this scheme (common for
+        # s3a) — fall back to delete+rename.  On such object stores
+        # rename isn't atomic anyway; the commit protocols that depend
+        # on this file (markers/meta) are guarded by marker-first
+        # recovery, not by rename atomicity (module docstring).
+        pass
     if fs.exists(p):
         fs.delete(p, False)
     # Hadoop rename reports failure by RETURNING false, not raising —
@@ -105,6 +153,34 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     # without its marker/meta, which recovery could never see
     if not fs.rename(tmp, p):
         raise OSError(f"atomic write failed: rename {tmp} -> {path}")
+
+
+def create_exclusive(spark, path: str, text: str) -> bool:
+    """Create-if-absent in one atomic operation (O_EXCL locally,
+    FileSystem.create(overwrite=false) remotely).  Returns True iff
+    THIS call created the file — the primitive behind the recovery
+    lease (index/build.py recovery_lock)."""
+    if not is_remote(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, text.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
+    fs, p, _ = _jfs(spark, path)
+    try:
+        out = fs.create(p, False)  # raises if the path exists
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
 
 
 def remove(spark, path: str, missing_ok: bool = True) -> None:

@@ -105,6 +105,85 @@ def compact_marker_path(index_path: str) -> str:
     return index_path.rstrip("/") + "._compact_pending.json"
 
 
+def recovery_lock_path(index_path: str) -> str:
+    """Recovery lease file, SIBLING of the index dir (it must survive
+    the swap's directory renames, like the compact marker)."""
+    return index_path.rstrip("/") + "._recovery.lock"
+
+
+# a lease older than this is an orphan from a crashed holder (the
+# locked sections are metadata renames — sub-second on any FS) and is
+# broken by the next acquirer; acquisition gives up after TIMEOUT
+RECOVERY_LOCK_STALE_SEC = 120.0
+RECOVERY_LOCK_TIMEOUT_SEC = 300.0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def recovery_lock(spark, index_path: str,
+                  stale_sec: float = RECOVERY_LOCK_STALE_SEC,
+                  timeout_sec: float = RECOVERY_LOCK_TIMEOUT_SEC):
+    """Mutual exclusion for compaction swaps AND their recovery.
+
+    Marker-driven recovery runs on every engine/builder open; without
+    exclusion, a reader opening while a writer is mid-swap could run
+    the SAME swap concurrently — interleaved rmtree/rename losing the
+    bucket entirely (reader's rmtree(live) after the writer's
+    move(staged->live) consumes the staged copy, then both moves
+    fail).  The lease is a create-exclusive file (fsio.create_exclusive:
+    O_EXCL locally, FileSystem.create(overwrite=false) on HDFS —
+    both atomic): the writer holds it across marker-write + swap, and
+    recovery holders re-check the marker after acquiring, so a reader
+    that waited out a writer finds the marker gone and does nothing.
+
+    Crash-orphaned leases carry their creation time in the body and
+    are broken once older than ``stale_sec``."""
+    path = recovery_lock_path(index_path)
+    body = json.dumps({"pid": os.getpid(), "ts": time.time()})
+    deadline = time.time() + timeout_sec
+    while not fsio.create_exclusive(spark, path, body):
+        try:
+            holder = json.loads(fsio.read_text(spark, path))
+            age = time.time() - float(holder.get("ts", 0.0))
+        except (OSError, ValueError, KeyError):
+            continue  # holder just released (or torn write): retry now
+        if age > stale_sec:
+            log.warning("breaking stale recovery lease at %s (age %.0fs)",
+                        path, age)
+            fsio.remove(spark, path, missing_ok=True)
+            continue
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"recovery lease at {path} held >{timeout_sec}s by "
+                f"{holder}; remove it manually if the holder is dead"
+            )
+        time.sleep(0.1)
+    try:
+        yield
+    finally:
+        fsio.remove(spark, path, missing_ok=True)
+
+
+def require_atomic_rename(index_path: str, op: str) -> None:
+    """Fail fast when a multi-directory swap is requested on an object
+    store whose rename is copy+delete (s3a & friends): a crash during
+    the delete phase leaves a partially-deleted staging dir next to a
+    complete live one, and marker recovery cannot tell that state from
+    'staged complete, live stale' — promoting the partial dir would
+    lose data.  Compaction on such stores should write to a NEW index
+    path and repoint the catalog instead (or use the Iceberg leg of
+    sources/catalog.py, whose commits don't rely on rename at all)."""
+    if not fsio.atomic_rename_supported(index_path):
+        raise ValueError(
+            f"{op} requires an atomic-rename filesystem (local/HDFS); "
+            f"{index_path!r} is on an object store where rename is "
+            f"copy+delete — write a fresh index and switch paths, or "
+            f"use an Iceberg-backed index"
+        )
+
+
 def _complete_compact_swap(spark, index_path: str, _fail_after: str | None = None):
     """Finish (or re-finish) a compaction swap from any crash point.
 
@@ -155,9 +234,14 @@ def recover_pending_compact(spark, index_path: str) -> bool:
     finishing the swap is always safe.  Returns True if recovery ran."""
     marker = compact_marker_path(index_path)
     if not fsio.exists(spark, marker):
-        return False
-    log.warning("recovering interrupted compaction swap at %s", index_path)
-    _complete_compact_swap(spark, index_path)
+        return False  # fast path: no lease traffic on a healthy open
+    with recovery_lock(spark, index_path):
+        # re-check under the lease: a concurrent writer/recoverer may
+        # have finished the swap while this opener waited
+        if not fsio.exists(spark, marker):
+            return False
+        log.warning("recovering interrupted compaction swap at %s", index_path)
+        _complete_compact_swap(spark, index_path)
     return True
 
 

@@ -83,12 +83,25 @@ class QueryEngine:
         self.meta = json.loads(
             fsio.read_text(spark, f"{self.path}/_meta/meta.json")
         )
-        self.cfg = cfg or EngineConfig(
-            k1=self.meta["k1"],
-            b=self.meta["b"],
+        # GEOMETRY COMES FROM META, NEVER FROM THE CALLER'S CFG: the
+        # on-disk partition key (range_bucket), block layout, and range
+        # boundaries were fixed at build time.  A caller cfg exists to
+        # tune SCORING (k1/b) and execution (shuffle_partitions); if its
+        # default geometry fields were honored, _attach_docs /
+        # _doc_bounds_for_ts would derive a bucket span that mismatches
+        # the on-disk hive key and every query would silently return
+        # zero rows (compact_buckets guards against exactly this class;
+        # the engine must too).
+        self.cfg = EngineConfig(
+            k1=cfg.k1 if cfg is not None else self.meta["k1"],
+            b=cfg.b if cfg is not None else self.meta["b"],
             range_size=self.meta["range_size"],
             block_size=self.meta["block_size"],
             ranges_per_batch=self.meta.get("ranges_per_batch", 8),
+            shuffle_partitions=(
+                cfg.shuffle_partitions if cfg is not None
+                else DEFAULT.shuffle_partitions
+            ),
         )
         self._postings = (
             spark.read.option("basePath", f"{self.path}/postings")

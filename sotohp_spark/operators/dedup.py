@@ -359,18 +359,22 @@ def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
     the corpus per batch.  Hash params ride in a meta file so the probe
     side (and the DuckDB oracle) always buckets identically.
 
-    Publish is stage-then-swap: data AND meta land in a _tmp dir first,
-    then replace the live path — a reader never sees band files without
-    their meta or a half-written key set.  (The index is a DERIVED
-    artifact: a crash inside the final swap loses only the index, and a
-    rebuild recreates it; contrast the primary index's marker-based
-    recovery, which must never lose source data.)"""
+    Publish is stage-then-swap via a RETIRE/PROMOTE rename chain (the
+    primary index's compaction discipline): data AND meta land in a
+    _tmp dir first, then the live dir is renamed aside and the staged
+    one renamed in — a concurrent reader's no-index window shrinks to
+    the instant between two renames instead of a full rmtree+copy.
+    (The index is a DERIVED artifact: a crash between the renames
+    loses only the index, and a rebuild recreates it; contrast the
+    primary index's marker-based recovery, which must never lose
+    source data.)"""
     import json
 
     from sotohp_spark import fsio
 
     spark = docs.sparkSession
-    tmp = path.rstrip("/") + "_tmp"
+    live = path.rstrip("/")
+    tmp, old = live + "_tmp", live + "_retired"
     fsio.rmtree(spark, tmp)
     keys = minhash_band_keys(docs, id_col, text_col, shingle_n, num_hashes, bands)
     (
@@ -383,15 +387,20 @@ def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "bands": bands,
-        # counted from the materialized keys (one cheap scan of the
-        # just-written files), never a second full pass over the corpus
+        # counted from the INPUT frame (id-column-only scan): minhash
+        # signatures drop zero-shingle (empty/short) documents, so a
+        # count over the materialized keys under-reports the indexed
+        # corpus
         "n_docs": int(
-            spark.read.parquet(tmp).agg(F.countDistinct("doc")).collect()[0][0]
+            docs.agg(F.countDistinct(id_col)).collect()[0][0]
         ),
     }
     fsio.write_text_atomic(spark, f"{tmp}/_sig_meta.json", json.dumps(meta))
-    fsio.rmtree(spark, path)
-    fsio.move_dir(spark, tmp, path)
+    fsio.rmtree(spark, old)
+    if fsio.exists(spark, live):
+        fsio.move_dir(spark, live, old)
+    fsio.move_dir(spark, tmp, live)
+    fsio.rmtree(spark, old)
     return meta
 
 

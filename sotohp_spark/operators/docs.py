@@ -25,34 +25,127 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def materialize_documents(turns: DataFrame) -> DataFrame:
+def materialize_documents(
+    turns: DataFrame,
+    max_turns: int | None = None,
+    turn_chunk: int = 1024,
+) -> DataFrame:
     """turns -> (conv_id, doc_text, doc_ts, n_turns).
 
     doc_ts = min(ts) over the conversation (orders the doc-id space by
-    time, the reference's range-scannable key trick); one shuffle on
-    conv_id; text concatenation is order-stable via sort_array on the
-    (turn_idx, text) struct — turn_idx is unique per conv so the sort
-    never compares text bytes.
+    time, the reference's range-scannable key trick).
+
+    BOUNDED two-stage aggregation (SURVEY §7 hard-point 4; reference
+    analog: grouped(50) micro-batching, MediaServiceLive.scala:1526):
+    a single ``collect_list`` of every turn of a conversation holds the
+    whole conversation in one task's memory — one pathological
+    multi-million-turn conversation OOMs its task at 10^12-turn scale.
+    Instead:
+
+      stage A: group by (conv_id, turn_idx // turn_chunk) — each group
+               holds <= turn_chunk turns; sort within the chunk and
+               concat to ONE partial string (plus the chunk's turn
+               count / min ts);
+      stage B: group by conv_id over the partials — <= ceil(max_turn_idx
+               / turn_chunk) strings per group, ordered by chunk id.
+
+    Byte-identity with the single-stage concat: concat_ws skips null
+    turns, so an all-null chunk must contribute NOTHING to stage B (its
+    partial is null, filtered out), while a chunk containing an empty
+    string keeps it ("" joins like any value).  Chunks are contiguous
+    in turn_idx order, so joining the per-chunk joins equals joining
+    all turns (separator concatenation is associative once empty
+    groups are dropped).
+
+    ``max_turns``: optional cap — conversations with more turns are
+    QUARANTINED (dropped here; list them with
+    ``quarantined_conversations`` for the parse_quarantine discipline)
+    BEFORE stage B, so a runaway conversation never materializes its
+    full text anywhere.
     """
-    aggs = [
+    chunked = turns.withColumn(
+        "_chunk", F.floor(F.col("turn_idx") / F.lit(turn_chunk)).cast("long")
+    )
+    a_aggs = [
         F.sort_array(
             F.collect_list(F.struct("turn_idx", "text"))
-        ).alias("turns_sorted"),
-        F.min("ts").alias("doc_ts"),
-        F.count("*").alias("n_turns"),
-    ]
-    cols = [
-        "conv_id",
-        F.concat_ws(" ", F.col("turns_sorted.text")).alias("doc_text"),
-        "doc_ts",
-        "n_turns",
+        ).alias("_ts_sorted"),
+        F.count("text").alias("_n_nonnull"),
+        F.count("*").alias("_cnt"),
+        F.min("ts").alias("_ts_min"),
     ]
     if "source" in turns.columns:
         # a conversation belongs to one store; min() is a deterministic
         # pick that doubles as a guard if the invariant is violated
-        aggs.append(F.min("source").alias("source"))
+        a_aggs.append(F.min("source").alias("_src"))
+    partials = (
+        chunked.groupBy("conv_id", "_chunk")
+        .agg(*a_aggs)
+        .select(
+            "conv_id",
+            "_chunk",
+            # null partial when the chunk had no non-null turn — a ""
+            # here would inject a phantom separator in stage B
+            F.when(
+                F.col("_n_nonnull") > 0,
+                F.concat_ws(" ", F.col("_ts_sorted.text")),
+            ).alias("_part"),
+            "_cnt",
+            "_ts_min",
+            *(["_src"] if "source" in turns.columns else []),
+        )
+    )
+    if max_turns is not None:
+        # pre-filter (not post-): the cap exists to bound stage-B task
+        # memory, so over-cap conversations must never reach stage B.
+        # The extra aggregation runs over the B-times-smaller partials
+        # frame; lazy localCheckpoint shares the stage-A work between
+        # the filter and stage B.
+        partials = partials.localCheckpoint(eager=False)
+        over = (
+            partials.groupBy("conv_id")
+            .agg(F.sum("_cnt").alias("_n"))
+            .where(F.col("_n") > max_turns)
+            .select("conv_id")
+        )
+        partials = partials.join(over, "conv_id", "left_anti")
+
+    b_aggs = [
+        F.sort_array(
+            F.collect_list(F.struct("_chunk", "_part"))
+        ).alias("_parts_sorted"),
+        F.min("_ts_min").alias("doc_ts"),
+        F.sum("_cnt").alias("n_turns"),
+    ]
+    cols = [
+        "conv_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("_parts_sorted._part"), lambda x: x.isNotNull()
+            ),
+        ).alias("doc_text"),
+        "doc_ts",
+        "n_turns",
+    ]
+    if "source" in turns.columns:
+        b_aggs.append(F.min("_src").alias("source"))
         cols.append("source")
-    return turns.groupBy("conv_id").agg(*aggs).select(*cols)
+    return partials.groupBy("conv_id").agg(*b_aggs).select(*cols)
+
+
+def quarantined_conversations(
+    turns: DataFrame, max_turns: int
+) -> DataFrame:
+    """(conv_id, n_turns) of conversations EXCEEDING the cap — the rows
+    ``materialize_documents(..., max_turns=...)`` drops, surfaced for
+    the quarantine table (same discipline as parse_quarantine,
+    operators/analytics2.py)."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .where(F.col("n_turns") > max_turns)
+    )
 
 
 def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
@@ -84,10 +177,13 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
     )
 
 
-def build_documents(turns: DataFrame, num_ranges: int = 32) -> DataFrame:
+def build_documents(turns: DataFrame, num_ranges: int = 32,
+                    max_turns: int | None = None) -> DataFrame:
     """Full docs table: doc_id, conv_id, doc_text, doc_ts, n_turns
-    (+ source when the turns carry one — used for per-source rules)."""
-    docs = assign_doc_ids(materialize_documents(turns), num_ranges)
+    (+ source when the turns carry one — used for per-source rules).
+    ``max_turns`` quarantines runaway conversations (see
+    materialize_documents)."""
+    docs = assign_doc_ids(materialize_documents(turns, max_turns), num_ranges)
     cols = ["doc_id", "conv_id", "doc_text", "doc_ts", "n_turns"]
     if "source" in docs.columns:
         cols.append("source")

@@ -349,7 +349,7 @@ def append_conversations(
 
 
 def delete_conversations(
-    spark: SparkSession, index_path: str, conv_ids: list
+    spark: SparkSession, index_path: str, conv_ids
 ) -> int:
     """Delete-by-id sink (the reference's ES delete routing,
     ElasticOperations.scala:113-130) as TOMBSTONES: the immutable
@@ -357,7 +357,13 @@ def delete_conversations(
     and every query path filters against them.  Like Lucene, global
     stats (N, avgdl, df) keep counting deleted docs until a compaction
     (reindex_all) — scores of surviving docs are unchanged by a
-    delete, only membership changes.  Append-only and idempotent."""
+    delete, only membership changes.  Append-only and idempotent.
+
+    ``conv_ids``: a Python list (interactive path: an IN-list filter
+    the parquet scan prunes on) OR a DataFrame with a ``conv_id``
+    column (bulk path: a distributed semi join — the ids NEVER touch
+    the driver, so a 100 M-conversation re-enrichment batch stays
+    O(partition) per task)."""
     from sotohp_spark.index.build import recover_pending_compact
 
     recover_pending_compact(spark, index_path)
@@ -367,10 +373,22 @@ def delete_conversations(
     meta = builder._read_meta()
     span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
-    doomed = docs.where(F.col("conv_id").isin(list(conv_ids))).select(
+    if isinstance(conv_ids, DataFrame):
+        matched = docs.join(
+            conv_ids.select("conv_id").distinct(), "conv_id", "left_semi"
+        )
+    else:
+        matched = docs.where(F.col("conv_id").isin(list(conv_ids)))
+    doomed = matched.select(
         "doc_id",
         (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
-    )
+    ).localCheckpoint()  # one scan: count + write read the same rows
+    n = doomed.count()
+    if n == 0:
+        # never create an (empty) tombstone table for a no-op delete:
+        # its existence flips every reader onto the deletes-filtering
+        # path for nothing
+        return 0
     # FLAT files with range_bucket as a plain sorted column (NOT a hive
     # partition): parquet min/max stats on doc_id/range_bucket give the
     # same file-level pruning, and flat layout stays read-compatible
@@ -381,7 +399,7 @@ def delete_conversations(
         .write.mode("append")
         .parquet(f"{builder.path}/deletes")
     )
-    return doomed.count()
+    return n
 
 
 def update_conversations(
@@ -410,14 +428,16 @@ def update_conversations(
     if builder._read_meta() is None:
         raise ValueError(f"no index at {index_path}; run IndexBuilder.build first")
     live = _live_conv_ids(spark, builder)
-    stale = [
-        r["conv_id"]
-        for r in new_turns.select("conv_id").distinct().join(
-            live, "conv_id", "left_semi"
-        ).collect()
-    ]
-    if stale:
-        delete_conversations(spark, index_path, stale)
+    # stale ids stay a DATAFRAME end-to-end: collecting them to a
+    # Python list put O(distinct convs in the batch) on the driver — a
+    # 100 M-conversation re-enrichment batch died right there.  The
+    # tombstone write is already distributed; delete_conversations'
+    # DataFrame overload keeps the whole upsert that way (it also
+    # skips the write when the semi join matches nothing).
+    stale = new_turns.select("conv_id").distinct().join(
+        live, "conv_id", "left_semi"
+    )
+    delete_conversations(spark, index_path, stale)
     return append_conversations(spark, index_path, new_turns, cfg, rules)
 
 
@@ -494,17 +514,23 @@ def compact_index(
     # is COMPLETE; the rename chain (retire live -> promote tmp ->
     # cleanup) is resumable from any crash point by
     # recover_pending_compact, which every engine/builder open runs.
+    # The recovery lease serializes the swap against concurrent opens
+    # (a reader seeing the marker waits instead of racing the renames).
     from sotohp_spark.index.build import (
         _complete_compact_swap,
         compact_marker_path,
+        recovery_lock,
+        require_atomic_rename,
     )
 
-    fsio.write_text_atomic(
-        spark,
-        compact_marker_path(builder.path),
-        json.dumps({"tmp": tmp, "n_docs": int(stats["n"])}),
-    )
-    _complete_compact_swap(spark, builder.path, _fail_after=_fail_during_swap)
+    require_atomic_rename(builder.path, "compact_index swap")
+    with recovery_lock(spark, builder.path):
+        fsio.write_text_atomic(
+            spark,
+            compact_marker_path(builder.path),
+            json.dumps({"tmp": tmp, "n_docs": int(stats["n"])}),
+        )
+        _complete_compact_swap(spark, builder.path, _fail_after=_fail_during_swap)
     return new_meta
 
 
@@ -541,7 +567,18 @@ def _apply_bucket_swap(spark: SparkSession, builder: IndexBuilder, marker: dict,
             live = f"{base}/range_bucket={b}"
             if fsio.exists(spark, staged):
                 fsio.rmtree(spark, live)
-                fsio.move_dir(spark, staged, live)
+                try:
+                    fsio.move_dir(spark, staged, live)
+                except OSError:
+                    # belt over the recovery lease's braces: a
+                    # concurrent completer may have consumed the
+                    # staged dir between our existence check and the
+                    # rename — if the bucket IS live and staging is
+                    # gone, the swap is done; anything else is real
+                    if fsio.exists(spark, staged) or not fsio.exists(
+                        spark, live
+                    ):
+                        raise
             elif b in empty:
                 fsio.rmtree(spark, live)
 
@@ -558,13 +595,23 @@ def _recover_pending_bucket_compact(spark: SparkSession, builder: IndexBuilder):
     """Crash recovery for compact_buckets — run on engine/builder open.
     A torn swap can leave a live bucket dir deleted with its replacement
     still in staging (docs temporarily missing from results), so READERS
-    recover too, not just writers."""
+    recover too, not just writers.  Serialized by the recovery lease: a
+    reader opening while the WRITER is mid-swap (marker present by
+    design) must wait it out, not run the swap concurrently — the
+    interleaving rmtree(live) -> move(staged) x2 can consume the staged
+    copy and lose the bucket on both sides."""
+    from sotohp_spark.index.build import recovery_lock
+
     marker_path = _bucket_compact_marker(builder)
     if not fsio.exists(spark, marker_path):
-        return False
-    log.warning("recovering interrupted bucket compaction at %s", builder.path)
-    marker = json.loads(fsio.read_text(spark, marker_path))
-    _finish_bucket_compact(spark, builder, marker, marker_path)
+        return False  # fast path: no lease traffic on a healthy open
+    with recovery_lock(spark, builder.path):
+        if not fsio.exists(spark, marker_path):
+            return False  # the holder we waited for finished the swap
+        log.warning("recovering interrupted bucket compaction at %s",
+                    builder.path)
+        marker = json.loads(fsio.read_text(spark, marker_path))
+        _finish_bucket_compact(spark, builder, marker, marker_path)
     return True
 
 
@@ -610,9 +657,11 @@ def compact_buckets(
     from sotohp_spark.index.build import (
         SCHEMA_VERSION,
         recover_pending_compact,
+        require_atomic_rename,
         write_docs,
     )
 
+    require_atomic_rename(index_path, "compact_buckets swap")
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     _recover_pending_bucket_compact(spark, builder)
@@ -698,18 +747,25 @@ def compact_buckets(
         "empty_postings": sorted(set(affected) - _staged_buckets("postings")),
     }
     marker_path = _bucket_compact_marker(builder)
-    fsio.write_text_atomic(spark, marker_path, json.dumps(marker))
-    if _fail_after == "stage":
-        raise RuntimeError("test kill-switch: crash after staging+marker")
+    # the lease covers marker-write through swap: an engine OPENING
+    # during this window sees the marker, waits on the lease, and on
+    # acquiring re-checks — finding the marker gone (we finished)
+    # instead of racing our renames bucket by bucket
+    from sotohp_spark.index.build import recovery_lock
 
-    # ---- 3+4. swap and clean up ----
-    if _fail_after == "docs_swap":
-        # swap ONLY docs (through the real swap code), then crash —
-        # postings still carry the doomed docs while the docs table no
-        # longer does
-        _apply_bucket_swap(spark, builder, marker, only_sub="docs")
-        raise RuntimeError("test kill-switch: crash after docs swap")
-    _finish_bucket_compact(spark, builder, marker, marker_path)
+    with recovery_lock(spark, builder.path):
+        fsio.write_text_atomic(spark, marker_path, json.dumps(marker))
+        if _fail_after == "stage":
+            raise RuntimeError("test kill-switch: crash after staging+marker")
+
+        # ---- 3+4. swap and clean up ----
+        if _fail_after == "docs_swap":
+            # swap ONLY docs (through the real swap code), then crash —
+            # postings still carry the doomed docs while the docs table
+            # no longer does
+            _apply_bucket_swap(spark, builder, marker, only_sub="docs")
+            raise RuntimeError("test kill-switch: crash after docs swap")
+        _finish_bucket_compact(spark, builder, marker, marker_path)
     return meta
 
 

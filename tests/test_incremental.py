@@ -209,3 +209,68 @@ class _CombinedOracle:
                 rows.append((doc_id, score))
         rows.sort(key=lambda r: (-r[1], r[0]))
         return pd.DataFrame(rows[:k], columns=["doc_id", "score"])
+
+
+def test_delete_conversations_dataframe_overload(spark, tmp_path, split_corpus):
+    """Bulk deletes take a DataFrame of conv_ids (distributed semi
+    join) and must tombstone exactly what the list path tombstones;
+    an empty match must NOT create a tombstone table."""
+    from sotohp_spark.streaming.incremental import delete_conversations
+
+    _, pdf_a, _ = split_corpus
+    victims = sorted(pdf_a["conv_id"].unique())[:3]
+    a, b = str(tmp_path / "del_list"), str(tmp_path / "del_df")
+    for p in (a, b):
+        IndexBuilder(spark, p, CFG).build(
+            spark.createDataFrame(pdf_a), input_fingerprint="base"
+        )
+    n_list = delete_conversations(spark, a, victims)
+    n_df = delete_conversations(
+        spark, b, spark.createDataFrame([(v,) for v in victims], "conv_id string")
+    )
+    assert n_list == n_df == 3
+    t_list = {r["doc_id"] for r in spark.read.parquet(f"{a}/deletes").collect()}
+    t_df = {r["doc_id"] for r in spark.read.parquet(f"{b}/deletes").collect()}
+    assert t_list == t_df
+
+    import os as _os
+
+    c = str(tmp_path / "del_noop")
+    IndexBuilder(spark, c, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    n0 = delete_conversations(
+        spark, c, spark.createDataFrame([("no-such-conv",)], "conv_id string")
+    )
+    assert n0 == 0 and not _os.path.exists(f"{c}/deletes")
+
+
+def test_update_conversations_stays_distributed(spark, tmp_path, split_corpus,
+                                                monkeypatch):
+    """The upsert's stale-id set must reach delete_conversations as a
+    DataFrame — the old path collect()ed O(distinct convs) to the
+    driver (streaming/incremental.py r03)."""
+    from pyspark.sql import DataFrame as _DF
+
+    from sotohp_spark.streaming import incremental as inc
+
+    _, pdf_a, _ = split_corpus
+    path = str(tmp_path / "upsert_dist")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    seen = {}
+    real = inc.delete_conversations
+
+    def spy(s, p, conv_ids):
+        seen["type"] = type(conv_ids)
+        return real(s, p, conv_ids)
+
+    monkeypatch.setattr(inc, "delete_conversations", spy)
+    victim = pdf_a["conv_id"].iloc[0]
+    corrected = pdf_a[pdf_a["conv_id"] == victim].copy()
+    corrected["text"] = "zzdistributed " + corrected["turn_idx"].astype(str)
+    inc.update_conversations(spark, path, spark.createDataFrame(corrected), CFG)
+    assert issubclass(seen["type"], _DF)
+    hits = QueryEngine(spark, path).top_k("zzdistributed", 5).collect()
+    assert [r["conv_id"] for r in hits] == [victim]
