@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_bm25_time_filtered"] = _transcripts_bm25_time_filtered
     q["transcripts_doc_stats"] = _transcripts_doc_stats
     q["transcripts_postings_metrics"] = _transcripts_postings_metrics
+    # Structured Streaming ingest end-to-end: base build + AvailableNow
+    # micro-batch append, searched through the SAME engine and oracled
+    # from the streamed index's own stored tf maps
+    q["transcripts_stream_ingest_topk"] = _transcripts_stream_ingest_topk
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -436,6 +440,63 @@ def _transcripts_bm25_time_filtered(spark, sf_dir):
     return engine.top_k(
         "error retry timeout", k=10, ts_min=lo, ts_max=hi
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+_STREAM_INDEX_CACHE: dict = {}
+# the streamed index the oracle reads at the driver's sf0.01 gate
+_ORACLE_STREAM_DOCS = "/tmp/sotohp_stream_index_sf0.01/docs/*/*.parquet"
+
+
+def _stream_ingested_index(spark, sf_dir):
+    """Once per process per sf_dir: batch-build an index over the first
+    80% of conversations, then ingest the remaining 20% through the
+    Structured Streaming AvailableNow path (readStream -> foreachBatch
+    -> append_conversations with its two-phase commit).  The returned
+    engine answers over the grown corpus with refreshed global stats."""
+    import os
+    import shutil
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.streaming.incremental import stream_ingest_available_now
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag in _STREAM_INDEX_CACHE:
+        return _STREAM_INDEX_CACHE[tag]
+    sf = _SF_FROM_DIR.get(tag, 0.05)
+    path = f"/tmp/sotohp_stream_index_{tag}"
+    src = f"/tmp/sotohp_stream_src_{tag}"
+    ckpt = f"/tmp/sotohp_stream_ckpt_{tag}"
+    for p in (path, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    turns = transcripts_df(spark, sf)
+    convs = sorted(
+        r["conv_id"] for r in turns.select("conv_id").distinct().collect()
+    )
+    base_set = convs[: max(1, len(convs) * 4 // 5)]
+    cfg = EngineConfig(**_T_CFG)
+    IndexBuilder(spark, path, cfg).build(
+        turns.where(F.col("conv_id").isin(base_set)),
+        input_fingerprint=f"stream-base-{sf}",
+    )
+    (
+        turns.where(~F.col("conv_id").isin(base_set))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream_ingest_available_now(spark, src, path, ckpt, cfg)
+    engine = QueryEngine(spark, path)
+    _STREAM_INDEX_CACHE[tag] = engine
+    return engine
+
+
+def _transcripts_stream_ingest_topk(spark, sf_dir):
+    engine = _stream_ingested_index(spark, sf_dir)
+    return engine.top_k("error retry timeout", k=10).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
+    )
 
 
 def _transcripts_doc_stats(spark, sf_dir):
@@ -1009,6 +1070,13 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bm25_time_filtered"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, ts_window=_TS_WINDOW
     )
+    # the streamed index is a DIFFERENT physical index (80% batch base
+    # + 20% streaming appends); its oracle recomputes BM25 from ITS
+    # stored tf maps — hash equality proves the streaming path left
+    # postings, term_stats and meta mutually consistent
+    o["transcripts_stream_ingest_topk"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10, docs_glob=_ORACLE_STREAM_DOCS
+    )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -1032,6 +1100,7 @@ FROM tf GROUP BY partition_id ORDER BY partition_id
 def _transcripts_bm25_oracle_sql(
     query_text: str, k: int, conjunctive: bool = False,
     k1: float = 1.2, b: float = 0.75, ts_window: tuple | None = None,
+    docs_glob: str | None = None,
 ) -> str:
     """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
     contract as QueryEngine (sotohp_spark/operators/bm25.py).
@@ -1043,6 +1112,7 @@ def _transcripts_bm25_oracle_sql(
     from sotohp_spark.functions.tokenizer import tokenize
 
     qtf = Counter(tokenize(query_text))
+    docs_glob = docs_glob or _ORACLE_INDEX_DOCS
     q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
     having = (
         f"HAVING count(DISTINCT tf.term) = {len(qtf)}" if conjunctive else ""
@@ -1056,12 +1126,12 @@ def _transcripts_bm25_oracle_sql(
     return f"""
 WITH tf AS (
   SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
-  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  FROM read_parquet('{docs_glob}'),
   LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
 ),
 g AS (
   SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
-  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+  FROM read_parquet('{docs_glob}')
 ),
 q(term, qtf) AS (VALUES {q_vals}),
 dft AS (

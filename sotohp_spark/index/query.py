@@ -137,6 +137,13 @@ class QueryEngine:
             self.MAX_DRIVER_DELETES = max_driver_deletes
         self._deletes_df: DataFrame | None = None
         self._deletes = self._load_deletes()
+        # per-term df lookups resolved so far (LRU, negative results
+        # cached as 0) — the interactive path when the vocabulary is
+        # too large to preload; see _term_dfs
+        from collections import OrderedDict
+
+        self._term_lru: "OrderedDict[str, int]" = OrderedDict()
+        self.last_query_stats: dict = {}
 
     def _load_deletes(self):
         """Tombstone handling, sized to the delete volume.
@@ -183,6 +190,47 @@ class QueryEngine:
             return self.rules.rules_for(source)
         return self.rules
 
+    # cap on the per-term df LRU (vocabulary working set for an
+    # interactive session; the full dictionary may not fit the driver)
+    TERM_LRU_MAX = 100_000
+
+    def _term_dfs(self, terms) -> dict:
+        """df per query term.  Three tiers:
+        1. full dictionary preloaded (preload_term_stats) — dict hit;
+        2. LRU of previously looked-up terms (negative results cached
+           as 0) — repeat queries over a session's working set cost
+           ZERO Spark jobs;
+        3. ONE pruned parquet lookup job for the misses: term_stats is
+           written sorted by term, so the IN-list predicate prunes to
+           the row groups containing those terms.
+        This is what keeps the interactive path viable when the
+        vocabulary is too large to collect (tens of millions of
+        distinct terms and up)."""
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        out: dict[str, int] = {}
+        missing = []
+        for t in terms:
+            if t in self._term_lru:
+                self._term_lru.move_to_end(t)
+                out[t] = self._term_lru[t]
+            else:
+                missing.append(t)
+        if missing:
+            found = {
+                r["term"]: int(r["df"])
+                for r in self._term_stats.where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            }
+            for t in missing:
+                v = found.get(t, 0)
+                self._term_lru[t] = v
+                out[t] = v
+            while len(self._term_lru) > self.TERM_LRU_MAX:
+                self._term_lru.popitem(last=False)
+        return {t: v for t, v in out.items() if v > 0}
+
     # ------------------------------------------------------------------
     def query_weights(self, query_text: str, source=None):
         """(term -> qtf*idf, total candidate postings) for corpus terms."""
@@ -192,15 +240,7 @@ class QueryEngine:
         qtf: dict[str, int] = {}
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
-        if self._df_cache is not None:
-            dfs = {t: self._df_cache[t] for t in qtf if t in self._df_cache}
-        else:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self._term_stats.where(F.col("term").isin(list(qtf)))
-                .select("term", "df")
-                .collect()
-            }
+        dfs = self._term_dfs(list(qtf))
         n = self.meta["n_docs"]
         weights = {
             t: qtf[t] * bm25.lucene_idf_scalar(n, d) for t, d in dfs.items()
@@ -607,10 +647,14 @@ class QueryEngine:
         for r in rows:
             by_range.setdefault(r["range_id"], []).append(r.asDict())
         all_docs, all_scores = [], []
+        # block-max pruning evidence for the whole query, aggregated
+        # across ranges (blocks_total / blocks_decoded / blocks_skipped)
+        self.last_query_stats = stats = {}
         for rid in sorted(by_range):
             d, s = wand.score_range(
                 by_range[rid], weights, k, avgdl, conjunctive=conjunctive,
                 cfg=self.cfg, deletes=self._deletes, doc_bounds=doc_bounds,
+                stats=stats,
             )
             all_docs.append(d)
             all_scores.append(s)

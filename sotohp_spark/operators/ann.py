@@ -20,6 +20,7 @@ Spark and DuckDB (list_cosine_similarity) hash identically.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -262,17 +263,87 @@ LIMIT {k}
 # IVF (inverted file) — deterministic centroids
 # ---------------------------------------------------------------------------
 
+# above this many centroids the per-centroid-column expression plan
+# stops being viable (64k centroids would mean 64k literal-array
+# expressions in one plan) and assignment switches to a broadcast
+# centroid matrix + Arrow-batched argmax
+IVF_EXPR_MAX_CENTROIDS = 64
+
+
+def _assign_via_expr(embeddings, cent, id_col, vec_col):
+    """Small-n path: argmax over per-centroid similarity COLUMNS (ties
+    -> lowest centroid id).  Pure column expressions — exactly
+    reproducible in the DuckDB oracle SQL, which is why the oracle
+    contract (n_centroids=8) stays on this path."""
+    sims = [
+        (
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
+            / _norm(F.col(vec_col))
+        ).alias(f"s{i}")
+        for i, row in enumerate(cent)
+    ]
+    tmp = embeddings.select(id_col, vec_col, F.array(*sims).alias("sims"))
+    return tmp.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+
+
+def _assign_via_udf(embeddings, cent, id_col, vec_col):
+    """Scale path: ONE broadcast of the (C, d) centroid matrix per
+    executor + a vectorized argmax over Arrow batches — plan size
+    O(1) in n_centroids (real IVF runs 4k-64k centroids; a
+    column-per-centroid plan is unusable there).  Ties -> lowest
+    centroid id (np.argmax returns the first maximum), matching the
+    expr path."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ c.T
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return embeddings.select(
+        id_col, vec_col, assign(F.col(vec_col)).alias("centroid_id")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    lloyd_iters: int = 0,
 ):
-    """Deterministic IVF: centroids = the first n rows by id,
-    L2-normalized (no Lloyd refinement — assignment must be exactly
-    reproducible in the DuckDB oracle SQL).  Returns
-    (df_with_centroid, centroids ndarray).  At scale, `centroid_id`
-    becomes the partition key of the vector table."""
+    """Deterministic IVF: seed centroids = the first n rows by id,
+    L2-normalized.  Returns (df_with_centroid, centroids ndarray).
+    At scale, `centroid_id` becomes the partition key of the vector
+    table.
+
+    ``method``: 'expr' (per-centroid similarity columns — the
+    oracle-reproducible path), 'udf' (broadcast matrix + Arrow argmax
+    — the real-IVF-scale path), or 'auto' (expr up to
+    IVF_EXPR_MAX_CENTROIDS, udf beyond).
+
+    ``lloyd_iters``: optional k-means refinements of the seed
+    centroids (fixed iteration count, deterministic: assignment ties
+    break to the lowest centroid id and means are exact aggregates;
+    a centroid that loses all members keeps its previous position).
+    The refinement loop always uses the udf assignment; only the
+    FINAL assignment honors ``method``, so lloyd_iters=0 stays
+    bit-reproducible in SQL."""
     seeds = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -283,23 +354,36 @@ def ivf_assign(
     cent = np.array([np.asarray(v, dtype=np.float64) for v in seeds])
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
-    # argmax over per-centroid similarity columns (ties -> lowest id)
-    sims = [
-        (
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
-            / _norm(F.col(vec_col))
-        ).alias(f"s{i}")
-        for i, row in enumerate(cent)
-    ]
-    tmp = embeddings.select(id_col, vec_col, F.array(*sims).alias("sims"))
-    assigned = tmp.select(
-        id_col,
-        vec_col,
-        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-        .cast("int")
-        .alias("centroid_id"),
+    for _ in range(lloyd_iters):
+        assigned = _assign_via_udf(embeddings, cent, id_col, vec_col)
+        # per-centroid mean, one distributed agg over (centroid, dim):
+        # the result is n_centroids x dim — small by definition
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(
+                r["m"]
+            )
+        for ci, dims in by_c.items():
+            vec = np.array([dims[p] for p in sorted(dims)])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new_cent[ci] = vec / n
+        cent = new_cent
+
+    use_udf = method == "udf" or (
+        method == "auto" and len(cent) > IVF_EXPR_MAX_CENTROIDS
     )
-    return assigned, cent
+    fn = _assign_via_udf if use_udf else _assign_via_expr
+    return fn(embeddings, cent, id_col, vec_col), cent
 
 
 def cosine_topk_ivf(
@@ -310,8 +394,12 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
-    assigned, cent = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned, cent = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, method, lloyd_iters
+    )
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     order = np.argsort(-(cent @ qv), kind="stable")[:n_probe]

@@ -42,6 +42,7 @@ def score_range(
     cfg: EngineConfig = DEFAULT,
     deletes: np.ndarray | None = None,
     doc_bounds: tuple | None = None,
+    stats: dict | None = None,
 ):
     """Score one doc-id range.
 
@@ -55,6 +56,11 @@ def score_range(
     one doc-id interval per segment — appends create new segments).
     Scores keep GLOBAL collection stats (Lucene filter-query semantics:
     a filter changes membership, not scoring).
+
+    ``stats``: optional dict the call ACCUMULATES block-max pruning
+    evidence into (keys blocks_total / blocks_decoded / blocks_skipped)
+    — the proof that the machinery actually skips on Zipf-head terms,
+    not just that it is rank-equivalent (tests/test_wand_skip.py).
 
     Returns (doc_ids int64[], scores float64[]) of the local top-k.
     """
@@ -95,6 +101,11 @@ def score_range(
     if conjunctive:
         if len({s["term"] for s in shards}) < len(term_weights):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        if stats is not None:
+            n_blocks = sum(len(s["block_offsets"]) for s in shards)
+            stats["blocks_total"] = stats.get("blocks_total", 0) + n_blocks
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + n_blocks
+            stats["blocks_skipped"] = stats.get("blocks_skipped", 0)
         return _score_conjunctive(
             shards, term_weights, k, avgdl, cfg, deletes, bounds_mask
         )
@@ -219,6 +230,12 @@ def score_range(
         if topk_scores.size >= k:
             theta = float(topk_scores.min())
 
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + int(starts.size)
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(block_cache)
+        stats["blocks_skipped"] = (
+            stats.get("blocks_skipped", 0) + int(starts.size) - len(block_cache)
+        )
     if not done_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     docs = np.concatenate(done_docs)

@@ -245,3 +245,42 @@ def test_multimodal_injected_decoder_path(spark):
     assert len(rest) and any(list(f) != [1.0] * 4 for f in rest["feature"])
     # null payloads unaffected
     assert feats.loc[0, "feature"] is None and not feats.loc[0, "ok"]
+
+
+def test_ivf_udf_assignment_matches_expr(embeddings):
+    """The broadcast-matrix argmax path (real-IVF scale) must assign
+    every vector to the same centroid as the per-centroid-column
+    expression path (the oracle contract)."""
+    df, _ = embeddings
+    a_expr, _ = ann.ivf_assign(df, n_centroids=16, method="expr")
+    a_udf, _ = ann.ivf_assign(df, n_centroids=16, method="udf")
+    expr = {r["vec_id"]: r["centroid_id"] for r in a_expr.collect()}
+    udf = {r["vec_id"]: r["centroid_id"] for r in a_udf.collect()}
+    assert expr == udf
+
+
+def test_ivf_scales_past_expr_limit_and_stays_exact(embeddings):
+    """n_centroids above IVF_EXPR_MAX_CENTROIDS routes to the udf path
+    (a 128-column literal plan would already crawl; 64k would be
+    unusable); probing ALL centroids makes IVF exhaustive, so the
+    result must equal brute force exactly."""
+    df, q = embeddings
+    approx = ann.cosine_topk_ivf(
+        df, q, k=5, n_centroids=128, n_probe=128
+    ).toPandas()
+    exact = ann.cosine_topk_bruteforce(df, q, k=5).toPandas()
+    assert list(approx["vec_id"]) == list(exact["vec_id"])
+    assert list(approx["cos_sim"]) == list(exact["cos_sim"])
+
+
+def test_ivf_lloyd_refinement_deterministic(embeddings):
+    """A fixed Lloyd iteration count must be reproducible run-to-run
+    (exact aggregates, ties to lowest centroid id)."""
+    df, q = embeddings
+    r1 = ann.cosine_topk_ivf(
+        df, q, k=5, n_centroids=8, n_probe=3, lloyd_iters=1
+    ).toPandas()
+    r2 = ann.cosine_topk_ivf(
+        df, q, k=5, n_centroids=8, n_probe=3, lloyd_iters=1
+    ).toPandas()
+    assert list(r1["vec_id"]) == list(r2["vec_id"])
