@@ -44,6 +44,13 @@ class EngineConfig:
     # tie-break and float determinism: scores are float64; ties broken
     # by ascending doc_id everywhere (engine, oracle, tests).
 
+    # Optional Iceberg catalog table prefix (e.g. "local.db.myindex").
+    # When set AND the Iceberg runtime is on the classpath, index
+    # table writes route through sources/catalog.IcebergIndexStore
+    # (atomic snapshot commits instead of the marker protocol); unset
+    # or jars absent -> the parquet leg, unchanged.
+    iceberg_table_prefix: str | None = None
+
     extra_spark_conf: dict = field(default_factory=dict)
 
 

@@ -497,24 +497,14 @@ class IndexBuilder:
                 (F.col("range_id").cast("long") * cfg.range_size / bucket_span)
                 .cast("int"),
             )
-            prev_mode = self.spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                (
-                    shards.repartition(cfg.shuffle_partitions, "term")
-                    .sortWithinPartitions("term", "range_id")
-                    .write.mode("overwrite")
-                    .partitionBy("range_bucket")
-                    .parquet(self.postings_path)
-                )
-            finally:
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
+            # storage adapter: parquet dynamic-partition overwrite by
+            # default; an Iceberg catalog (cfg.iceberg_table_prefix +
+            # runtime present) makes this one overwritePartitions
+            # snapshot commit instead (sources/catalog.py mapping)
+            from sotohp_spark.sources.catalog import resolve_store
+
+            resolve_store(self.spark, self.path, cfg)\
+                .overwrite_postings_partitions(shards)
             self._commit_state_many(chunk, fingerprint, time.time() - t0)
             log.info(
                 "stage2 buckets %s..%s (%d): %.1fs",
