@@ -45,10 +45,13 @@ class EngineConfig:
     # by ascending doc_id everywhere (engine, oracle, tests).
 
     # Optional Iceberg catalog table prefix (e.g. "local.db.myindex").
-    # When set AND the Iceberg runtime is on the classpath, index
-    # table writes route through sources/catalog.IcebergIndexStore
-    # (atomic snapshot commits instead of the marker protocol); unset
-    # or jars absent -> the parquet leg, unchanged.
+    # When set AND the Iceberg runtime is on the classpath,
+    # sources/catalog.resolve_store yields IcebergIndexStore, whose
+    # TABLE operations (docs append, postings overwritePartitions,
+    # MERGE INTO deletes) are atomic snapshot commits.  The full
+    # builder pipeline is not catalog-backed yet, so IndexBuilder
+    # refuses to run with this set (fail-fast, not a half-parquet
+    # index); drive IcebergIndexStore directly for catalog tables.
     iceberg_table_prefix: str | None = None
 
     extra_spark_conf: dict = field(default_factory=dict)

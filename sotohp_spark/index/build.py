@@ -111,14 +111,17 @@ def recovery_lock_path(index_path: str) -> str:
     return index_path.rstrip("/") + "._recovery.lock"
 
 
-# a lease older than this is an orphan from a crashed holder (the
-# locked sections are metadata renames — sub-second on any FS) and is
-# broken by the next acquirer; acquisition gives up after TIMEOUT
+# a lease older than this (since its last RENEWAL — the holder
+# refreshes the body every stale_sec/4 from a background thread, so a
+# live holder never reads as stale no matter how long the swap takes)
+# is an orphan from a crashed holder and is broken by the next
+# acquirer; acquisition gives up after TIMEOUT
 RECOVERY_LOCK_STALE_SEC = 120.0
 RECOVERY_LOCK_TIMEOUT_SEC = 300.0
 
 
 import contextlib
+import threading
 
 
 @contextlib.contextmanager
@@ -138,31 +141,78 @@ def recovery_lock(spark, index_path: str,
     recovery holders re-check the marker after acquiring, so a reader
     that waited out a writer finds the marker gone and does nothing.
 
-    Crash-orphaned leases carry their creation time in the body and
-    are broken once older than ``stale_sec``."""
+    Liveness vs safety:
+    - the HOLDER renews the lease body (fresh ts + nonce) every
+      stale_sec/4 from a daemon thread, so a swap that legitimately
+      outlives stale_sec (large index, slow FS) is never broken out
+      from under a live process;
+    - a breaker only removes a lease whose CONTENT it re-reads
+      unchanged immediately before the remove — a lease that was
+      meanwhile released-and-reacquired (different nonce/ts) or
+      renewed is left alone.  The remaining window (re-read ->
+      remove, microseconds) requires a holder that ALREADY crashed
+      mid-section plus two concurrent breakers, and the swap steps
+      themselves re-check staged/live existence (incremental.py
+      _apply_bucket_swap) as the last line of defense.
+    """
     path = recovery_lock_path(index_path)
-    body = json.dumps({"pid": os.getpid(), "ts": time.time()})
+    nonce = f"{os.getpid()}-{time.monotonic_ns()}"
     deadline = time.time() + timeout_sec
-    while not fsio.create_exclusive(spark, path, body):
+    stale_body: str | None = None  # content observed as stale last poll
+    while True:
+        if fsio.create_exclusive(
+            spark, path,
+            json.dumps({"nonce": nonce, "ts": time.time()}),
+        ):
+            break
+        cur_body = None
+        age = None
         try:
-            holder = json.loads(fsio.read_text(spark, path))
-            age = time.time() - float(holder.get("ts", 0.0))
-        except (OSError, ValueError, KeyError):
-            continue  # holder just released (or torn write): retry now
-        if age > stale_sec:
-            log.warning("breaking stale recovery lease at %s (age %.0fs)",
-                        path, age)
-            fsio.remove(spark, path, missing_ok=True)
-            continue
+            cur_body = fsio.read_text(spark, path)
+            age = time.time() - float(json.loads(cur_body).get("ts", 0.0))
+        except (OSError, ValueError, AttributeError):
+            pass  # just released, torn, or unreadable: fall through
+        if age is not None and age > stale_sec:
+            if cur_body is not None and cur_body == stale_body:
+                # observed stale across TWO polls with identical
+                # content -> the holder is neither renewing nor
+                # releasing; claim the break
+                log.warning(
+                    "breaking stale recovery lease at %s (age %.0fs)",
+                    path, age,
+                )
+                fsio.remove(spark, path, missing_ok=True)
+                stale_body = None
+                continue  # immediately contend for the freed lease
+            stale_body = cur_body
+        else:
+            stale_body = None
         if time.time() > deadline:
             raise TimeoutError(
-                f"recovery lease at {path} held >{timeout_sec}s by "
-                f"{holder}; remove it manually if the holder is dead"
+                f"recovery lease at {path} held >{timeout_sec}s; "
+                f"remove it manually if the holder is dead"
             )
         time.sleep(0.1)
+
+    stop = threading.Event()
+
+    def _renew():
+        while not stop.wait(stale_sec / 4.0):
+            try:
+                fsio.write_text_atomic(
+                    spark, path,
+                    json.dumps({"nonce": nonce, "ts": time.time()}),
+                )
+            except Exception:  # renewal is best-effort; never kill the swap
+                log.warning("recovery-lease renewal failed at %s", path)
+
+    renewer = threading.Thread(target=_renew, daemon=True)
+    renewer.start()
     try:
         yield
     finally:
+        stop.set()
+        renewer.join(timeout=5.0)
         fsio.remove(spark, path, missing_ok=True)
 
 
@@ -334,6 +384,23 @@ class IndexBuilder:
         """
         cfg = self.cfg
         fingerprint = input_fingerprint or "default"
+        from sotohp_spark.sources.catalog import resolve_store
+
+        # resolved ONCE per build (not per chunk); the Iceberg leg is
+        # refused here because only the table writes are catalog-
+        # routed so far — letting a configured-Iceberg build proceed
+        # would put postings in the catalog while docs/meta/checkpoint
+        # state stay parquet, yielding an index no reader can open
+        store = resolve_store(self.spark, self.path, cfg)
+        if store.kind != "parquet":
+            raise NotImplementedError(
+                "iceberg_table_prefix routes TABLE operations through "
+                "IcebergIndexStore (sources/catalog.py); the full "
+                "builder pipeline (meta, checkpoint state, append "
+                "markers, compaction) is not catalog-backed yet — "
+                "drive IcebergIndexStore directly, or unset "
+                "iceberg_table_prefix for the parquet protocol"
+            )
         recover_pending_compact(self.spark, self.path)
         if self._read_meta() is not None:
             # a pending BUCKET compaction must also be reconciled before
@@ -497,14 +564,10 @@ class IndexBuilder:
                 (F.col("range_id").cast("long") * cfg.range_size / bucket_span)
                 .cast("int"),
             )
-            # storage adapter: parquet dynamic-partition overwrite by
-            # default; an Iceberg catalog (cfg.iceberg_table_prefix +
-            # runtime present) makes this one overwritePartitions
-            # snapshot commit instead (sources/catalog.py mapping)
-            from sotohp_spark.sources.catalog import resolve_store
-
-            resolve_store(self.spark, self.path, cfg)\
-                .overwrite_postings_partitions(shards)
+            # storage adapter (resolved once above): parquet dynamic-
+            # partition overwrite; the Iceberg leg maps this onto ONE
+            # overwritePartitions snapshot commit (sources/catalog.py)
+            store.overwrite_postings_partitions(shards)
             self._commit_state_many(chunk, fingerprint, time.time() - t0)
             log.info(
                 "stage2 buckets %s..%s (%d): %.1fs",

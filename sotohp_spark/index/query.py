@@ -438,6 +438,10 @@ class QueryEngine:
         only; scores keep global collection stats (Lucene filter-query
         semantics).  Time-ordered doc ids turn the window into a doc-id
         interval, so untouched range buckets are partition-pruned."""
+        # reset per query: stats are populated by the driver-local
+        # path only; leaving the previous query's numbers in place
+        # would attribute them to a distributed/early-exit query
+        self.last_query_stats = {}
         doc_bounds = None
         if ts_min is not None or ts_max is not None:
             doc_bounds = self._doc_bounds_for_ts(ts_min, ts_max)

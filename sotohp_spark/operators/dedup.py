@@ -372,11 +372,23 @@ def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
 
     from sotohp_spark import fsio
 
+    from pyspark.sql import Observation
+
     spark = docs.sparkSession
     live = path.rstrip("/")
     tmp, old = live + "_tmp", live + "_retired"
     fsio.rmtree(spark, tmp)
-    keys = minhash_band_keys(docs, id_col, text_col, shingle_n, num_hashes, bands)
+    # n_docs counts the INPUT rows (minhash drops zero-shingle docs,
+    # so counting the materialized keys under-reports the indexed
+    # corpus) — measured via an Observation ON THE SAME PASS as the
+    # band-key write, never a second execution of the docs lineage
+    # (which may be a whole materialization pipeline).  Ids are unique
+    # by contract, so count == countDistinct (which observe() forbids).
+    obs = Observation("sig_index_n_docs")
+    keys = minhash_band_keys(
+        docs.observe(obs, F.count(F.col(id_col)).alias("n")),
+        id_col, text_col, shingle_n, num_hashes, bands,
+    )
     (
         keys.repartition("band", "bkey")
         .write.mode("overwrite")
@@ -387,13 +399,7 @@ def build_signature_index(docs: DataFrame, path: str, id_col="doc_id",
         "shingle_n": shingle_n,
         "num_hashes": num_hashes,
         "bands": bands,
-        # counted from the INPUT frame (id-column-only scan): minhash
-        # signatures drop zero-shingle (empty/short) documents, so a
-        # count over the materialized keys under-reports the indexed
-        # corpus
-        "n_docs": int(
-            docs.agg(F.countDistinct(id_col)).collect()[0][0]
-        ),
+        "n_docs": int(obs.get["n"]),
     }
     fsio.write_text_atomic(spark, f"{tmp}/_sig_meta.json", json.dumps(meta))
     fsio.rmtree(spark, old)

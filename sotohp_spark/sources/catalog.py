@@ -112,14 +112,31 @@ class ParquetIndexStore:
 
     # --- deletes ---
     def delete_doc_ids(self, ids: DataFrame) -> None:
-        """Tombstone append (queries filter; compaction drops)."""
+        """Tombstone append (queries filter; compaction drops).
+
+        Carries delete_conversations' two guards (incremental.py):
+        legacy hive-partitioned tombstone dirs are normalized BEFORE a
+        flat append can create the mixed-depth state partition
+        discovery rejects forever, and an empty batch writes nothing
+        (an empty deletes dir would flip every reader onto the
+        deletes-filtering path for no reason)."""
+        from sotohp_spark.index.build import IndexBuilder
+        from sotohp_spark.streaming.incremental import (
+            _normalize_deletes_layout,
+        )
+
+        _normalize_deletes_layout(
+            self.spark, IndexBuilder(self.spark, self.path, self.cfg)
+        )
         span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = ids.select(
+            "doc_id",
+            (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
+        ).localCheckpoint()
+        if keyed.count() == 0:
+            return
         (
-            ids.select(
-                "doc_id",
-                (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
-            )
-            .sortWithinPartitions("doc_id")
+            keyed.sortWithinPartitions("doc_id")
             .write.mode("append")
             .parquet(f"{self.path}/deletes")
         )
@@ -180,13 +197,17 @@ class IcebergIndexStore:
         laid = shards.repartition(
             self.cfg.shuffle_partitions, "term"
         ).sortWithinPartitions("term", "range_id")
-        try:
+        # existence is checked EXPLICITLY: a catch-all fallback to
+        # createOrReplace would, on any transient overwritePartitions
+        # failure (commit conflict, executor loss), silently REPLACE
+        # the whole table with just this chunk's buckets — corrupting
+        # every previously committed bucket with no error surfaced
+        if self.spark.catalog.tableExists(self.postings_table):
             laid.writeTo(self.postings_table).overwritePartitions()
-        except Exception:
-            # first write: the table does not exist yet
+        else:
             laid.writeTo(self.postings_table).partitionedBy(
                 F.col("range_bucket")
-            ).createOrReplace()
+            ).create()
 
     def read_postings(self) -> DataFrame:
         return self.spark.table(self.postings_table)

@@ -119,3 +119,32 @@ def test_iceberg_leg_lifecycle(spark, tmp_path):
     store.delete_doc_ids(spark.createDataFrame([(3,)], "doc_id long"))
     assert store.read_docs().where(F.col("doc_id") == 3).count() == 0
     assert store.read_docs().count() == 49
+
+
+def test_builder_refuses_half_wired_iceberg_config(spark, tmp_path,
+                                                   monkeypatch):
+    """Until the FULL builder pipeline is catalog-backed, a configured
+    Iceberg prefix must fail fast instead of producing an index whose
+    postings live in the catalog while docs/meta stay parquet — a
+    state no reader could open."""
+    import sotohp_spark.sources.catalog as cat
+    from sotohp_spark.index import IndexBuilder
+
+    monkeypatch.setattr(cat, "iceberg_available", lambda s: True)
+    cfg = EngineConfig(iceberg_table_prefix="local.db.idx")
+    turns = spark.createDataFrame(
+        [("c1", 0, TS, "hello world")],
+        "conv_id string, turn_idx int, ts timestamp, text string",
+    )
+    with pytest.raises(NotImplementedError, match="iceberg_table_prefix"):
+        IndexBuilder(spark, str(tmp_path / "iidx"), cfg).build(
+            turns, input_fingerprint="x"
+        )
+
+
+def test_store_delete_doc_ids_empty_is_noop(spark, tmp_path):
+    import os as _os
+
+    store = ParquetIndexStore(spark, str(tmp_path / "idx"), CFG)
+    store.delete_doc_ids(spark.createDataFrame([], "doc_id long"))
+    assert not _os.path.exists(f"{tmp_path}/idx/deletes")
