@@ -122,3 +122,45 @@ def test_plan_has_two_stage_shape(spark):
     assert any(
         "conv_id" in ln and "_chunk" not in ln for ln in exchanges
     ), plan
+
+
+# --- property-based parity with the single-stage reference semantics ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab ", min_size=0, max_size=6),
+)
+_conv = st.lists(_text, min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(convs=st.lists(_conv, min_size=1, max_size=4),
+       chunk=st.integers(min_value=1, max_value=5))
+def test_property_two_stage_equals_reference(spark, convs, chunk):
+    """For arbitrary null/empty/whitespace turn texts and arbitrary
+    chunk sizes, the two-stage concat must equal the single-stage
+    reference semantics computed in plain Python."""
+    rows = []
+    expect = {}
+    for ci, texts in enumerate(convs):
+        cid = f"c{ci}"
+        rows += [
+            (cid, i, TS + datetime.timedelta(seconds=i), t)
+            for i, t in enumerate(texts)
+        ]
+        expect[cid] = (
+            " ".join(t for t in texts if t is not None),
+            len(texts),
+        )
+    out = materialize_documents(_turns(spark, rows), turn_chunk=chunk)
+    got = {
+        r["conv_id"]: (r["doc_text"], r["n_turns"]) for r in out.collect()
+    }
+    assert got == expect
