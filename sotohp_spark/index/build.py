@@ -142,37 +142,57 @@ def recovery_lock(spark, index_path: str,
     that waited out a writer finds the marker gone and does nothing.
 
     Liveness vs safety:
-    - the HOLDER renews the lease body (fresh ts + nonce) every
+    - the HOLDER renews the lease body (fresh ts, same nonce) every
       stale_sec/4 from a daemon thread, so a swap that legitimately
       outlives stale_sec (large index, slow FS) is never broken out
       from under a live process;
+    - the lease body RECORDS the holder's stale_sec, and a breaker
+      judges age against max(its own, the holder's) — a holder that
+      chose a longer lease cannot be broken by a contender configured
+      with a shorter one;
     - a breaker only removes a lease whose CONTENT it re-reads
-      unchanged immediately before the remove — a lease that was
-      meanwhile released-and-reacquired (different nonce/ts) or
-      renewed is left alone.  The remaining window (re-read ->
-      remove, microseconds) requires a holder that ALREADY crashed
-      mid-section plus two concurrent breakers, and the swap steps
-      themselves re-check staged/live existence (incremental.py
-      _apply_bucket_swap) as the last line of defense.
+      unchanged across two polls — a lease that was meanwhile
+      released-and-reacquired or renewed (ts changes) is left alone;
+    - renewal and release are NONCE-CHECKED: both re-read the lease
+      and touch it only while it still carries this holder's nonce,
+      so a holder that stalled past its own stale_sec and was
+      legitimately broken can neither clobber nor delete its
+      successor's lease.  The remaining read->write windows are
+      microseconds wide and require a holder that already blew its
+      lease deadline; the swap steps themselves re-check staged/live
+      existence (incremental.py _apply_bucket_swap) as the last line
+      of defense.
     """
     path = recovery_lock_path(index_path)
     nonce = f"{os.getpid()}-{time.monotonic_ns()}"
+
+    def _body() -> str:
+        return json.dumps(
+            {"nonce": nonce, "ts": time.time(), "stale_sec": stale_sec}
+        )
+
+    def _holder_nonce() -> str | None:
+        try:
+            return json.loads(fsio.read_text(spark, path)).get("nonce")
+        except (OSError, ValueError, AttributeError):
+            return None
+
     deadline = time.time() + timeout_sec
     stale_body: str | None = None  # content observed as stale last poll
     while True:
-        if fsio.create_exclusive(
-            spark, path,
-            json.dumps({"nonce": nonce, "ts": time.time()}),
-        ):
+        if fsio.create_exclusive(spark, path, _body()):
             break
         cur_body = None
         age = None
+        holder_stale = stale_sec
         try:
             cur_body = fsio.read_text(spark, path)
-            age = time.time() - float(json.loads(cur_body).get("ts", 0.0))
-        except (OSError, ValueError, AttributeError):
+            holder = json.loads(cur_body)
+            age = time.time() - float(holder.get("ts", 0.0))
+            holder_stale = float(holder.get("stale_sec", stale_sec))
+        except (OSError, ValueError, AttributeError, TypeError):
             pass  # just released, torn, or unreadable: fall through
-        if age is not None and age > stale_sec:
+        if age is not None and age > max(stale_sec, holder_stale):
             if cur_body is not None and cur_body == stale_body:
                 # observed stale across TWO polls with identical
                 # content -> the holder is neither renewing nor
@@ -199,10 +219,13 @@ def recovery_lock(spark, index_path: str,
     def _renew():
         while not stop.wait(stale_sec / 4.0):
             try:
-                fsio.write_text_atomic(
-                    spark, path,
-                    json.dumps({"nonce": nonce, "ts": time.time()}),
-                )
+                # nonce check + stop re-check right before the write:
+                # if this lease was broken and reacquired (we stalled
+                # past our own deadline), or release already ran, the
+                # successor's lease must not be clobbered
+                if _holder_nonce() != nonce or stop.is_set():
+                    return
+                fsio.write_text_atomic(spark, path, _body())
             except Exception:  # renewal is best-effort; never kill the swap
                 log.warning("recovery-lease renewal failed at %s", path)
 
@@ -212,8 +235,19 @@ def recovery_lock(spark, index_path: str,
         yield
     finally:
         stop.set()
-        renewer.join(timeout=5.0)
-        fsio.remove(spark, path, missing_ok=True)
+        renewer.join(timeout=30.0)
+        if renewer.is_alive():
+            # a renewal write is wedged in the FS layer; removing now
+            # could race its completion and resurrect the lease under
+            # our nonce with nobody left to release it.  Leave it: the
+            # stale-break path reclaims it after stale_sec — a bounded
+            # stall, never a second holder.
+            log.warning(
+                "recovery-lease renewer wedged; leaving lease at %s "
+                "for stale-break reclamation", path,
+            )
+        elif _holder_nonce() == nonce:
+            fsio.remove(spark, path, missing_ok=True)
 
 
 def require_atomic_rename(index_path: str, op: str) -> None:

@@ -557,6 +557,11 @@ class QueryEngine:
         """
         import numpy as np
 
+        # the batch path is always distributed and never writes
+        # pruning stats; reset so a prior top_k's numbers are not
+        # misattributed to this batch
+        self.last_query_stats = {}
+
         per_query = {}
         all_terms: set = set()
         for qid, qtext, kk in queries:

@@ -112,33 +112,18 @@ class ParquetIndexStore:
 
     # --- deletes ---
     def delete_doc_ids(self, ids: DataFrame) -> None:
-        """Tombstone append (queries filter; compaction drops).
-
-        Carries delete_conversations' two guards (incremental.py):
-        legacy hive-partitioned tombstone dirs are normalized BEFORE a
-        flat append can create the mixed-depth state partition
-        discovery rejects forever, and an empty batch writes nothing
-        (an empty deletes dir would flip every reader onto the
-        deletes-filtering path for no reason)."""
+        """Tombstone append (queries filter; compaction drops) — the
+        SAME sink delete_conversations uses (incremental.py
+        append_tombstones): pending-compact recovery first, legacy
+        layout normalization, META-derived bucket span, empty no-op.
+        One definition, so the guards can never drift apart."""
         from sotohp_spark.index.build import IndexBuilder
-        from sotohp_spark.streaming.incremental import (
-            _normalize_deletes_layout,
-        )
+        from sotohp_spark.streaming.incremental import append_tombstones
 
-        _normalize_deletes_layout(
-            self.spark, IndexBuilder(self.spark, self.path, self.cfg)
-        )
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = ids.select(
-            "doc_id",
-            (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
-        ).localCheckpoint()
-        if keyed.count() == 0:
-            return
-        (
-            keyed.sortWithinPartitions("doc_id")
-            .write.mode("append")
-            .parquet(f"{self.path}/deletes")
+        append_tombstones(
+            self.spark,
+            IndexBuilder(self.spark, self.path, self.cfg),
+            ids.select("doc_id"),
         )
 
 

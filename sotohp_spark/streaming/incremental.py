@@ -348,6 +348,57 @@ def append_conversations(
     return meta
 
 
+def append_tombstones(
+    spark: SparkSession, builder: IndexBuilder, doc_ids: DataFrame
+) -> int:
+    """THE tombstone-append sink — single definition shared by
+    delete_conversations and the storage adapter
+    (sources/catalog.ParquetIndexStore.delete_doc_ids):
+
+    - pending-compact recovery FIRST: tombstones appended over a
+      crashed swap would be destroyed when the next open promotes the
+      staged dir (the retired live dir — deletes included — is
+      rmtree'd);
+    - legacy hive-partitioned tombstone dirs normalized before a flat
+      append can create the mixed-depth state partition discovery
+      rejects forever;
+    - bucket span from META when it exists (the compact_buckets rule:
+      bucket geometry never comes from a caller's cfg) with the
+      builder cfg as the bare-directory fallback;
+    - empty batches write NOTHING (an empty deletes dir would flip
+      every reader onto the deletes-filtering path for no reason).
+
+    Returns the number of tombstoned doc ids."""
+    from sotohp_spark.index.build import recover_pending_compact
+
+    recover_pending_compact(spark, builder.path)
+    _recover_pending_bucket_compact(spark, builder)
+    _normalize_deletes_layout(spark, builder)
+    meta = builder._read_meta()
+    if meta is not None:
+        span = meta["range_size"] * meta.get("ranges_per_batch", 8)
+    else:
+        span = builder.cfg.range_size * builder.cfg.ranges_per_batch
+    doomed = doc_ids.select(
+        "doc_id",
+        (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
+    ).localCheckpoint()  # one scan: count + write read the same rows
+    n = doomed.count()
+    if n == 0:
+        return 0
+    # FLAT files with range_bucket as a plain sorted column (NOT a hive
+    # partition): parquet min/max stats on doc_id/range_bucket give the
+    # same file-level pruning, and flat layout stays read-compatible
+    # with tombstone files written before the column existed (hive
+    # subdirs next to flat files would break partition discovery).
+    (
+        doomed.sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(f"{builder.path}/deletes")
+    )
+    return n
+
+
 def delete_conversations(
     spark: SparkSession, index_path: str, conv_ids
 ) -> int:
@@ -369,9 +420,6 @@ def delete_conversations(
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path)
     _recover_pending_bucket_compact(spark, builder)
-    _normalize_deletes_layout(spark, builder)
-    meta = builder._read_meta()
-    span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
     if isinstance(conv_ids, DataFrame):
         matched = docs.join(
@@ -379,27 +427,7 @@ def delete_conversations(
         )
     else:
         matched = docs.where(F.col("conv_id").isin(list(conv_ids)))
-    doomed = matched.select(
-        "doc_id",
-        (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
-    ).localCheckpoint()  # one scan: count + write read the same rows
-    n = doomed.count()
-    if n == 0:
-        # never create an (empty) tombstone table for a no-op delete:
-        # its existence flips every reader onto the deletes-filtering
-        # path for nothing
-        return 0
-    # FLAT files with range_bucket as a plain sorted column (NOT a hive
-    # partition): parquet min/max stats on doc_id/range_bucket give the
-    # same file-level pruning, and flat layout stays read-compatible
-    # with tombstone files written before the column existed (hive
-    # subdirs next to flat files would break partition discovery).
-    (
-        doomed.sortWithinPartitions("doc_id")
-        .write.mode("append")
-        .parquet(f"{builder.path}/deletes")
-    )
-    return n
+    return append_tombstones(spark, builder, matched.select("doc_id"))
 
 
 def update_conversations(
