@@ -481,8 +481,10 @@ def _stream_ingested_index(spark, sf_dir):
         input_fingerprint=f"stream-base-{sf}",
     )
     (
+        # conversation-aligned source files (the bounded-trigger data
+        # contract documented on stream_ingest_available_now)
         turns.where(~F.col("conv_id").isin(base_set))
-        .coalesce(2)
+        .repartition(2, "conv_id")
         .write.mode("overwrite")
         .parquet(src)
     )

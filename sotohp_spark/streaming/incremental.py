@@ -804,18 +804,37 @@ def stream_ingest_available_now(
     checkpoint_dir: str,
     cfg: EngineConfig = DEFAULT,
     rules: KeywordRules | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured Streaming AvailableNow ingest: watch a directory of
     turn parquet files; each micro-batch appends its complete new
     conversations via foreachBatch -> append_conversations.  Source
     progress is tracked by the streaming checkpoint (exactly-once per
-    file), dedup by conv_id anti-join makes re-delivery idempotent."""
+    file), dedup by conv_id anti-join makes re-delivery idempotent.
+
+    ``max_files_per_trigger`` bounds each micro-batch's file count
+    (availableNow honors it as the batch partitioning): at a 100 TB
+    backlog one giant catch-up batch would hold the whole backlog's
+    shuffle state at once — bounded triggers keep every append
+    O(batch) and commit progress incrementally.  Returns the query;
+    ``q.recentProgress`` carries the per-batch evidence.
+
+    DATA CONTRACT under bounded triggers: source FILES must be
+    conversation-aligned (write them with
+    ``repartition(n, "conv_id")``).  A conversation whose turns
+    straddle two micro-batches would be indexed PARTIAL by the first
+    batch, and the second batch's remainder anti-joined away as
+    already-indexed — silent truncation.  (Unbounded availableNow
+    processes the whole backlog as one batch, so only bounded
+    triggers carry this requirement; it is the engine's form of the
+    reference's "Originals are immutable once scanned" model —
+    a conversation enters the stream only when complete.)"""
     from sotohp_spark.generator import TRANSCRIPT_SCHEMA
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .parquet(turns_source_dir)
-    )
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(turns_source_dir)
 
     def process(batch_df: DataFrame, epoch_id: int):
         append_conversations(spark, index_path, batch_df, cfg, rules)

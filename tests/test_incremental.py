@@ -274,3 +274,37 @@ def test_update_conversations_stays_distributed(spark, tmp_path, split_corpus,
     assert issubclass(seen["type"], _DF)
     hits = QueryEngine(spark, path).top_k("zzdistributed", 5).collect()
     assert [r["conv_id"] for r in hits] == [victim]
+
+
+def test_streaming_bounded_microbatches(spark, tmp_path, split_corpus):
+    """maxFilesPerTrigger must partition the AvailableNow catch-up into
+    MULTIPLE appends (each O(batch), committing progress per trigger)
+    and converge to the same corpus as one big batch."""
+    _, pdf_a, pdf_b = split_corpus
+    path = str(tmp_path / "mb_idx")
+    src = str(tmp_path / "mb_src")
+    ckpt = str(tmp_path / "mb_ckpt")
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf_a), input_fingerprint="base"
+    )
+    # 4 CONVERSATION-ALIGNED source files (the bounded-trigger data
+    # contract: a conversation's turns must never straddle two
+    # micro-batches) -> 1 file per trigger -> 4 micro-batches
+    spark.createDataFrame(pdf_b).repartition(4, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    from sotohp_spark.streaming.incremental import stream_ingest_available_now
+
+    q = stream_ingest_available_now(
+        spark, src, path, ckpt, CFG, max_files_per_trigger=1
+    )
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, n_batches  # genuinely micro-batched
+
+    engine = QueryEngine(spark, path)
+    oa, ob = Bm25Oracle(pdf_a), Bm25Oracle(pdf_b)
+    assert engine.meta["n_docs"] == oa.n_docs + ob.n_docs
+    # per-batch appends created one SEGMENT each; all searchable
+    assert len(engine.meta["segments"]) >= 3
+    assert len(engine.top_k_pdf("error", 10)) == 10
