@@ -75,13 +75,35 @@ class ParquetIndexStore:
         self.path = index_path.rstrip("/")
         self.cfg = cfg
 
+    def _recover(self) -> None:
+        """Finish any interrupted compaction swap BEFORE a read or
+        write touches the index.  Critical for reads that later feed
+        delete_doc_ids: compact_index re-densifies doc ids, so ids
+        derived from a pre-recovery (stale live) docs table would
+        tombstone arbitrary WRONG documents once the swap is
+        completed by a later open."""
+        from sotohp_spark.index.build import (
+            IndexBuilder,
+            recover_pending_compact,
+        )
+        from sotohp_spark.streaming.incremental import (
+            _recover_pending_bucket_compact,
+        )
+
+        recover_pending_compact(self.spark, self.path)
+        _recover_pending_bucket_compact(
+            self.spark, IndexBuilder(self.spark, self.path, self.cfg)
+        )
+
     # --- docs ---
     def write_docs(self, df: DataFrame, mode: str = "overwrite") -> None:
         from sotohp_spark.index.build import write_docs
 
+        self._recover()
         write_docs(df, f"{self.path}/docs", self.cfg, mode=mode)
 
     def read_docs(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(f"{self.path}/docs")
 
     # --- postings ---
@@ -106,6 +128,7 @@ class ParquetIndexStore:
             )
 
     def read_postings(self) -> DataFrame:
+        self._recover()
         return self.spark.read.option(
             "basePath", f"{self.path}/postings"
         ).parquet(f"{self.path}/postings")
@@ -116,7 +139,13 @@ class ParquetIndexStore:
         SAME sink delete_conversations uses (incremental.py
         append_tombstones): pending-compact recovery first, legacy
         layout normalization, META-derived bucket span, empty no-op.
-        One definition, so the guards can never drift apart."""
+        One definition, so the guards can never drift apart.
+
+        ``ids`` must be derived from a POST-recovery view of the index
+        (this store's read_docs runs recovery for exactly that
+        reason): compact_index re-densifies doc ids, so ids computed
+        against a stale pre-swap docs table would tombstone the wrong
+        documents."""
         from sotohp_spark.index.build import IndexBuilder
         from sotohp_spark.streaming.incremental import append_tombstones
 

@@ -197,6 +197,84 @@ def _refresh_derived_state(
     return meta
 
 
+def _apply_append_derived_state(
+    spark: SparkSession,
+    builder: IndexBuilder,
+    moved_files: list,
+    n_new: int,
+    dl_sum: int,
+    new_segment: tuple,
+    new_segment_ts: tuple,
+) -> dict:
+    """O(batch + vocabulary) derived-state update for the HAPPY append
+    path — the crash-recovery path keeps the full recompute
+    (_refresh_derived_state).
+
+    A full recompute per append re-aggregates the ENTIRE postings
+    table (one groupBy(term) shuffle of everything) and re-scans the
+    docs table for stats; under bounded streaming catch-up that made
+    B micro-batches cost B full-index passes (quadratic).  Instead:
+
+    - meta globals update ARITHMETICALLY from the batch aggregate
+      (n_docs += n, avgdl = weighted mean, max_doc += n — exact, not
+      approximate, because appends only add docs);
+    - term_stats merges the batch's per-term deltas — read from the
+      batch's just-moved shard files, an O(batch) scan — into the
+      existing table with one full-outer join (O(vocabulary), no
+      postings scan).  The merged frame is localCheckpointed before
+      the overwrite because it reads the same path it rewrites.
+
+    meta is RE-READ here rather than passed in: the caller's copy
+    predates _recover_pending_append, which may itself have refreshed
+    derived state for an earlier crashed append — compounding the
+    arithmetic onto a stale baseline would double-count that batch.
+    """
+    meta = builder._read_meta()
+    old_n = int(meta["n_docs"])
+    meta.update(
+        n_docs=old_n + n_new,
+        avgdl=(float(meta["avgdl"]) * old_n + float(dl_sum))
+        / (old_n + n_new),
+        max_doc=int(new_segment[1]),
+    )
+    segs = [list(s) for s in meta.get("segments", [])]
+    if not segs or int(new_segment[0]) > segs[-1][1]:
+        segs.append([int(new_segment[0]), int(new_segment[1])])
+        seg_ts = list(meta.get("segment_ts") or [])
+        while len(seg_ts) < len(segs) - 1:
+            seg_ts.append(None)
+        seg_ts.append([str(new_segment_ts[0]), str(new_segment_ts[1])])
+        meta["segment_ts"] = seg_ts
+    meta["segments"] = segs
+
+    if moved_files:  # a batch whose docs all tokenize empty moves none
+        delta = (
+            spark.read.parquet(*moved_files)
+            .groupBy("term")
+            .agg(
+                F.sum("n_docs").alias("_df_d"),
+                F.count("*").alias("_ns_d"),
+            )
+        )
+        old = spark.read.parquet(builder.term_stats_path)
+        merged = (
+            old.join(delta, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce(F.col("df"), F.lit(0))
+                 + F.coalesce(F.col("_df_d"), F.lit(0))).alias("df"),
+                (F.coalesce(F.col("n_shards"), F.lit(0))
+                 + F.coalesce(F.col("_ns_d"), F.lit(0))).alias("n_shards"),
+            )
+            .repartition(builder.cfg.shuffle_partitions, "term")
+            .sortWithinPartitions("term")
+            .localCheckpoint()  # breaks lineage to the path being rewritten
+        )
+        merged.write.mode("overwrite").parquet(builder.term_stats_path)
+    builder._write_meta(meta)
+    return meta
+
+
 def append_conversations(
     spark: SparkSession,
     index_path: str,
@@ -282,6 +360,7 @@ def append_conversations(
         F.max("conv_id").alias("hi"),
         F.min("doc_ts").alias("ts_lo"),
         F.max("doc_ts").alias("ts_hi"),
+        F.sum("doc_len").alias("dl_sum"),
     ).collect()[0]
     n_new = int(agg["n"])
     if n_new == 0:
@@ -339,8 +418,15 @@ def append_conversations(
     write_docs(docs, builder.docs_path, cfg, mode="append")
 
     # ---- phase 3: derived state + marker removal ----
-    meta = _refresh_derived_state(
-        spark, builder, new_segment=(pre_max_doc + 1, pre_max_doc + n_new),
+    # incremental (O(batch + vocab)) in the happy path; the recovery
+    # path after a crash uses the full recompute, which also bounds
+    # any drift this arithmetic could ever accumulate
+    meta = _apply_append_derived_state(
+        spark, builder,
+        moved_files=[dst for _, dst in moves],
+        n_new=n_new,
+        dl_sum=int(agg["dl_sum"]),
+        new_segment=(pre_max_doc + 1, pre_max_doc + n_new),
         new_segment_ts=(agg["ts_lo"], agg["ts_hi"]),
     )
     fsio.remove(spark, marker_path)
@@ -349,7 +435,8 @@ def append_conversations(
 
 
 def append_tombstones(
-    spark: SparkSession, builder: IndexBuilder, doc_ids: DataFrame
+    spark: SparkSession, builder: IndexBuilder, doc_ids: DataFrame,
+    _recovered: bool = False,
 ) -> int:
     """THE tombstone-append sink — single definition shared by
     delete_conversations and the storage adapter
@@ -368,11 +455,16 @@ def append_tombstones(
     - empty batches write NOTHING (an empty deletes dir would flip
       every reader onto the deletes-filtering path for no reason).
 
+    ``_recovered``: the caller already ran both recovery passes this
+    operation (delete_conversations does, before reading docs) — skip
+    re-probing the markers.
+
     Returns the number of tombstoned doc ids."""
     from sotohp_spark.index.build import recover_pending_compact
 
-    recover_pending_compact(spark, builder.path)
-    _recover_pending_bucket_compact(spark, builder)
+    if not _recovered:
+        recover_pending_compact(spark, builder.path)
+        _recover_pending_bucket_compact(spark, builder)
     _normalize_deletes_layout(spark, builder)
     meta = builder._read_meta()
     if meta is not None:
@@ -427,7 +519,9 @@ def delete_conversations(
         )
     else:
         matched = docs.where(F.col("conv_id").isin(list(conv_ids)))
-    return append_tombstones(spark, builder, matched.select("doc_id"))
+    return append_tombstones(
+        spark, builder, matched.select("doc_id"), _recovered=True
+    )
 
 
 def update_conversations(
@@ -815,9 +909,13 @@ def stream_ingest_available_now(
     ``max_files_per_trigger`` bounds each micro-batch's file count
     (availableNow honors it as the batch partitioning): at a 100 TB
     backlog one giant catch-up batch would hold the whole backlog's
-    shuffle state at once — bounded triggers keep every append
-    O(batch) and commit progress incrementally.  Returns the query;
-    ``q.recentProgress`` carries the per-batch evidence.
+    shuffle state at once — bounded triggers commit progress
+    incrementally, and each append's derived-state refresh is
+    O(batch + vocabulary), never a full postings recompute
+    (_apply_append_derived_state; the remaining per-batch index-side
+    work is the column-pruned conv-id anti-join and a max-doc-id
+    aggregate).  Returns the query; ``q.recentProgress`` carries the
+    per-batch evidence.
 
     DATA CONTRACT under bounded triggers: source FILES must be
     conversation-aligned (write them with
@@ -837,7 +935,22 @@ def stream_ingest_available_now(
     stream = reader.parquet(turns_source_dir)
 
     def process(batch_df: DataFrame, epoch_id: int):
-        append_conversations(spark, index_path, batch_df, cfg, rules)
+        n_convs = batch_df.select("conv_id").distinct().count()
+        before = IndexBuilder(spark, index_path, cfg)._read_meta()
+        meta = append_conversations(spark, index_path, batch_df, cfg, rules)
+        appended = meta["n_docs"] - (before["n_docs"] if before else 0)
+        if appended < n_convs:
+            # the contract violation (a conversation split across two
+            # micro-batches) is indistinguishable from legitimate
+            # redelivery at this layer — SURFACE the count so an
+            # unexpectedly nonzero skip under bounded triggers is
+            # visible instead of silent truncation
+            log.warning(
+                "micro-batch %s: %d/%d conv_ids skipped as already "
+                "indexed — redelivery, or a conversation-alignment "
+                "violation if source files are not conv-aligned",
+                epoch_id, n_convs - appended, n_convs,
+            )
 
     q = (
         stream.writeStream.foreachBatch(process)
