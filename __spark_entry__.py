@@ -204,6 +204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from the streamed index's own stored tf maps
     q["transcripts_stream_ingest_topk"] = _transcripts_stream_ingest_topk
 
+    # Phrase search: prune-then-verify — conjunctive candidates from
+    # the positionless postings, adjacency confirmed on the raw doc
+    # text (the oracle brute-scans the same text, so a hash match
+    # proves the index pruning never dropped a true phrase match)
+    q["transcripts_phrase_search"] = _transcripts_phrase_search
+
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
     # events so DuckDB mirrors the parse) ---
@@ -213,6 +219,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (distributed prefix sum, no single-partition window) and
     # incremental dedup of a new batch against a MATERIALIZED corpus
     # signature index (O(batch) hashing, not O(corpus)) ---
+    # Gopher-style repetition filter + benchmark-contamination check
+    # (public corpus-curation canon: Rae et al. 2021 A1, Brown et al.
+    # 2020 appendix C) — the reference's per-item sync gating analog
+    from sotohp_spark.operators import curation
+
+    q["repetition_filter"] = lambda s, d: curation.repetition_metrics(_docs(s, d))
+    q["contamination_check"] = _contamination_check
+
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
     q["stratified_sample"] = _stratified_sample
@@ -440,6 +454,71 @@ def _transcripts_bm25_time_filtered(spark, sf_dir):
     return engine.top_k(
         "error retry timeout", k=10, ts_min=lo, ts_max=hi
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+_PHRASE = "retry timeout"
+_TEXT_CACHE: dict = {}
+# the doc-text side table the phrase oracle brute-scans at sf0.01
+_ORACLE_DOC_TEXT = "/tmp/sotohp_doc_text_sf0.01/*.parquet"
+
+
+def _transcript_text(spark, sf_dir) -> str:
+    """(doc_id, conv_id, text) side table for verify-on-source
+    retrieval, written once per process per sf_dir: the bounded
+    two-stage materialization rebuilds each conversation's text and a
+    conv_id join picks up the INDEX's doc ids (doc ids are index
+    state, not a function of the raw turns alone — appends allocate
+    past the committed max)."""
+    import os
+
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.operators.docs import materialize_documents
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag in _TEXT_CACHE:
+        return _TEXT_CACHE[tag]
+    _, builder = _transcript_index(spark, sf_dir)
+    sf = _SF_FROM_DIR.get(tag, 0.05)
+    texts = materialize_documents(transcripts_df(spark, sf)).select(
+        "conv_id", F.col("doc_text").alias("text")
+    )
+    idx_docs = spark.read.parquet(builder.docs_path).select("doc_id", "conv_id")
+    path = f"/tmp/sotohp_doc_text_{tag}"
+    idx_docs.join(texts, "conv_id").select("doc_id", "conv_id", "text").write.mode(
+        "overwrite"
+    ).parquet(path)
+    _TEXT_CACHE[tag] = path
+    return path
+
+
+def _transcripts_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval: index-pruned conjunctive candidates
+    (QueryEngine.matching_doc_ids) verified by a word-boundary match
+    on the materialized text — Lucene's positional phrase query
+    re-expressed as prune + verify over positionless postings."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    text_path = _transcript_text(spark, sf_dir)
+    cands = engine.matching_doc_ids(_PHRASE)
+    texts = spark.read.parquet(text_path)
+    pat = r"(^|\s)" + _PHRASE + r"(\s|$)"
+    return (
+        texts.join(cands, "doc_id", "left_semi")
+        .where(F.col("text").rlike(pat))
+        .select("doc_id", "conv_id")
+    )
+
+
+def _contamination_check(spark, sf_dir):
+    """documents with doc_id % 19 == 0 act as the held-out benchmark;
+    the rest of the corpus is scored for shingle overlap against it."""
+    from sotohp_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return curation.contamination_overlap(
+        corpus, bench, shingle_n=3, threshold=0.05
+    )
 
 
 _STREAM_INDEX_CACHE: dict = {}
@@ -1095,6 +1174,84 @@ SELECT partition_id, 'built' AS status,
        count(*)::BIGINT AS postings_count,
        count(DISTINCT term)::BIGINT AS n_terms
 FROM tf GROUP BY partition_id ORDER BY partition_id
+"""
+
+    # phrase search: the oracle BRUTE-SCANS the same materialized text
+    # the Spark side verified against — a hash match proves the index
+    # candidate pruning is lossless for phrase containment
+    o["transcripts_phrase_search"] = rf"""
+SELECT doc_id, conv_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
+WHERE regexp_matches(text, '(^|\s){_PHRASE}(\s|$)')
+"""
+
+    # Gopher-style repetition metrics (token-fraction adaptation)
+    o["repetition_filter"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w)::INT AS n_tokens,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))
+    ELSE []::VARCHAR[] END AS bg,
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))
+    ELSE []::VARCHAR[] END AS tg
+  FROM toks
+), bgx AS (
+  SELECT doc_id, unnest(bg) AS b FROM base
+), topbg AS (
+  SELECT doc_id, max(c) AS top_bg FROM (
+    SELECT doc_id, b, count(*) AS c FROM bgx GROUP BY doc_id, b
+  ) GROUP BY doc_id
+), m AS (
+  SELECT base.doc_id, n_tokens,
+    round(CASE WHEN coalesce(top_bg, 0) >= 2
+               THEN coalesce(top_bg, 0) * 2 / greatest(n_tokens, 1)::DOUBLE
+               ELSE 0.0 END, 6)
+      AS top_bigram_frac,
+    round((len(tg) - len(list_distinct(tg))) / greatest(len(tg), 1)::DOUBLE, 6)
+      AS dup_trigram_frac
+  FROM base LEFT JOIN topbg USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30) AS keep
+FROM m
+"""
+
+    # benchmark contamination: distinct-shingle overlap vs the
+    # doc_id % 19 == 0 held-out slice
+    o["contamination_check"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, D.sh FROM toks,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+                    i -> array_to_string(w[i:i+2], ' '))) AS sh
+  ) D
+  WHERE len(w) >= 3
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 19 = 0
+), corpus AS (
+  SELECT * FROM sh WHERE doc_id % 19 <> 0
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit FROM corpus
+  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+  coalesce(n_hit, 0)::BIGINT AS n_hit,
+  round(coalesce(n_hit, 0) / greatest(coalesce(n_shingles, 0), 1)::DOUBLE, 6)
+    AS overlap_frac,
+  round(coalesce(n_hit, 0) / greatest(coalesce(n_shingles, 0), 1)::DOUBLE, 6)
+    >= 0.05 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) d
+LEFT JOIN totals USING (doc_id)
+LEFT JOIN hits USING (doc_id)
 """
     return o
 

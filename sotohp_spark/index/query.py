@@ -702,3 +702,68 @@ class QueryEngine:
         pdf = self.top_k(query_text, k, conjunctive, with_docs=False).toPandas()
         pdf["rank"] = range(1, len(pdf) + 1)
         return pdf
+
+    def matching_doc_ids(self, query_text: str, source=None) -> DataFrame:
+        """ALL live doc ids containing EVERY query term — candidate
+        generation for prune-then-verify retrieval (phrase search: the
+        index prunes to conjunctive candidates, the raw text confirms
+        adjacency — Lucene does this with positional postings; this
+        engine keeps postings positionless and verifies on source,
+        the standard two-phase trade for an append-heavy corpus).
+
+        Unlike top_k there is no k and no scoring: the whole matching
+        set streams out of a per-range decode (each doc id lives in
+        exactly ONE range, so per-range term-count == n_terms is the
+        complete global conjunction — no cross-range combine needed).
+        Tombstones are filtered per range (driver array or cogrouped
+        frame, same two tiers as scoring); the committed-snapshot
+        guard on the postings scan keeps uncommitted appends out.
+
+        Returns DataFrame(doc_id long), unordered and distinct.
+        """
+        from sotohp_spark.functions.tokenizer import tokenize
+        from sotohp_spark.operators.postings import decode_shard_blocks
+        from sotohp_spark.operators.wand import _is_deleted
+
+        terms = sorted(set(tokenize(query_text, self._query_rules(source))))
+        spark = self.spark
+        schema = "doc_id long"
+        empty = spark.createDataFrame([], schema)
+        if not terms:
+            return empty
+        dfs = self._term_dfs(terms)
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            # reference AND semantics: a term absent from the corpus
+            # empties the result (MediaServiceLive.scala:108-112)
+            return empty
+        n_terms = len(terms)
+        shards = self._postings.where(F.col("term").isin(terms))
+        if n_terms > 1:
+            # ranges lacking any query term can't contribute
+            ok = (
+                shards.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") == n_terms)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+
+        import numpy as np
+
+        def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            counts: dict = {}
+            for row in pdf.to_dict("records"):
+                dd, _, _ = decode_shard_blocks(
+                    row["payload"], row["block_offsets"]
+                )
+                for d in dd:
+                    counts[d] = counts.get(d, 0) + 1
+            docs = np.array(
+                sorted(d for d, c in counts.items() if c == n_terms),
+                dtype=np.int64,
+            )
+            if deletes is not None and len(deletes) and len(docs):
+                docs = docs[~_is_deleted(docs, deletes)]
+            return pd.DataFrame({"doc_id": docs})
+
+        return self._apply_per_range(shards, match_rows, schema)

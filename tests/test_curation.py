@@ -1,0 +1,139 @@
+"""Curation-filter semantics (repetition, contamination) and
+prune-then-verify phrase retrieval (matching_doc_ids candidates are
+exactly the conjunctive containment set, deletes respected)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf
+from sotohp_spark.index import IndexBuilder, QueryEngine
+from sotohp_spark.operators import curation
+
+CFG = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (0, "a b a b a b a b"),              # top bigram 'a b' x4 of 7 bigrams
+        (1, "x y z w v u t s"),              # all distinct
+        (2, "r r r r r r"),                  # single repeated token
+        (3, ""),                             # empty
+        (4, "one two"),                      # too short for trigrams
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_repetition_metrics_values(rep_docs):
+    m = {r["doc_id"]: r for r in curation.repetition_metrics(rep_docs).collect()}
+    # doc 0: 8 tokens; bigrams: 'a b' x4, 'b a' x3 -> top=4 -> 8/8 = 1.0
+    assert m[0]["n_tokens"] == 8
+    assert m[0]["top_bigram_frac"] == 1.0
+    # trigrams: 6 total, 2 distinct ('a b a', 'b a b') -> 4/6
+    assert m[0]["dup_trigram_frac"] == round(4 / 6, 6)
+    assert not m[0]["keep"]
+    # doc 1: every bigram unique -> no repetition -> 0
+    assert m[1]["top_bigram_frac"] == 0.0
+    assert m[1]["dup_trigram_frac"] == 0.0
+    assert m[1]["keep"]
+    # doc 2: 'r r' x5 -> 10/6 > 1 by the token-fraction definition
+    assert m[2]["top_bigram_frac"] == round(10 / 6, 6)
+    assert not m[2]["keep"]
+    # empty / short docs report zeros and survive
+    assert m[3]["n_tokens"] == 0 and m[3]["keep"]
+    assert m[4]["dup_trigram_frac"] == 0.0 and m[4]["keep"]
+
+
+def test_contamination_overlap_values(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma delta"),   # shingles abg, bgd; abg hits
+                (2, "zeta eta theta iota"),      # no overlap
+                (3, "al"),                       # < 3 tokens -> no shingles
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "alpha beta gamma epsilon")], columns=["doc_id", "text"]
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.contamination_overlap(
+            docs, bench, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["n_shingles"] == 2 and out[1]["n_hit"] == 1
+    assert out[1]["overlap_frac"] == 0.5 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_frac"] == 0.0
+
+
+def test_contamination_bench_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "a b c d")], columns=["doc_id", "text"])
+    )
+    plan = curation.contamination_overlap(docs, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phridx"))
+    pdf = generate_transcripts_pdf(0.04)
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="phrase"
+    )
+    return path, pdf
+
+
+def _containment_set(pdf, terms):
+    """Brute-force conjunctive containment over the raw turns."""
+    from sotohp_spark.oracle.bm25_oracle import Bm25Oracle
+
+    oracle = Bm25Oracle(pdf)
+    return {
+        doc_id
+        for doc_id, tf in enumerate(oracle.tfs)
+        if all(t in tf for t in terms)
+    }
+
+
+def test_matching_doc_ids_equals_brute_force(spark, phrase_index):
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    got = {r["doc_id"] for r in engine.matching_doc_ids("error retry").collect()}
+    assert got == _containment_set(pdf, ["error", "retry"])
+    # absent term -> reference AND semantics: empty
+    assert engine.matching_doc_ids("error zzzqx").count() == 0
+    assert engine.matching_doc_ids("").count() == 0
+
+
+def test_matching_doc_ids_respects_deletes(spark, phrase_index):
+    from sotohp_spark.streaming.incremental import delete_conversations
+
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    before = sorted(
+        r["doc_id"] for r in engine.matching_doc_ids("error retry").collect()
+    )
+    assert before, "fixture must contain conjunctive matches"
+    victim_doc = before[0]
+    conv = (
+        spark.read.parquet(f"{path}/docs")
+        .where(F.col("doc_id") == victim_doc)
+        .select("conv_id")
+        .collect()[0][0]
+    )
+    delete_conversations(spark, path, [conv])
+    after = {
+        r["doc_id"]
+        for r in QueryEngine(spark, path).matching_doc_ids("error retry").collect()
+    }
+    assert victim_doc not in after
+    assert after == set(before) - {victim_doc}
