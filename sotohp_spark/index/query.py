@@ -712,18 +712,19 @@ class QueryEngine:
         the standard two-phase trade for an append-heavy corpus).
 
         Unlike top_k there is no k and no scoring: the whole matching
-        set streams out of a per-range decode (each doc id lives in
-        exactly ONE range, so per-range term-count == n_terms is the
-        complete global conjunction — no cross-range combine needed).
-        Tombstones are filtered per range (driver array or cogrouped
-        frame, same two tiers as scoring); the committed-snapshot
-        guard on the postings scan keeps uncommitted appends out.
+        set streams out of a per-range rarest-first block-skipping
+        intersection (operators/postings.conjunctive_match — each doc
+        id lives in exactly ONE range, so the per-range conjunction is
+        the complete global one; hot-term blocks that cannot overlap a
+        surviving candidate are never decoded).  Tombstones are
+        filtered per range (driver array or cogrouped frame, same two
+        tiers as scoring); the committed-snapshot guard on the
+        postings scan keeps uncommitted appends out.
 
         Returns DataFrame(doc_id long), unordered and distinct.
         """
         from sotohp_spark.functions.tokenizer import tokenize
-        from sotohp_spark.operators.postings import decode_shard_blocks
-        from sotohp_spark.operators.wand import _is_deleted
+        from sotohp_spark.operators.postings import conjunctive_match
 
         terms = sorted(set(tokenize(query_text, self._query_rules(source))))
         spark = self.spark
@@ -748,22 +749,13 @@ class QueryEngine:
             )
             shards = shards.join(F.broadcast(ok), "range_id")
 
-        import numpy as np
-
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
-            counts: dict = {}
-            for row in pdf.to_dict("records"):
-                dd, _, _ = decode_shard_blocks(
-                    row["payload"], row["block_offsets"]
-                )
-                for d in dd:
-                    counts[d] = counts.get(d, 0) + 1
-            docs = np.array(
-                sorted(d for d, c in counts.items() if c == n_terms),
-                dtype=np.int64,
-            )
-            if deletes is not None and len(deletes) and len(docs):
-                docs = docs[~_is_deleted(docs, deletes)]
-            return pd.DataFrame({"doc_id": docs})
+            rows = pdf.to_dict("records")
+            # a term entirely absent from this range empties the
+            # range's conjunction (conjunctive_match can only see the
+            # terms that HAVE a shard here)
+            if len({r["term"] for r in rows}) < n_terms:
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+            return pd.DataFrame({"doc_id": conjunctive_match(rows, deletes)})
 
         return self._apply_per_range(shards, match_rows, schema)

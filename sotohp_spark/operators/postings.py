@@ -228,3 +228,81 @@ def build_postings_df(
         with_range.repartition(cfg.shuffle_partitions, "term", "range_id")
         .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     )
+
+
+def conjunctive_match(rows, deletes=None, stats=None):
+    """Doc ids present in EVERY term's postings among ``rows`` (shard
+    dicts of one doc-id range) — rarest-first block-skipping
+    intersection, the positionless analog of Lucene's leapfrog
+    (galloping) conjunction:
+
+      1. decode the term with the fewest docs in full — its posting
+         list IS the initial candidate set;
+      2. for each remaining term in ascending df order, decode ONLY
+         the blocks whose [first_doc, last_doc] span overlaps a
+         surviving candidate (binary search on the sorted candidate
+         array against the block fences), then intersect.
+
+    With one selective term and N-1 Zipf-head terms the hot lists are
+    mostly SKIPPED, not decoded — the dominant phrase-query shape.
+    ``stats`` (optional dict) accumulates blocks_total /
+    blocks_decoded / blocks_skipped as evidence.
+
+    ``rows``: dicts with term, n_docs, block_offsets, block_first_doc,
+    block_last_doc, payload.  Returns a sorted int64 array.
+    """
+    if not rows:
+        return np.zeros(0, dtype=np.int64)
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    ordered = sorted(
+        by_term.values(), key=lambda rs: sum(r["n_docs"] for r in rs)
+    )
+
+    def bump(key, n):
+        if stats is not None:
+            stats[key] = stats.get(key, 0) + n
+
+    cand = None
+    for rs in ordered:
+        if cand is not None and cand.size == 0:
+            # count the never-touched lists as fully skipped
+            for row in rs:
+                nb = len(row["block_offsets"]) - 1
+                bump("blocks_total", nb)
+                bump("blocks_skipped", nb)
+            continue
+        parts = []
+        for row in rs:
+            nblocks = len(row["block_offsets"]) - 1
+            bump("blocks_total", nblocks)
+            if cand is None:
+                ids = None
+                bump("blocks_decoded", nblocks)
+            else:
+                bf = np.asarray(row["block_first_doc"], dtype=np.int64)
+                bl = np.asarray(row["block_last_doc"], dtype=np.int64)
+                lo = np.searchsorted(cand, bf, side="left")
+                hi = np.searchsorted(cand, bl, side="right")
+                keep = np.nonzero(hi > lo)[0]
+                bump("blocks_decoded", int(keep.size))
+                bump("blocks_skipped", nblocks - int(keep.size))
+                if keep.size == 0:
+                    continue
+                ids = keep.tolist()
+            dd, _, _ = decode_shard_blocks(
+                row["payload"], row["block_offsets"], ids
+            )
+            parts.append(dd)
+        dd = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        cand = dd if cand is None else np.intersect1d(cand, dd, assume_unique=True)
+    if cand is None:
+        cand = np.zeros(0, dtype=np.int64)
+    if deletes is not None and len(deletes) and cand.size:
+        cand = cand[~np.isin(cand, deletes)]
+    return cand

@@ -137,3 +137,40 @@ def test_matching_doc_ids_respects_deletes(spark, phrase_index):
     }
     assert victim_doc not in after
     assert after == set(before) - {victim_doc}
+
+
+def test_conjunctive_match_skips_hot_blocks(spark, phrase_index):
+    """Rarest-first intersection must DECODE few blocks of the hot
+    term when the other term is selective — evidence the machinery
+    skips, mirroring tests/test_wand_skip.py for scoring."""
+    from sotohp_spark.operators.postings import conjunctive_match
+
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    # pick a selective term (low df) and a hot term from term_stats
+    stats_pdf = (
+        spark.read.parquet(f"{path}/term_stats").orderBy(F.col("df").desc())
+        .toPandas()
+    )
+    hot = stats_pdf.iloc[0]["term"]
+    sel = stats_pdf[stats_pdf["df"] <= 3].iloc[0]["term"]
+    rows = (
+        engine._postings.where(F.col("term").isin([hot, sel]))
+        .toPandas()
+        .to_dict("records")
+    )
+    by_range: dict = {}
+    for r in rows:
+        by_range.setdefault(r["range_id"], []).append(r)
+    stats: dict = {}
+    got = set()
+    for rng, rrows in by_range.items():
+        if len({r["term"] for r in rrows}) < 2:
+            continue
+        got.update(conjunctive_match(rrows, stats=stats).tolist())
+    assert got == _containment_set(pdf, [hot, sel])
+    assert stats["blocks_skipped"] > 0, stats
+    assert (
+        stats["blocks_decoded"] + stats["blocks_skipped"]
+        == stats["blocks_total"]
+    )
