@@ -148,15 +148,24 @@ def contamination_overlap(
         bench.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"))
         .distinct()
     )
+    bench_sh = bench_sh.withColumn("_hit", F.lit(1))
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    hits = doc_sh.join(bench_sh, "sh", "left_semi")
-    totals = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    n_hit = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    # ONE pass over the corpus shingles: broadcast left join marks the
+    # colliding shingles, a single per-doc aggregate counts both the
+    # total and the hits (count(_hit) skips nulls) — the corpus is
+    # never exploded or aggregated twice
+    agg = (
+        doc_sh.join(bench_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
     out = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(totals, "doc_id", "left")
-        .join(n_hit, "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
