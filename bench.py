@@ -96,6 +96,14 @@ def main():
         ).collect()
         record("topk_time_filtered", time.time() - t1)
 
+    # phrase-style candidate generation on the same index (rarest-
+    # first block-skipping conjunction; the index-side cost of a
+    # prune-then-verify phrase query)
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.matching_doc_ids("retry timeout").count()
+        record("phrase_candidates", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",
@@ -108,6 +116,8 @@ def main():
         "sessionization",
         "asof_join_last_error",
         "text_metrics",
+        "repetition_filter",
+        "contamination_check",
     ]
     qs = entrymod.queries()
     for name in headline:

@@ -31,20 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sotohp_spark.operators.dedup import word_shingles
 from sotohp_spark.operators.topk import simple_tokens
 
 
 def _word_ngrams(col, n: int):
     """ALL word n-grams in order (duplicates kept — repetition is the
-    signal here, unlike dedup.word_shingles which distincts)."""
-    toks = simple_tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    signal, so multiplicity matters)."""
+    return word_shingles(col, n, distinct=False)
 
 
 def repetition_metrics(
@@ -138,8 +132,6 @@ def contamination_overlap(
     shuffles: scan -> explode -> broadcast-semi probe -> per-doc agg
     with map-side partials.
     """
-    from sotohp_spark.operators.dedup import word_shingles
-
     doc_sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),

@@ -56,8 +56,10 @@ def distinct_by_text(docs: DataFrame, id_col="doc_id", text_col="text") -> DataF
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-grams as strings ('a b c').
+def word_shingles(col, n: int = 3, distinct: bool = True):
+    """Word n-grams as strings ('a b c'), distinct by default
+    (``distinct=False`` keeps duplicates in order — repetition metrics
+    need the multiplicity).
 
     Documents with fewer than n tokens yield an EMPTY array (mirrors
     the oracle's ``len(w) >= n`` guard): without the guard,
@@ -67,15 +69,15 @@ def word_shingles(col, n: int = 3):
     """
     toks = simple_tokens(col)
     # transform over a 0..size-n index range; concat_ws joins the slice
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # universal-hash multipliers for the MinHash family: deterministic,

@@ -75,11 +75,26 @@ def test_contamination_overlap_values(spark):
 
 
 def test_contamination_bench_is_broadcast(spark):
+    """The bench-shingle broadcast must come from the EXPLICIT hint:
+    with auto-broadcast disabled, any BroadcastExchange in the plan is
+    the hinted one (AQE would otherwise auto-broadcast every tiny side
+    at test scale and mask a lost hint)."""
     docs = spark.createDataFrame(
         pd.DataFrame([(1, "a b c d")], columns=["doc_id", "text"])
     )
-    plan = curation.contamination_overlap(docs, docs)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = curation.contamination_overlap(docs, docs)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        unhinted = curation.contamination_overlap(
+            docs, docs, broadcast_bench=False
+        )
+        plan2 = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 @pytest.fixture(scope="module")
