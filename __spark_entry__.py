@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
     q["stratified_sample"] = _stratified_sample
+    q["temperature_mix_sample"] = _temperature_mix_sample
     q["curation_pipeline"] = _curation_pipeline
     q["lm_quality_scores"] = _lm_quality_scores
 
@@ -249,6 +250,19 @@ def _stratified_sample(spark, sf_dir):
 
     return stratified_sample(
         _docs(spark, sf_dir), "lang", _SAMPLE_RATES, seed=42
+    ).select("doc_id", "lang")
+
+
+def _temperature_mix_sample(spark, sf_dir):
+    """Temperature-weighted mixing over the skewed lang distribution:
+    rare languages keep a higher fraction (n^0.5 shares), the whole
+    corpus shrinks to ~half; rates derived in-plan, broadcast back,
+    membership the same pure (doc_id, seed) hash as stratified_sample."""
+    from sotohp_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir), source_col="lang", alpha=0.5,
+        budget_frac=0.5, seed=42,
     ).select("doc_id", "lang")
 
 
@@ -691,6 +705,25 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
            AS BIGINT) % 1000000
   < CASE {rate_cases} ELSE 0 END
+"""
+
+    # temperature mixing: the same integer-threshold membership hash,
+    # but the per-source thresholds are DERIVED from the corpus counts
+    # (n^alpha shares) in SQL exactly as the Spark plan derives them
+    o["temperature_mix_sample"] = """
+WITH counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+), z AS (
+  SELECT sum(pow(n, 0.5)) AS z, sum(n) AS tot FROM counts
+), rates AS (
+  SELECT lang,
+    CAST(floor(round(least(1.0, 0.5 * tot * pow(n, 0.5) / z / n), 6)
+               * 1000000) AS BIGINT) AS thresh
+  FROM counts, z
+)
+SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::UBIGINT
+           AS BIGINT) % 1000000 < thresh
 """
 
     # smoothed unigram LM quality scores: P(w) = (c+k)/(N+kV), k=0.5;

@@ -64,3 +64,56 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     return df.where(sample_key(id_col, seed) < (rate * _M).cast("long"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual/multi-source
+    sampling recipe of Arivazhagan et al. 2019 §4.2 / Brown et al.
+    2020 table 2.2): target share of source s ∝ n_s^alpha (alpha < 1
+    upweights rare sources), scaled to keep ~budget_frac of the corpus.
+
+        rate_s = min(1, budget_frac * N_total * n_s^alpha / Z / n_s),
+        Z = Σ n_s^alpha
+
+    Everything stays ONE lazy plan: per-source counts aggregate
+    map-side, the ~|sources|-row rate table is broadcast back onto the
+    corpus, and membership is the same pure (id, seed) hash as
+    stratified_sample — cluster-size independent, append-stable, and
+    recomputable by the DuckDB oracle (rates rounded to 6 dp so both
+    engines compare against the identical integer threshold).  No
+    driver collect anywhere.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").cast("double").alias("_n"))
+    z = counts.agg(
+        F.sum(F.pow("_n", alpha)).alias("_z"),
+        F.sum("_n").alias("_tot"),
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget_frac)
+                    * F.col("_tot")
+                    * F.pow("_n", alpha)
+                    / F.col("_z")
+                    / F.col("_n"),
+                ),
+                6,
+            )
+            * _M
+        ).cast("long").alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(sample_key(id_col, seed) < F.col("_thresh"))
+        .drop("_thresh")
+    )

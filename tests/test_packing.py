@@ -98,3 +98,34 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
     tot = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
     assert set(kept) <= {"en", "zh"}  # unlisted strata default to 0
     assert kept["en"] / tot["en"] > kept.get("zh", 0) / tot["zh"]
+
+
+def test_temperature_mix_upweights_rare_sources(spark, sf_dir):
+    from sotohp_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = temperature_mix(docs, source_col="lang", alpha=0.5,
+                            budget_frac=0.5)
+    kept = {r["lang"]: r["count"]
+            for r in mixed.groupBy("lang").count().collect()}
+    tot = {r["lang"]: r["count"]
+           for r in docs.groupBy("lang").count().collect()}
+    # rare languages keep a HIGHER fraction than the dominant one
+    # (n^0.5 shares), and the overall budget lands near 50%
+    rare = min(tot, key=tot.get)
+    dominant = max(tot, key=tot.get)
+    assert kept[rare] / tot[rare] > kept[dominant] / tot[dominant]
+    frac = sum(kept.values()) / sum(tot.values())
+    assert 0.35 < frac < 0.65
+    # layout independence: same membership after a repartition
+    again = {r["doc_id"] for r in temperature_mix(
+        docs.repartition(13), source_col="lang", alpha=0.5,
+        budget_frac=0.5).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    # alpha=1 keeps the natural mixture: every rate == budget_frac
+    nat = temperature_mix(docs, source_col="lang", alpha=1.0,
+                          budget_frac=0.5)
+    kept1 = {r["lang"]: r["count"]
+             for r in nat.groupBy("lang").count().collect()}
+    for lang in tot:
+        assert abs(kept1[lang] / tot[lang] - 0.5) < 0.2
