@@ -189,3 +189,47 @@ def test_conjunctive_match_skips_hot_blocks(spark, phrase_index):
         stats["blocks_decoded"] + stats["blocks_skipped"]
         == stats["blocks_total"]
     )
+
+
+# --- property-based parity with a plain-Python reference ---
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc_text = st.text(alphabet="abc ", min_size=0, max_size=40)
+
+
+def _py_repetition(text):
+    toks = [t for t in text.split(" ") if t]
+    n = len(toks)
+    bgs = [" ".join(toks[i:i + 2]) for i in range(n - 1)] if n >= 2 else []
+    tgs = [" ".join(toks[i:i + 3]) for i in range(n - 2)] if n >= 3 else []
+    top = max(Counter(bgs).values()) if bgs else 0
+    top_frac = round(top * 2 / max(n, 1), 6) if top >= 2 else 0.0
+    dup_frac = round((len(tgs) - len(set(tgs))) / max(len(tgs), 1), 6)
+    return n, top_frac, dup_frac
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=6))
+def test_property_repetition_matches_python(spark, texts):
+    """Arbitrary short texts (empty strings, runs of spaces, 1-2 token
+    docs): Spark's array-expression metrics == the plain-Python
+    definition."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in curation.repetition_metrics(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_repetition(t), (i, repr(t))
