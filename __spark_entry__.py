@@ -512,14 +512,8 @@ def _transcripts_phrase_search(spark, sf_dir):
     re-expressed as prune + verify over positionless postings."""
     engine, _ = _transcript_index(spark, sf_dir)
     text_path = _transcript_text(spark, sf_dir)
-    cands = engine.matching_doc_ids(_PHRASE)
     texts = spark.read.parquet(text_path)
-    pat = r"(^|\s)" + _PHRASE + r"(\s|$)"
-    return (
-        texts.join(cands, "doc_id", "left_semi")
-        .where(F.col("text").rlike(pat))
-        .select("doc_id", "conv_id")
-    )
+    return engine.phrase_search(_PHRASE, texts).select("doc_id", "conv_id")
 
 
 def _contamination_check(spark, sf_dir):

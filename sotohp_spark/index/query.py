@@ -759,3 +759,32 @@ class QueryEngine:
             return pd.DataFrame({"doc_id": conjunctive_match(rows, deletes)})
 
         return self._apply_per_range(shards, match_rows, schema)
+
+    def phrase_search(
+        self,
+        phrase: str,
+        texts: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source=None,
+    ) -> DataFrame:
+        """Exact-phrase retrieval, prune-then-verify: conjunctive
+        candidates from the index (matching_doc_ids — rarest-first
+        block-skipping intersection), adjacency confirmed by a
+        word-boundary match against ``texts`` (a (doc_id, text) frame —
+        the materialized documents, an Iceberg/parquet text table, or
+        any projection that carries the raw doc text).
+
+        The verify side is a LEFT-SEMI join of the text table against
+        the candidate set, so only candidate rows are regex-tested;
+        with a doc_id-partitioned text table the join prunes partitions
+        the same way _attach_docs does.  Returns the matching rows of
+        ``texts`` (all its columns), unordered.
+        """
+        import re
+
+        cands = self.matching_doc_ids(phrase, source)
+        pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
+        return texts.join(
+            cands.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        ).where(F.col(text_col).rlike(pat))

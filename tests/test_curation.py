@@ -233,3 +233,41 @@ def test_property_repetition_matches_python(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_repetition(t), (i, repr(t))
+
+
+def test_phrase_search_engine_api(spark, phrase_index):
+    """phrase_search == brute-force regex scan of the text table, and
+    never returns a doc whose words are present but not adjacent."""
+    import re
+
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    from sotohp_spark.operators.docs import build_documents
+
+    texts = build_documents(
+        spark.createDataFrame(pdf), num_ranges=4
+    ).select("conv_id", F.col("doc_text").alias("text"))
+    idx_docs = spark.read.parquet(f"{path}/docs").select("doc_id", "conv_id")
+    texts = idx_docs.join(texts, "conv_id")
+    phrase = "error retry"
+    got = {r["doc_id"] for r in engine.phrase_search(phrase, texts).collect()}
+    pat = re.compile(r"(^|\s)" + phrase + r"(\s|$)")
+    # the shared fixture may carry tombstones from the delete test —
+    # the brute-force side must honor them like the engine does
+    try:
+        doomed = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{path}/deletes").collect()
+        }
+    except Exception:
+        doomed = set()
+    want = {
+        r["doc_id"]
+        for r in texts.collect()
+        if pat.search(r["text"]) and r["doc_id"] not in doomed
+    }
+    assert got == want
+    # candidates are a superset of phrase matches (pruning lossless);
+    # on long hot-word docs the two sets can coincide, so >= not >
+    n_cands = engine.matching_doc_ids(phrase).count()
+    assert n_cands >= len(got)
