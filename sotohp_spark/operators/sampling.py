@@ -89,8 +89,15 @@ def temperature_mix(
     recomputable by the DuckDB oracle (rates rounded to 6 dp so both
     engines compare against the identical integer threshold).  No
     driver collect anywhere.
+
+    Rows with a NULL source are dropped (no stratum to mix into —
+    the equality join can't match them), mirroring stratified_sample's
+    null-id discipline: membership must be a pure function of real
+    keys.
     """
-    counts = df.groupBy(source_col).agg(F.count("*").cast("double").alias("_n"))
+    counts = df.where(F.col(source_col).isNotNull()).groupBy(source_col).agg(
+        F.count("*").cast("double").alias("_n")
+    )
     z = counts.agg(
         F.sum(F.pow("_n", alpha)).alias("_z"),
         F.sum("_n").alias("_tot"),
