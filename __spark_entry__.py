@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text (the oracle brute-scans the same text, so a hash match
     # proves the index pruning never dropped a true phrase match)
     q["transcripts_phrase_search"] = _transcripts_phrase_search
+    # batch variant: many phrases, ONE candidate job (terms decoded
+    # once per range, shared across phrases), one verify join
+    q["transcripts_phrase_batch"] = _transcripts_phrase_batch
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -514,6 +517,21 @@ def _transcripts_phrase_search(spark, sf_dir):
     text_path = _transcript_text(spark, sf_dir)
     texts = spark.read.parquet(text_path)
     return engine.phrase_search(_PHRASE, texts).select("doc_id", "conv_id")
+
+
+_PHRASE_BATCH = [
+    ("p1", "retry timeout"),
+    ("p2", "tool call"),
+    ("p3", "search query"),
+]
+
+
+def _transcripts_phrase_batch(spark, sf_dir):
+    engine, _ = _transcript_index(spark, sf_dir)
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.phrase_search_batch(_PHRASE_BATCH, texts).select(
+        "query_id", "doc_id", "conv_id"
+    )
 
 
 def _contamination_check(spark, sf_dir):
@@ -1210,6 +1228,15 @@ FROM tf GROUP BY partition_id ORDER BY partition_id
 SELECT doc_id, conv_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
 WHERE regexp_matches(text, '(^|\s){_PHRASE}(\s|$)')
 """
+
+    # batch phrase search: per-phrase brute scans of the same text,
+    # unioned with their query ids
+    o["transcripts_phrase_batch"] = "\nUNION ALL\n".join(
+        rf"""SELECT '{qid}' AS query_id, doc_id, conv_id
+FROM read_parquet('{_ORACLE_DOC_TEXT}')
+WHERE regexp_matches(text, '(^|\s){ph}(\s|$)')"""
+        for qid, ph in _PHRASE_BATCH
+    )
 
     # Gopher-style repetition metrics (token-fraction adaptation)
     o["repetition_filter"] = r"""

@@ -760,6 +760,84 @@ class QueryEngine:
 
         return self._apply_per_range(shards, match_rows, schema)
 
+    def matching_doc_ids_batch(self, queries, source=None) -> DataFrame:
+        """Conjunctive candidates for MANY queries in ONE distributed
+        job — the candidate-generation analog of top_k_batch.
+
+        ``queries``: list of (query_id, query_text).  Per range, each
+        term's posting list is decoded at most once and shared across
+        every query referencing it (conjunctive_match_batch) — the
+        amortization that matters for contamination screens probing
+        thousands of phrases over the same Zipf-head vocabulary.
+        Queries with an absent or empty term set contribute no rows
+        (reference AND semantics).
+
+        Returns DataFrame(query_id string, doc_id long).
+        """
+        from sotohp_spark.functions.tokenizer import tokenize
+        from sotohp_spark.operators.postings import conjunctive_match_batch
+
+        schema = "query_id string, doc_id long"
+        rules = self._query_rules(source)
+        phrase_terms: dict = {}
+        all_terms: set = set()
+        for qid, text in queries:
+            terms = sorted(set(tokenize(text, rules)))
+            if not terms:
+                continue
+            dfs = self._term_dfs(terms)
+            if any(dfs.get(t, 0) == 0 for t in terms):
+                continue
+            phrase_terms[str(qid)] = terms
+            all_terms.update(terms)
+        if not phrase_terms:
+            return self.spark.createDataFrame([], schema)
+        shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
+
+        def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            pairs = conjunctive_match_batch(
+                pdf.to_dict("records"), phrase_terms, deletes
+            )
+            return pd.DataFrame(pairs, columns=["query_id", "doc_id"]).astype(
+                {"query_id": "str", "doc_id": "int64"}
+            )
+
+        return self._apply_per_range(shards, match_rows, schema)
+
+    def phrase_search_batch(
+        self,
+        phrases,
+        texts: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source=None,
+    ) -> DataFrame:
+        """Batch prune-then-verify: ``phrases`` is a list of
+        (query_id, phrase).  One candidate-generation job
+        (matching_doc_ids_batch), one verify join; the word-boundary
+        check is a per-query branch on the joined rows, so each text
+        row is regex-tested only against the phrases that short-listed
+        it.  Returns DataFrame(query_id, doc_id) plus the text frame's
+        other columns.
+        """
+        import re
+
+        cands = self.matching_doc_ids_batch(phrases, source)
+        verify = None
+        for qid, phrase in phrases:
+            pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
+            hit = F.col(text_col).rlike(pat)
+            branch = F.when(F.col("query_id") == str(qid), hit)
+            verify = branch if verify is None else verify.when(
+                F.col("query_id") == str(qid), hit
+            )
+        if verify is None:
+            return cands.where(F.lit(False))
+        joined = cands.join(
+            texts.withColumnRenamed(id_col, "doc_id"), "doc_id"
+        )
+        return joined.where(verify.otherwise(F.lit(False)))
+
     def phrase_search(
         self,
         phrase: str,

@@ -306,3 +306,46 @@ def conjunctive_match(rows, deletes=None, stats=None):
     if deletes is not None and len(deletes) and cand.size:
         cand = cand[~np.isin(cand, deletes)]
     return cand
+
+
+def conjunctive_match_batch(rows, phrase_terms, deletes=None):
+    """Conjunctions for MANY queries over one doc-id range in one
+    decode pass: each term's posting list is decoded AT MOST ONCE and
+    shared by every query that references it (the batch amortization —
+    a contamination screen probes thousands of phrases whose Zipf-head
+    terms repeat constantly; per-query block skipping would re-decode
+    the shared hot terms per phrase and lose the amortization).
+
+    ``phrase_terms``: query_id -> list of terms.  Queries whose terms
+    are not all present in this range yield no rows (the caller owns
+    global absent-term semantics).  Returns a list of (query_id,
+    doc_id) pairs.
+    """
+    if not rows:
+        return []
+    needed = set()
+    for terms in phrase_terms.values():
+        needed.update(terms)
+    arrays: dict = {}
+    for r in rows:
+        if r["term"] not in needed:
+            continue
+        dd, _, _ = decode_shard_blocks(r["payload"], r["block_offsets"])
+        prev = arrays.get(r["term"])
+        arrays[r["term"]] = (
+            dd if prev is None else np.unique(np.concatenate([prev, dd]))
+        )
+    out = []
+    for qid, terms in phrase_terms.items():
+        if any(t not in arrays for t in terms):
+            continue
+        arrs = sorted((arrays[t] for t in terms), key=len)
+        cand = arrs[0]
+        for a in arrs[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(cand, a, assume_unique=True)
+        if deletes is not None and len(deletes) and cand.size:
+            cand = cand[~np.isin(cand, deletes)]
+        out.extend((qid, int(d)) for d in cand)
+    return out

@@ -271,3 +271,36 @@ def test_phrase_search_engine_api(spark, phrase_index):
     # on long hot-word docs the two sets can coincide, so >= not >
     n_cands = engine.matching_doc_ids(phrase).count()
     assert n_cands >= len(got)
+
+
+def test_phrase_search_batch_equals_individual(spark, phrase_index):
+    """One batch job must return exactly the union of per-phrase
+    results, keyed by query id (including a query with an absent term
+    contributing nothing)."""
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    from sotohp_spark.operators.docs import build_documents
+
+    texts = build_documents(
+        spark.createDataFrame(pdf), num_ranges=4
+    ).select("conv_id", F.col("doc_text").alias("text"))
+    idx_docs = spark.read.parquet(f"{path}/docs").select("doc_id", "conv_id")
+    texts = idx_docs.join(texts, "conv_id")
+    phrases = [
+        ("a", "error retry"),
+        ("b", "tool call"),
+        ("c", "error zzzqx"),  # absent term -> no rows
+    ]
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in engine.phrase_search_batch(phrases, texts).collect()
+    }
+    want = set()
+    for qid, ph in phrases:
+        want |= {
+            (qid, r["doc_id"])
+            for r in engine.phrase_search(ph, texts).collect()
+        }
+    assert got == want
+    assert not any(q == "c" for q, _ in got)
+    assert any(q == "a" for q, _ in got) and any(q == "b" for q, _ in got)
