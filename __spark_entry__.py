@@ -110,6 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_near_dups(
         _docs(s, d), max_hamming=3
     )
+    # pairs -> components: min-label propagation (the "keep one per
+    # cluster" step); oracle = recursive-CTE transitive closure
+    q["dedup_clusters"] = lambda s, d: dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.5, max_shingle_df=200
+        ).select("doc_a", "doc_b")
+    )
 
     # --- text analysis over documents ---
     q["text_metrics"] = lambda s, d: _docs(s, d).select(
@@ -1219,6 +1226,26 @@ SELECT partition_id, 'built' AS status,
        count(*)::BIGINT AS postings_count,
        count(DISTINCT term)::BIGINT AS n_terms
 FROM tf GROUP BY partition_id ORDER BY partition_id
+"""
+
+    # duplicate clusters: recursive-CTE transitive closure over the
+    # SAME jaccard pairs the Spark side propagates labels over —
+    # min reachable id == converged min-label propagation
+    jacc = _jaccard_oracle_sql(threshold=0.5, n=3, max_df=200)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({jacc})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
 """
 
     # phrase search: the oracle BRUTE-SCANS the same materialized text

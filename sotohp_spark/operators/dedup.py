@@ -438,3 +438,68 @@ def neardup_against_index(new_docs: DataFrame, path: str, id_col="doc_id",
         .select("new_doc", "corpus_doc")
         .distinct()
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc that
+    appears in a pair gets the MIN doc id of its component as
+    cluster_id — the step that turns pairwise candidates into "keep
+    one per cluster" (reference analog: duplicate GROUPS, not pairs —
+    HashOperations digest grouping generalized to fuzzy edges).
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dozens of docs,
+    diameter a few hops), so the loop is short.  Each round is ONE
+    distributed join + aggregate keyed by node; the driver only
+    orchestrates and checks the convergence counter (no data ever
+    collects).  localCheckpoint per round cuts the lineage so plan
+    size stays constant.  Deterministic: labels are pure min()s.
+
+    Returns DataFrame(doc_id, cluster_id) over the docs present in
+    ``pairs``.
+    """
+    F_ = F
+    sym = pairs.select(
+        F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F_.col(b_col).alias("src"), F_.col(a_col).alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F_.col("src").alias("node")).distinct()
+        .withColumn("lbl", F_.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F_.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F_.least(
+                    F_.col("lbl"), F_.coalesce("nbr_lbl", F_.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F_.col("n.lbl") != F_.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F_.col("node").alias("doc_id"), F_.col("lbl").alias("cluster_id")
+    )

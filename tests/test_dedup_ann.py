@@ -284,3 +284,24 @@ def test_ivf_lloyd_refinement_deterministic(embeddings):
         df, q, k=5, n_centroids=8, n_probe=3, lloyd_iters=1
     ).toPandas()
     assert list(r1["vec_id"]) == list(r2["vec_id"])
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """A 5-hop chain must collapse to ONE cluster (transitivity needs
+    iteration, not one join), and disjoint components stay separate."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+             (10, 11),                                  # small pair
+             (20, 22), (21, 22)],                       # star 20,21,22
+            columns=["doc_a", "doc_b"],
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert {k: got[k] for k in range(1, 7)} == {k: 1 for k in range(1, 7)}
+    assert got[10] == 10 and got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+    assert len(got) == 11
