@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_filter"] = lambda s, d: curation.repetition_metrics(_docs(s, d))
     q["contamination_check"] = _contamination_check
+    q["pii_scrub"] = _pii_scrub
 
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
@@ -538,6 +539,32 @@ def _transcripts_phrase_batch(spark, sf_dir):
     texts = spark.read.parquet(_transcript_text(spark, sf_dir))
     return engine.phrase_search_batch(_PHRASE_BATCH, texts).select(
         "query_id", "doc_id", "conv_id"
+    )
+
+
+def _pii_scrub(spark, sf_dir):
+    """Deterministic PII injection (every 7th doc gains an email, an
+    IP, and an account number derived from doc_id) followed by the
+    scrub pass — masks must FIRE at the gate, and the md5 of the
+    scrubbed text proves byte-exact mask placement vs DuckDB."""
+    from sotohp_spark.operators.curation import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 192.168.0.1 acct 99887766554"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_emails", "n_ips", "n_longnums",
+        F.md5("text").alias("scrub_digest"),
     )
 
 
@@ -1298,6 +1325,33 @@ WITH toks AS (
 SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
        (top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30) AS keep
 FROM m
+"""
+
+    # PII scrub: same injection, same mask chain, digest of the
+    # scrubbed text — byte-exact placement parity
+    o["pii_scrub"] = r"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' contact user' || doc_id::VARCHAR
+              || '@example.com from 192.168.0.1 acct 99887766554'
+         ELSE text END AS text
+  FROM documents
+), m1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+), m2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM m1
+)
+SELECT doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t, '\b\d{7,}\b'))::INT AS n_longnums,
+  md5(regexp_replace(t, '\b\d{7,}\b', '<NUM>', 'g')) AS scrub_digest
+FROM m2
 """
 
     # benchmark contamination: distinct-shingle overlap vs the

@@ -172,3 +172,41 @@ def contamination_overlap(
         )
     )
     return out.withColumn("contaminated", F.col("overlap_frac") >= threshold)
+
+
+# PII scrubbing patterns: conservative, lookaround-free regexes that
+# behave identically under Java regex (Spark) and RE2 (DuckDB) — the
+# cross-engine contract the oracle depends on
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM = r"\b\d{7,}\b"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mask emails, IPv4 addresses, and long digit runs (phone/account
+    numbers) — the standard pre-training scrub pass.  Pure column
+    expressions (regexp_count + chained regexp_replace, whole-stage
+    codegen, no UDF); masks applied longest-pattern-first so an email
+    is counted as ONE email, not also as its embedded digits.
+
+      (doc_id, n_emails, n_ips, n_longnums, text)  — text masked with
+      <EMAIL> / <IP> / <NUM> placeholders.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    masked = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(masked, F.lit(PII_IPV4))
+    masked2 = F.regexp_replace(masked, PII_IPV4, "<IP>")
+    n_nums = F.regexp_count(masked2, F.lit(PII_LONGNUM))
+    masked3 = F.regexp_replace(masked2, PII_LONGNUM, "<NUM>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_nums.alias("n_longnums"),
+        masked3.alias(text_col),
+    )

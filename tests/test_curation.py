@@ -304,3 +304,29 @@ def test_phrase_search_batch_equals_individual(spark, phrase_index):
     assert got == want
     assert not any(q == "c" for q, _ in got)
     assert any(q == "a" for q, _ in got) and any(q == "b" for q, _ in got)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.co.uk and x@y.io now"),
+                (2, "server 10.0.0.1 and 255.255.255.255 up"),
+                (3, "call 5551234567 ref 12345678901"),
+                (4, "short 123456 stays; 1234567 goes"),
+                (5, "clean text only"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in curation.scrub_pii(docs).collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_ips"] == 2
+    assert out[2]["text"] == "server <IP> and <IP> up"
+    assert out[3]["n_longnums"] == 2
+    assert out[3]["text"] == "call <NUM> ref <NUM>"
+    # 6 digits below the long-run threshold survive
+    assert out[4]["text"] == "short 123456 stays; <NUM> goes"
+    assert out[5]["text"] == "clean text only"
+    assert out[5]["n_emails"] == out[5]["n_ips"] == out[5]["n_longnums"] == 0
