@@ -822,14 +822,21 @@ class QueryEngine:
         """
         import re
 
+        ids = [str(qid) for qid, _ in phrases]
+        if len(set(ids)) != len(ids):
+            # dict last-wins in candidate generation but the verify
+            # when-chain is first-match-wins — a duplicate id would
+            # silently verify one phrase's candidates against the
+            # OTHER phrase's regex
+            raise ValueError(f"duplicate query ids after str(): {ids}")
         cands = self.matching_doc_ids_batch(phrases, source)
         verify = None
         for qid, phrase in phrases:
             pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
+            cond = F.col("query_id") == str(qid)
             hit = F.col(text_col).rlike(pat)
-            branch = F.when(F.col("query_id") == str(qid), hit)
-            verify = branch if verify is None else verify.when(
-                F.col("query_id") == str(qid), hit
+            verify = (
+                F.when(cond, hit) if verify is None else verify.when(cond, hit)
             )
         if verify is None:
             return cands.where(F.lit(False))

@@ -475,18 +475,39 @@ def duplicate_clusters(
         .withColumn("lbl", F_.col("node"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F_.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            "node",
+            F_.least(
+                F_.col("lbl"), F_.coalesce("nbr_lbl", F_.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping: also take the label OF the current label
+        # (labels are always node ids, so the self-join hits).  One-hop
+        # propagation alone needs O(diameter) rounds — a 30-doc
+        # sliding near-dup chain would exhaust max_iters and silently
+        # return a split component; with the jump, depth halves every
+        # round and max_iters=25 covers diameters beyond 2^25.
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            stepped.alias("x")
+            .join(
+                stepped.alias("y"),
+                F_.col("x.lbl") == F_.col("y.node"),
+                "left",
+            )
             .select(
-                "node",
+                F_.col("x.node").alias("node"),
                 F_.least(
-                    F_.col("lbl"), F_.coalesce("nbr_lbl", F_.col("lbl"))
+                    F_.col("x.lbl"),
+                    F_.coalesce(F_.col("y.lbl"), F_.col("x.lbl")),
                 ).alias("lbl"),
             )
             .localCheckpoint()
@@ -500,6 +521,11 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still moving) — raise max_iters"
+        )
     return labels.select(
         F_.col("node").alias("doc_id"), F_.col("lbl").alias("cluster_id")
     )

@@ -305,3 +305,19 @@ def test_duplicate_clusters_transitive_chain(spark):
     assert got[10] == 10 and got[11] == 10
     assert got[20] == got[21] == got[22] == 20
     assert len(got) == 11
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """A 60-hop chain converges well inside max_iters (pointer jumping
+    halves depth per round; one-hop propagation alone would need 60)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, i + 1) for i in range(60)], columns=["doc_a", "doc_b"]
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, max_iters=10).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 61
