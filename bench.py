@@ -118,6 +118,8 @@ def main():
         "text_metrics",
         "repetition_filter",
         "contamination_check",
+        "pii_scrub",
+        "dedup_clusters",
     ]
     qs = entrymod.queries()
     for name in headline:
