@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_filter"] = lambda s, d: curation.repetition_metrics(_docs(s, d))
     q["contamination_check"] = _contamination_check
     q["pii_scrub"] = _pii_scrub
+    q["corpus_health"] = lambda s, d: curation.corpus_health(_docs(s, d))
 
     q["token_budget_packing"] = _token_budget_packing
     q["dedup_incremental_lsh"] = _dedup_incremental_lsh
@@ -1325,6 +1326,33 @@ WITH toks AS (
 SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
        (top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30) AS keep
 FROM m
+"""
+
+    # one-row corpus health report: plain aggregates, one scan
+    o["corpus_health"] = r"""
+WITH q AS (
+  SELECT text, md5(text) AS dg,
+    len(list_filter(string_split(text,' '), x -> x <> '')) AS ntok,
+    round((least(length(text)/500.0, 1.0)
+      + (1.0 - least(round(len(regexp_extract_all(text, '[^\w\s]'))
+            / greatest(length(text),1)::DOUBLE, 6) * 5.0, 1.0))
+      + (CASE WHEN round(list_sum(list_transform(
+                  list_filter(string_split(text,' '), x -> x <> ''),
+                  x -> length(x)))
+                / greatest(len(list_filter(string_split(text,' '),
+                  x -> x <> '')),1)::DOUBLE, 6) BETWEEN 3.0 AND 8.0
+              THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality,
+    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+     OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+     OR len(regexp_extract_all(text, '\b\d{7,}\b')) > 0) AS has_pii
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+  (count(*) - count(DISTINCT dg))::BIGINT AS exact_dup_excess,
+  round(avg(ntok), 6) AS mean_tokens,
+  round(avg(quality), 6) AS mean_quality,
+  sum(CASE WHEN has_pii THEN 1 ELSE 0 END)::BIGINT AS pii_docs
+FROM q
 """
 
     # PII scrub: same injection, same mask chain, digest of the

@@ -210,3 +210,32 @@ def scrub_pii(
         n_nums.alias("n_longnums"),
         masked3.alias(text_col),
     )
+
+
+def corpus_health(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-ROW corpus health report in ONE pass (the monitoring query a
+    curation pipeline runs per ingest batch): doc count, exact-dup
+    excess (count - countDistinct(md5)), mean whitespace-token count,
+    mean quality score, and the count of docs carrying PII-shaped
+    spans.  All plain aggregates with map-side partials — a single
+    scan at any corpus size.
+    """
+    from sotohp_spark.functions.text import quality_score, token_count
+
+    t = F.col(text_col)
+    has_pii = (
+        (F.regexp_count(t, F.lit(PII_EMAIL)) > 0)
+        | (F.regexp_count(t, F.lit(PII_IPV4)) > 0)
+        | (F.regexp_count(t, F.lit(PII_LONGNUM)) > 0)
+    )
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5(t))).alias("exact_dup_excess"),
+        F.round(F.avg(token_count(t)), 6).alias("mean_tokens"),
+        F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
+        F.sum(has_pii.cast("long")).alias("pii_docs"),
+    )

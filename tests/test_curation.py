@@ -330,3 +330,23 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out[4]["text"] == "short 123456 stays; <NUM> goes"
     assert out[5]["text"] == "clean text only"
     assert out[5]["n_emails"] == out[5]["n_ips"] == out[5]["n_longnums"] == 0
+
+
+def test_corpus_health_values(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta gamma"),          # exact dup of 1
+                (3, "mail me at a@b.io today"),   # pii
+                (4, "four tokens right here"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    r = curation.corpus_health(docs).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["exact_dup_excess"] == 1
+    assert r["pii_docs"] == 1
+    assert r["mean_tokens"] == round((3 + 3 + 5 + 4) / 4, 6)
+    assert 0.0 < r["mean_quality"] <= 1.0
