@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # micro-batch append, searched through the SAME engine and oracled
     # from the streamed index's own stored tf maps
     q["transcripts_stream_ingest_topk"] = _transcripts_stream_ingest_topk
+    # full mutation lifecycle (upsert -> bulk delete -> compaction)
+    # searched through the same engine and re-scored by DuckDB from
+    # the compacted index's stored tf maps
+    q["transcripts_upsert_topk"] = _transcripts_upsert_topk
 
     # Phrase search: prune-then-verify — conjunctive candidates from
     # the positionless postings, adjacency confirmed on the raw doc
@@ -579,6 +583,65 @@ def _contamination_check(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 19 != 0)
     return curation.contamination_overlap(
         corpus, bench, shingle_n=3, threshold=0.05
+    )
+
+
+_UPSERT_INDEX_CACHE: dict = {}
+# the post-lifecycle index the upsert oracle reads at the sf0.01 gate
+_ORACLE_UPSERT_DOCS = "/tmp/sotohp_upsert_index_sf0.01/docs/*/*.parquet"
+
+
+def _upserted_index(spark, sf_dir):
+    """Once per process per sf_dir: full MUTATION lifecycle — base
+    build, then update_conversations over every conv whose id ends in
+    '3' (tombstone-then-append upsert with changed text), then bulk
+    delete_conversations (DataFrame overload — ids never touch the
+    driver) of convs ending in '7', then compact_index (re-densify,
+    physically drop tombstones, refresh global stats).  The oracle
+    recomputes BM25 from the COMPACTED index's stored tf maps, so a
+    hash match proves the whole delete/upsert/compaction chain left
+    docs, postings, term_stats and meta mutually consistent."""
+    import os
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.streaming.incremental import (
+        compact_index,
+        delete_conversations,
+        update_conversations,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag in _UPSERT_INDEX_CACHE:
+        return _UPSERT_INDEX_CACHE[tag]
+    sf = _SF_FROM_DIR.get(tag, 0.05)
+    path = f"/tmp/sotohp_upsert_index_{tag}"
+    cfg = EngineConfig(**_T_CFG)
+    turns = transcripts_df(spark, sf)
+    IndexBuilder(spark, path, cfg).reindex_all(
+        turns, input_fingerprint=f"upsert-base-{sf}"
+    )
+    upd = turns.where(F.substring("conv_id", -1, 1) == "3").withColumn(
+        "text", F.concat("text", F.lit(" upserted"))
+    )
+    update_conversations(spark, path, upd, cfg)
+    delete_conversations(
+        spark,
+        path,
+        turns.where(F.substring("conv_id", -1, 1) == "7")
+        .select("conv_id")
+        .distinct(),
+    )
+    compact_index(spark, path, cfg)
+    _UPSERT_INDEX_CACHE[tag] = QueryEngine(spark, path)
+    return _UPSERT_INDEX_CACHE[tag]
+
+
+def _transcripts_upsert_topk(spark, sf_dir):
+    engine = _upserted_index(spark, sf_dir)
+    return engine.top_k("error retry timeout", k=10).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
     )
 
 
@@ -1237,6 +1300,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     # postings, term_stats and meta mutually consistent
     o["transcripts_stream_ingest_topk"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, docs_glob=_ORACLE_STREAM_DOCS
+    )
+    # the upsert/delete/compaction lifecycle's oracle reads the
+    # COMPACTED index (dense ids, refreshed stats — no tombstones left)
+    o["transcripts_upsert_topk"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10, docs_glob=_ORACLE_UPSERT_DOCS
     )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
