@@ -194,6 +194,11 @@ class QueryEngine:
     # interactive session; the full dictionary may not fit the driver)
     TERM_LRU_MAX = 100_000
 
+    # verify-branch cap for phrase_search_batch: beyond this the
+    # when-chain becomes an O(N)-branch plan expression; switch to the
+    # broadcast pattern-table + column-valued regexp_like path
+    WHEN_CHAIN_MAX = 16
+
     def _term_dfs(self, terms) -> dict:
         """df per query term.  Three tiers:
         1. full dictionary preloaded (preload_term_stats) — dict hit;
@@ -814,36 +819,54 @@ class QueryEngine:
     ) -> DataFrame:
         """Batch prune-then-verify: ``phrases`` is a list of
         (query_id, phrase).  One candidate-generation job
-        (matching_doc_ids_batch), one verify join; the word-boundary
-        check is a per-query branch on the joined rows, so each text
-        row is regex-tested only against the phrases that short-listed
-        it.  Returns DataFrame(query_id, doc_id) plus the text frame's
-        other columns.
+        (matching_doc_ids_batch), one verify join; each text row is
+        regex-tested only against the phrases that short-listed it.
+        Small batches verify through a per-query when-chain (patterns
+        compiled once, codegen); above WHEN_CHAIN_MAX the chain would
+        be an O(N)-branch plan expression — the round-3 IVF
+        literal-column hazard again — so large screens broadcast-join
+        a (query_id, pattern) table and use column-valued
+        ``regexp_like`` (per-row pattern resolve, plan size O(1) in
+        N).  Returns DataFrame(query_id, doc_id) plus the text
+        frame's other columns.
         """
         import re
 
         ids = [str(qid) for qid, _ in phrases]
         if len(set(ids)) != len(ids):
             # dict last-wins in candidate generation but the verify
-            # when-chain is first-match-wins — a duplicate id would
-            # silently verify one phrase's candidates against the
-            # OTHER phrase's regex
+            # chain/join is keyed by id — a duplicate would silently
+            # verify one phrase's candidates against the other's regex
             raise ValueError(f"duplicate query ids after str(): {ids}")
         cands = self.matching_doc_ids_batch(phrases, source)
-        verify = None
-        for qid, phrase in phrases:
-            pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
-            cond = F.col("query_id") == str(qid)
-            hit = F.col(text_col).rlike(pat)
-            verify = (
-                F.when(cond, hit) if verify is None else verify.when(cond, hit)
-            )
-        if verify is None:
+        if not phrases:
             return cands.where(F.lit(False))
+        pats = [
+            (str(qid), r"(^|\s)" + re.escape(p.strip()) + r"(\s|$)")
+            for qid, p in phrases
+        ]
         joined = cands.join(
             texts.withColumnRenamed(id_col, "doc_id"), "doc_id"
         )
-        return joined.where(verify.otherwise(F.lit(False)))
+        if len(pats) <= self.WHEN_CHAIN_MAX:
+            verify = None
+            for qid, pat in pats:
+                cond = F.col("query_id") == qid
+                hit = F.col(text_col).rlike(pat)
+                verify = (
+                    F.when(cond, hit)
+                    if verify is None
+                    else verify.when(cond, hit)
+                )
+            return joined.where(verify.otherwise(F.lit(False)))
+        pat_df = F.broadcast(
+            self.spark.createDataFrame(pats, "query_id string, _pat string")
+        )
+        return (
+            joined.join(pat_df, "query_id")
+            .where(F.expr(f"regexp_like(`{text_col}`, `_pat`)"))
+            .drop("_pat")
+        )
 
     def phrase_search(
         self,

@@ -350,3 +350,34 @@ def test_corpus_health_values(spark):
     assert r["pii_docs"] == 1
     assert r["mean_tokens"] == round((3 + 3 + 5 + 4) / 4, 6)
     assert 0.0 < r["mean_quality"] <= 1.0
+
+
+def test_phrase_search_batch_large_n_path(spark, phrase_index):
+    """Forcing the broadcast pattern-table path (WHEN_CHAIN_MAX=0)
+    must give byte-identical results to the when-chain path."""
+    path, pdf = phrase_index
+    from sotohp_spark.operators.docs import build_documents
+
+    texts = build_documents(
+        spark.createDataFrame(pdf), num_ranges=4
+    ).select("conv_id", F.col("doc_text").alias("text"))
+    idx_docs = spark.read.parquet(f"{path}/docs").select("doc_id", "conv_id")
+    texts = idx_docs.join(texts, "conv_id")
+    phrases = [("a", "error retry"), ("b", "tool call"), ("c", "search query")]
+
+    eng_small = QueryEngine(spark, path)
+    small = {
+        (r["query_id"], r["doc_id"])
+        for r in eng_small.phrase_search_batch(phrases, texts).collect()
+    }
+    eng_large = QueryEngine(spark, path)
+    eng_large.WHEN_CHAIN_MAX = 0
+    large = {
+        (r["query_id"], r["doc_id"])
+        for r in eng_large.phrase_search_batch(phrases, texts).collect()
+    }
+    assert small == large and small
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        eng_small.phrase_search_batch([("x", "a"), ("x", "b")], texts)
