@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), threshold=0.5, max_shingle_df=200
         ).select("doc_a", "doc_b")
     )
+    # end of the dedup chain: the deduped corpus view — drop every
+    # cluster member except the min-id representative (anti join on
+    # the non-representatives; docs outside any cluster all survive)
+    q["dedup_keep_list"] = _dedup_keep_list
 
     # --- text analysis over documents ---
     q["text_metrics"] = lambda s, d: _docs(s, d).select(
@@ -545,6 +549,24 @@ def _transcripts_phrase_batch(spark, sf_dir):
     return engine.phrase_search_batch(_PHRASE_BATCH, texts).select(
         "query_id", "doc_id", "conv_id"
     )
+
+
+def _dedup_keep_list(spark, sf_dir):
+    """The deduped corpus: candidates -> clusters -> keep min-id per
+    cluster; everything not in a cluster survives untouched.  One
+    anti join against the (tiny) non-representative set."""
+    from sotohp_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=200
+        ).select("doc_a", "doc_b")
+    )
+    doomed = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(doomed, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 def _pii_scrub(spark, sf_dir):
@@ -1394,6 +1416,26 @@ WITH toks AS (
 SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
        (top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30) AS keep
 FROM m
+"""
+
+    # deduped corpus view: same recursive closure, anti-joined
+    o["dedup_keep_list"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({jacc})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), doomed AS (
+  SELECT node AS doc_id FROM reach
+  GROUP BY node HAVING least(node, min(r)) <> node
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
 """
 
     # one-row corpus health report: plain aggregates, one scan
