@@ -727,6 +727,13 @@ class QueryEngine:
         postings scan keeps uncommitted appends out.
 
         Returns DataFrame(doc_id long), unordered and distinct.
+
+        NOTE: a query whose every token is dropped by the analysis
+        chain returns EMPTY — the index holds no evidence for such
+        text.  Callers doing prune-then-verify (phrase_search and the
+        batch variant) detect that case themselves and fall back to a
+        full verify scan, because "no indexed terms" is not "no
+        matches" for raw-text semantics.
         """
         from sotohp_spark.functions.tokenizer import tokenize
         from sotohp_spark.operators.postings import conjunctive_match
@@ -799,9 +806,21 @@ class QueryEngine:
             return self.spark.createDataFrame([], schema)
         shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
 
+        # ship the (possibly thousands-of-phrases) term table ONCE per
+        # executor as a broadcast variable instead of pickling it into
+        # every task closure — the same per-task serialization tax
+        # top_k_batch's _batch_bc avoids, and this path advertises the
+        # same eval-sweep scale.  Previous batch's table unpersisted
+        # (not destroyed: an unexecuted DataFrame may lazily rebroadcast).
+        prev = getattr(self, "_phrase_bc", None)
+        if prev is not None:
+            prev.unpersist()
+        bc_terms = self.spark.sparkContext.broadcast(phrase_terms)
+        self._phrase_bc = bc_terms
+
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             pairs = conjunctive_match_batch(
-                pdf.to_dict("records"), phrase_terms, deletes
+                pdf.to_dict("records"), bc_terms.value, deletes
             )
             return pd.DataFrame(pairs, columns=["query_id", "doc_id"]).astype(
                 {"query_id": "str", "doc_id": "int64"}
@@ -829,8 +848,18 @@ class QueryEngine:
         ``regexp_like`` (per-row pattern resolve, plan size O(1) in
         N).  Returns DataFrame(query_id, doc_id) plus the text
         frame's other columns.
+
+        Losslessness: a phrase whose EVERY token is dropped by the
+        analysis chain (e.g. a standalone number — tokenizer rule 7
+        strips it at index and query time alike) has no index evidence
+        either way, so pruning it to the conjunctive candidate set
+        would silently miss real matches.  Such phrases skip pruning
+        and verify against the FULL text table instead (one extra
+        scan, only when such phrases are present).
         """
         import re
+
+        from sotohp_spark.functions.tokenizer import tokenize
 
         ids = [str(qid) for qid, _ in phrases]
         if len(set(ids)) != len(ids):
@@ -838,35 +867,86 @@ class QueryEngine:
             # chain/join is keyed by id — a duplicate would silently
             # verify one phrase's candidates against the other's regex
             raise ValueError(f"duplicate query ids after str(): {ids}")
-        cands = self.matching_doc_ids_batch(phrases, source)
-        if not phrases:
-            return cands.where(F.lit(False))
-        pats = [
-            (str(qid), r"(^|\s)" + re.escape(p.strip()) + r"(\s|$)")
-            for qid, p in phrases
+        tr = texts.withColumnRenamed(id_col, "doc_id")
+        # result column order of the candidate join: doc_id, query_id,
+        # then the text frame's remaining columns — every branch below
+        # (including the empty edge case) returns exactly this shape
+        out_cols = ["doc_id", "query_id"] + [
+            c for c in tr.columns if c != "doc_id"
         ]
-        joined = cands.join(
-            texts.withColumnRenamed(id_col, "doc_id"), "doc_id"
-        )
-        if len(pats) <= self.WHEN_CHAIN_MAX:
-            verify = None
-            for qid, pat in pats:
-                cond = F.col("query_id") == qid
-                hit = F.col(text_col).rlike(pat)
-                verify = (
-                    F.when(cond, hit)
-                    if verify is None
-                    else verify.when(cond, hit)
+        if not phrases:
+            return (
+                tr.withColumn("query_id", F.lit(None).cast("string"))
+                .select(*out_cols)
+                .where(F.lit(False))
+            )
+        rules = self._query_rules(source)
+        unprunable = [
+            (str(qid), p)
+            for qid, p in phrases
+            if p.strip() and not tokenize(p, rules)
+        ]
+        indexed = [
+            (qid, p) for qid, p in phrases
+            if (str(qid), p) not in set(unprunable)
+        ]
+
+        def _verify(joined: DataFrame, pats) -> DataFrame:
+            if len(pats) <= self.WHEN_CHAIN_MAX:
+                verify = None
+                for qid, pat in pats:
+                    cond = F.col("query_id") == qid
+                    hit = F.col(text_col).rlike(pat)
+                    verify = (
+                        F.when(cond, hit)
+                        if verify is None
+                        else verify.when(cond, hit)
+                    )
+                return joined.where(verify.otherwise(F.lit(False)))
+            pat_df = F.broadcast(
+                self.spark.createDataFrame(
+                    pats, "query_id string, _pat string"
                 )
-            return joined.where(verify.otherwise(F.lit(False)))
-        pat_df = F.broadcast(
-            self.spark.createDataFrame(pats, "query_id string, _pat string")
-        )
-        return (
-            joined.join(pat_df, "query_id")
-            .where(F.expr(f"regexp_like(`{text_col}`, `_pat`)"))
-            .drop("_pat")
-        )
+            )
+            return (
+                joined.join(pat_df, "query_id")
+                .where(F.expr(f"regexp_like(`{text_col}`, `_pat`)"))
+                .drop("_pat")
+            )
+
+        def _pat(p: str) -> str:
+            return r"(^|\s)" + re.escape(p.strip()) + r"(\s|$)"
+
+        branches = []
+        if indexed:
+            cands = self.matching_doc_ids_batch(indexed, source)
+            joined = cands.join(tr, "doc_id")
+            branches.append(
+                _verify(
+                    joined, [(str(q), _pat(p)) for q, p in indexed]
+                ).select(*out_cols)
+            )
+        if unprunable:
+            # no candidates to prune with: every text row is a
+            # candidate for each unprunable phrase (cross join against
+            # the tiny broadcast pattern table), verified by the same
+            # word-boundary regex
+            fb = F.broadcast(
+                self.spark.createDataFrame(
+                    [(q, _pat(p)) for q, p in unprunable],
+                    "query_id string, _pat string",
+                )
+            )
+            branches.append(
+                tr.crossJoin(fb)
+                .where(F.expr(f"regexp_like(`{text_col}`, `_pat`)"))
+                .drop("_pat")
+                .select(*out_cols)
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
 
     def phrase_search(
         self,
@@ -888,11 +968,25 @@ class QueryEngine:
         with a doc_id-partitioned text table the join prunes partitions
         the same way _attach_docs does.  Returns the matching rows of
         ``texts`` (all its columns), unordered.
+
+        Losslessness: when every phrase token is dropped by the
+        analysis chain (e.g. a standalone number like "2024" — rule 7
+        strips it at index and query time alike), the index holds no
+        evidence either way and the candidate set would be spuriously
+        empty.  Such phrases fall back to a FULL verify scan of
+        ``texts`` — correct at the cost of one unpruned pass, taken
+        only for all-dropped phrases.
         """
         import re
 
-        cands = self.matching_doc_ids(phrase, source)
+        from sotohp_spark.functions.tokenizer import tokenize
+
         pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
+        if not phrase.strip():
+            return texts.where(F.lit(False))
+        if not tokenize(phrase, self._query_rules(source)):
+            return texts.where(F.col(text_col).rlike(pat))
+        cands = self.matching_doc_ids(phrase, source)
         return texts.join(
             cands.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).where(F.col(text_col).rlike(pat))

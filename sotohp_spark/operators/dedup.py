@@ -461,9 +461,23 @@ def duplicate_clusters(
     collects).  localCheckpoint per round cuts the lineage so plan
     size stays constant.  Deterministic: labels are pure min()s.
 
+    Cost shape: ONE Spark action per round — the convergence counter
+    (sum of moved labels) rides on the SAME job that materializes the
+    round's checkpoint, via an Observation on the checkpointed plan.
+    A separate count() per round doubled the round's job count (and
+    re-ran the label join when the checkpoint was not yet hit) for a
+    number the plan already knows.
+
     Returns DataFrame(doc_id, cluster_id) over the docs present in
     ``pairs``.
     """
+    if max_iters < 1:
+        # the non-convergence RuntimeError below reports "did not
+        # converge" — a zero/negative budget is a parameter error, not
+        # a convergence failure, and must not masquerade as one
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    from pyspark.sql import Observation
+
     F_ = F
     sym = pairs.select(
         F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
@@ -482,10 +496,14 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F_.min("lbl").alias("nbr_lbl"))
         )
+        # carry the PRE-round label through as `prev` so the moved-
+        # label count is a plain column comparison at the end of the
+        # round's plan (no extra join against the old frame)
         stepped = labels.join(
             nbr_min, labels["node"] == nbr_min["src"], "left"
         ).select(
             "node",
+            F_.col("lbl").alias("prev"),
             F_.least(
                 F_.col("lbl"), F_.coalesce("nbr_lbl", F_.col("lbl"))
             ).alias("lbl"),
@@ -496,6 +514,7 @@ def duplicate_clusters(
         # sliding near-dup chain would exhaust max_iters and silently
         # return a split component; with the jump, depth halves every
         # round and max_iters=25 covers diameters beyond 2^25.
+        obs = Observation()
         new_labels = (
             stepped.alias("x")
             .join(
@@ -509,15 +528,18 @@ def duplicate_clusters(
                     F_.col("x.lbl"),
                     F_.coalesce(F_.col("y.lbl"), F_.col("x.lbl")),
                 ).alias("lbl"),
+                F_.col("x.prev").alias("prev"),
             )
-            .localCheckpoint()
+            .observe(
+                obs,
+                F_.sum(
+                    (F_.col("lbl") != F_.col("prev")).cast("long")
+                ).alias("moved"),
+            )
+            .select("node", "lbl")
+            .localCheckpoint()  # the round's ONE action; fires the observation
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F_.col("n.lbl") != F_.col("o.lbl"))
-            .count()
-        )
+        changed = int(obs.get["moved"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -381,3 +381,66 @@ def test_phrase_search_batch_large_n_path(spark, phrase_index):
 
     with _pytest.raises(ValueError, match="duplicate query ids"):
         eng_small.phrase_search_batch([("x", "a"), ("x", "b")], texts)
+
+
+def test_phrase_search_all_dropped_tokens_full_scan_fallback(spark, phrase_index):
+    """A phrase whose EVERY token the analysis chain drops (standalone
+    number, rule 7) has no index evidence — prune-then-verify must
+    fall back to a full verify scan, not silently return empty."""
+    from sotohp_spark.functions.tokenizer import KeywordRules, tokenize
+
+    path, _ = phrase_index
+    engine = QueryEngine(spark, path)
+    assert tokenize("2024", engine._query_rules(None)) == []
+    texts = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (100001, "released in 2024 with fixes"),
+                (100002, "released in 2025 with fixes"),
+                (100003, "build 2024x is different"),  # not word-bounded
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"] for r in engine.phrase_search("2024", texts).collect()}
+    assert got == {100001}
+    # empty phrase matches nothing
+    assert engine.phrase_search("   ", texts).count() == 0
+
+
+def test_phrase_search_batch_unprunable_and_empty_schema(spark, phrase_index):
+    """Batch variant: (a) an all-dropped phrase verifies via the full-
+    scan branch and still returns its matches; (b) the empty-phrases
+    edge case returns ZERO rows with the SAME schema as the non-empty
+    path (query_id, doc_id, plus the text frame's columns)."""
+    path, pdf = phrase_index
+    engine = QueryEngine(spark, path)
+    from sotohp_spark.operators.docs import build_documents
+
+    texts = build_documents(
+        spark.createDataFrame(pdf), num_ranges=4
+    ).select("conv_id", F.col("doc_text").alias("text"))
+    idx_docs = spark.read.parquet(f"{path}/docs").select("doc_id", "conv_id")
+    texts = idx_docs.join(texts, "conv_id")
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            [("zzz", 999999, "released in 2024 only")],
+            columns=["conv_id", "doc_id", "text"],
+        )
+    ).select("doc_id", "conv_id", "text")
+    texts2 = texts.select("doc_id", "conv_id", "text").unionByName(extra)
+
+    phrases = [("a", "error retry"), ("num", "2024")]
+    got = engine.phrase_search_batch(phrases, texts2)
+    pairs = {(r["query_id"], r["doc_id"]) for r in got.collect()}
+    assert ("num", 999999) in pairs
+    want_a = {
+        ("a", r["doc_id"])
+        for r in engine.phrase_search("error retry", texts2).collect()
+    }
+    assert {p for p in pairs if p[0] == "a"} == want_a
+
+    empty = engine.phrase_search_batch([], texts2)
+    assert empty.count() == 0
+    assert empty.columns == got.columns

@@ -321,3 +321,56 @@ def test_duplicate_clusters_long_chain_pointer_jumping(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == 61
+
+
+def test_duplicate_clusters_max_iters_validation(spark):
+    """max_iters < 1 is a parameter error (ValueError), not the
+    non-convergence RuntimeError — even for empty/trivial input the
+    loop never runs, so `changed` stays None and the old code
+    misreported it as non-convergence."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2)], columns=["doc_a", "doc_b"])
+    )
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup.duplicate_clusters(pairs, max_iters=0)
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup.duplicate_clusters(
+            spark.createDataFrame([], "doc_a long, doc_b long"), max_iters=-3
+        )
+
+
+def test_duplicate_clusters_one_action_per_round(spark):
+    """The convergence counter must ride on the SAME job that
+    materializes each round's checkpoint (an Observation), not a
+    separate count() — per propagation round, exactly ONE action.
+
+    AQE and auto-broadcast are disabled for the probe so one action ==
+    one tracked job (AQE adds a job per materialized exchange, and a
+    broadcast-hash join adds a broadcast-build job — both orthogonal
+    to the action count under test).  A single pair converges in
+    exactly 2 rounds (one move, one fixpoint check): 2 setup
+    checkpoints + 2 round actions = 4 jobs.  The old two-action loop
+    measured 6; pin <= 5 so a regression to 2 actions/round fails."""
+    import uuid
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2)], columns=["doc_a", "doc_b"])
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    gid = uuid.uuid4().hex
+    sc.setJobGroup(gid, "cluster round probe")
+    try:
+        dedup.duplicate_clusters(pairs)
+    finally:
+        sc.setJobGroup("default", "")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(gid))
+    assert n_jobs <= 5, (
+        f"{n_jobs} jobs for a 2-round clustering — expected 2 setup "
+        f"+ 1 action per round"
+    )
