@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["embedding_neardup_exact"] = lambda s, d: _embedding_neardup_exact(s, d)
     q["ann_index_topk"] = _ann_index_topk
+    q["ann_index_ivf_topk"] = _ann_index_ivf_topk
 
     # --- generic operator surface (SURVEY §2) over the star schema ---
     q["q1_pricing_summary"] = lambda s, d: an.pricing_summary(_t(s, d, "lineitem"))
@@ -397,6 +398,34 @@ def _ann_index_topk(spark, sf_dir):
         _ANN_INDEX_CACHE[tag] = path
     return ann_index_topk(spark, path, _ann_query_vec(), k=10,
                           multiprobe_hamming=2)
+
+
+_ANN_IVF_INDEX_CACHE: dict = {}
+
+
+def _ann_index_ivf_topk(spark, sf_dir):
+    """Materialized IVF vector index: Lloyd-refined centroid id =
+    hive partition key, nprobe nearest centroids prune partitions;
+    the trained centroid matrix lives in the index meta so probe
+    selection reads no data.  The DuckDB oracle re-derives seeds +
+    one Lloyd step + assignment in closed form
+    (ann.ivf_lloyd_oracle_sql)."""
+    import os
+
+    from sotohp_spark.operators.ann_index import (
+        ann_index_ivf_topk,
+        build_ann_index_ivf,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sotohp_ann_ivf_index_{tag}"
+    if tag not in _ANN_IVF_INDEX_CACHE:
+        build_ann_index_ivf(
+            _t(spark, sf_dir, "embeddings"), path,
+            n_centroids=8, lloyd_iters=1,
+        )
+        _ANN_IVF_INDEX_CACHE[tag] = path
+    return ann_index_ivf_topk(spark, path, _ann_query_vec(), k=10, n_probe=4)
 
 
 def _embedding_neardup_exact(s, d):
@@ -989,6 +1018,14 @@ FROM words
     # hyperplanes, so the on-the-fly LSH oracle is its oracle too
     o["ann_index_topk"] = lsh_topk_oracle_sql(
         qv, k=10, bits=6, multiprobe_hamming=2, seed=42
+    )
+    # materialized IVF: the stored centroid matrix is deterministic
+    # (seed rows + 1 exact Lloyd step), so DuckDB re-derives training,
+    # assignment AND probe selection in closed form
+    from sotohp_spark.operators.ann import ivf_lloyd_oracle_sql
+
+    o["ann_index_ivf_topk"] = ivf_lloyd_oracle_sql(
+        qv, k=10, n_centroids=8, n_probe=4, lloyd_iters=1
     )
     o["embedding_neardup_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -46,12 +46,13 @@ class EngineConfig:
 
     # Optional Iceberg catalog table prefix (e.g. "local.db.myindex").
     # When set AND the Iceberg runtime is on the classpath,
-    # sources/catalog.resolve_store yields IcebergIndexStore, whose
-    # TABLE operations (docs append, postings overwritePartitions,
-    # MERGE INTO deletes) are atomic snapshot commits.  The full
-    # builder pipeline is not catalog-backed yet, so IndexBuilder
-    # refuses to run with this set (fail-fast, not a half-parquet
-    # index); drive IcebergIndexStore directly for catalog tables.
+    # sources/catalog.resolve_store yields IcebergIndexStore and the
+    # WHOLE lifecycle — build, append, delete, compact, query —
+    # routes through the catalog-native pipeline
+    # (index/catalog_build.CatalogIndexBuilder): every state mutation
+    # is an atomic snapshot commit, with pending rows + snapshot ids
+    # replacing the parquet leg's marker files.  Unset (default) =
+    # the hive-partitioned-parquet protocol.
     iceberg_table_prefix: str | None = None
 
     extra_spark_conf: dict = field(default_factory=dict)

@@ -99,6 +99,56 @@ class BuildInterrupted(RuntimeError):
     """Raised by the kill-switch in tests to simulate a mid-build crash."""
 
 
+def partition_state_rows(spark, committed: DataFrame, buckets: list,
+                         fingerprint: str, wall: float) -> DataFrame:
+    """Per-bucket checkpoint/metric rows (PARTITION_STATE_SCHEMA)
+    derived from the COMMITTED postings of a batch — one agg job,
+    shared by the parquet and catalog builders.  EVERY bucket of the
+    batch gets a row: a bucket whose docs all tokenize to nothing
+    produces no postings and would otherwise never be marked built
+    (stage 2 would rescan it on every build call forever)."""
+    metrics = {
+        int(m["range_bucket"]): m
+        for m in committed.groupBy("range_bucket").agg(
+            F.sum("n_docs").alias("postings"),
+            F.sum("payload_bytes").alias("bytes"),
+            F.countDistinct("term").alias("n_terms"),
+            F.max("n_docs").alias("max_shard"),
+            F.avg("n_docs").alias("mean_shard"),
+        ).collect()
+    }
+    wall_each = wall / max(len(buckets), 1)
+    rows = []
+    for bucket in buckets:
+        m = metrics.get(int(bucket))
+        if m is None:
+            rows.append(
+                (int(bucket), fingerprint, "built", 0, 0, 1.0, 0,
+                 float(wall_each))
+            )
+            continue
+        skew = (
+            float(m["max_shard"]) / float(m["mean_shard"])
+            if m["mean_shard"]
+            else 1.0
+        )
+        rows.append(
+            (
+                int(bucket),
+                fingerprint,
+                "built",
+                int(m["postings"] or 0),
+                int(m["bytes"] or 0),
+                skew,
+                int(m["n_terms"] or 0),
+                float(wall_each),
+            )
+        )
+    return spark.createDataFrame(
+        rows, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
+    ).withColumn("built_at", F.current_timestamp())
+
+
 def compact_marker_path(index_path: str) -> str:
     """Pending-compaction marker, SIBLING of the index dir — it must
     survive both directory renames of the swap."""
@@ -420,20 +470,21 @@ class IndexBuilder:
         fingerprint = input_fingerprint or "default"
         from sotohp_spark.sources.catalog import resolve_store
 
-        # resolved ONCE per build (not per chunk); the Iceberg leg is
-        # refused here because only the table writes are catalog-
-        # routed so far — letting a configured-Iceberg build proceed
-        # would put postings in the catalog while docs/meta/checkpoint
-        # state stay parquet, yielding an index no reader can open
+        # resolved ONCE per build (not per chunk).  A configured
+        # Iceberg catalog routes the WHOLE pipeline — meta, checkpoint
+        # state, pending commit points, data tables — through the
+        # catalog-native builder (index/catalog_build.py); the parquet
+        # marker protocol below remains the default leg.
         store = resolve_store(self.spark, self.path, cfg)
         if store.kind != "parquet":
-            raise NotImplementedError(
-                "iceberg_table_prefix routes TABLE operations through "
-                "IcebergIndexStore (sources/catalog.py); the full "
-                "builder pipeline (meta, checkpoint state, append "
-                "markers, compaction) is not catalog-backed yet — "
-                "drive IcebergIndexStore directly, or unset "
-                "iceberg_table_prefix for the parquet protocol"
+            from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+            return CatalogIndexBuilder(
+                self.spark, store, cfg, self.rules
+            ).build(
+                turns,
+                stop_after_batches=stop_after_batches,
+                input_fingerprint=input_fingerprint,
             )
         recover_pending_compact(self.spark, self.path)
         if self._read_meta() is not None:
@@ -655,51 +706,9 @@ class IndexBuilder:
             .parquet(self.postings_path)
             .where(F.col("range_bucket").isin(list(buckets)))
         )
-        metrics = {
-            int(m["range_bucket"]): m
-            for m in committed.groupBy("range_bucket").agg(
-                F.sum("n_docs").alias("postings"),
-                F.sum("payload_bytes").alias("bytes"),
-                F.countDistinct("term").alias("n_terms"),
-                F.max("n_docs").alias("max_shard"),
-                F.avg("n_docs").alias("mean_shard"),
-            ).collect()
-        }
-        wall_each = wall / max(len(buckets), 1)
-        rows = []
-        # EVERY bucket of the batch gets a checkpoint row — a bucket
-        # whose docs all tokenize to nothing produces no postings files
-        # and would otherwise never be marked built (stage 2 would
-        # rescan it on every build call forever)
-        for bucket in buckets:
-            m = metrics.get(int(bucket))
-            if m is None:
-                rows.append(
-                    (int(bucket), fingerprint, "built", 0, 0, 1.0, 0,
-                     float(wall_each))
-                )
-                continue
-            skew = (
-                float(m["max_shard"]) / float(m["mean_shard"])
-                if m["mean_shard"]
-                else 1.0
-            )
-            rows.append(
-                (
-                    int(bucket),
-                    fingerprint,
-                    "built",
-                    int(m["postings"] or 0),
-                    int(m["bytes"] or 0),
-                    skew,
-                    int(m["n_terms"] or 0),
-                    float(wall_each),
-                )
-            )
-        df = self.spark.createDataFrame(
-            rows, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
-        ).withColumn("built_at", F.current_timestamp())
-        df.write.mode("append").parquet(self.state_path)
+        partition_state_rows(
+            self.spark, committed, buckets, fingerprint, wall
+        ).write.mode("append").parquet(self.state_path)
 
     def _built_buckets(self, fingerprint: str) -> set:
         # cheap existence probe avoids a logged AnalysisException on

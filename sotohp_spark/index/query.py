@@ -59,30 +59,57 @@ class QueryEngine:
     # with the postings per range — no driver materialization ever.
     MAX_DRIVER_DELETES = 200_000
 
-    def __init__(self, spark: SparkSession, index_path: str,
+    def __init__(self, spark: SparkSession, index_path: str | None = None,
                  rules: KeywordRules | None = None, cfg: EngineConfig | None = None,
-                 max_driver_deletes: int | None = None):
+                 max_driver_deletes: int | None = None, store=None):
+        """Open over a parquet index path (default) or any index store.
+
+        ``store``: an explicit sources/catalog store object; when None
+        it resolves from ``cfg`` — a configured ``iceberg_table_prefix``
+        (with the runtime present) opens the catalog tables, otherwise
+        the parquet layout at ``index_path``.  Every query path below
+        is leg-independent: it sees only DataFrames + meta."""
         self.spark = spark
-        self.path = index_path.rstrip("/")
         self.rules = rules
-        from sotohp_spark import fsio
-        from sotohp_spark.index.build import recover_pending_compact
+        if store is None and index_path is not None:
+            from sotohp_spark.sources.catalog import resolve_store
 
-        # engine open = recovery point: an interrupted compaction swap
-        # (full or bucket-local) is finished here, so a reader never
-        # sees a missing/torn index
-        recover_pending_compact(spark, self.path)
-        from sotohp_spark.index.build import IndexBuilder
-        from sotohp_spark.streaming.incremental import (
-            _recover_pending_bucket_compact,
-        )
+            store = resolve_store(
+                spark, index_path, cfg if cfg is not None else DEFAULT
+            )
+        if store is None:
+            raise ValueError("QueryEngine needs index_path or store")
+        self.store = store
+        self.path = index_path.rstrip("/") if index_path else None
+        if store.kind == "parquet":
+            from sotohp_spark import fsio
+            from sotohp_spark.index.build import recover_pending_compact
 
-        _recover_pending_bucket_compact(
-            spark, IndexBuilder(spark, self.path)
-        )
-        self.meta = json.loads(
-            fsio.read_text(spark, f"{self.path}/_meta/meta.json")
-        )
+            # engine open = recovery point: an interrupted compaction
+            # swap (full or bucket-local) is finished here, so a reader
+            # never sees a missing/torn index
+            recover_pending_compact(spark, self.path)
+            from sotohp_spark.index.build import IndexBuilder
+            from sotohp_spark.streaming.incremental import (
+                _recover_pending_bucket_compact,
+            )
+
+            _recover_pending_bucket_compact(
+                spark, IndexBuilder(spark, self.path)
+            )
+            self.meta = json.loads(
+                fsio.read_text(spark, f"{self.path}/_meta/meta.json")
+            )
+        else:
+            # catalog leg: the open reconciles pending commit points
+            # (roll forward/back via snapshot ids) — the catalog form
+            # of the marker recovery above
+            store.recover()
+            self.meta = store.read_meta()
+            if self.meta is None:
+                raise ValueError(
+                    f"no catalog index at prefix {store.prefix}"
+                )
         # GEOMETRY COMES FROM META, NEVER FROM THE CALLER'S CFG: the
         # on-disk partition key (range_bucket), block layout, and range
         # boundaries were fixed at build time.  A caller cfg exists to
@@ -103,9 +130,14 @@ class QueryEngine:
                 else DEFAULT.shuffle_partitions
             ),
         )
+        if store.kind == "parquet":
+            raw_postings = spark.read.option(
+                "basePath", f"{self.path}/postings"
+            ).parquet(f"{self.path}/postings")
+        else:
+            raw_postings = store.read_postings()
         self._postings = (
-            spark.read.option("basePath", f"{self.path}/postings")
-            .parquet(f"{self.path}/postings")
+            raw_postings
             # COMMITTED-SNAPSHOT GUARD: phase 1 of a concurrent 2-phase
             # append moves postings files into the live tree BEFORE the
             # docs-table commit; their shards cover only doc ids above
@@ -113,9 +145,12 @@ class QueryEngine:
             # committed maximum), so one shard-level predicate masks
             # every uncommitted/ghost posting.  first_doc is a plain
             # data column -> parquet row-group pruning makes it ~free.
+            # (Same guard on the catalog leg: a pending append's
+            # postings snapshot may be committed before its docs
+            # commit — identical ordering, identical mask.)
             .where(F.col("first_doc") <= int(self.meta["max_doc"]))
         )
-        self._term_stats = spark.read.parquet(f"{self.path}/term_stats")
+        self._term_stats = store.read_term_stats()
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
         # postings build) is pruned out of every docs scan; range_bucket
@@ -124,7 +159,11 @@ class QueryEngine:
         # partition column — derive it (no pruning, same semantics) so
         # the engine stays READ-compatible across layouts (the offline
         # migrator upgrades writes; reads must not require it).
-        docs = spark.read.parquet(f"{self.path}/docs")
+        docs = (
+            spark.read.parquet(f"{self.path}/docs")
+            if store.kind == "parquet"
+            else store.read_docs()
+        )
         if "range_bucket" not in docs.columns:
             span = self.cfg.range_size * self.cfg.ranges_per_batch
             docs = docs.withColumn(
@@ -158,11 +197,18 @@ class QueryEngine:
         per-task broadcast of a global array."""
         import numpy as np
 
-        from sotohp_spark.index.build import IndexBuilder
+        if self.store.kind == "parquet":
+            from sotohp_spark.index.build import IndexBuilder
 
-        if not IndexBuilder(self.spark, self.path).has_deletes():
-            return np.zeros(0, dtype=np.int64)
-        df = self.spark.read.parquet(f"{self.path}/deletes").select("doc_id")
+            if not IndexBuilder(self.spark, self.path).has_deletes():
+                return np.zeros(0, dtype=np.int64)
+            df = self.spark.read.parquet(
+                f"{self.path}/deletes"
+            ).select("doc_id")
+        else:
+            if not self.store.has_deletes():
+                return np.zeros(0, dtype=np.int64)
+            df = self.store.read_deletes().select("doc_id")
         self._deletes_df = df
         n = df.count()
         if n > self.MAX_DRIVER_DELETES:

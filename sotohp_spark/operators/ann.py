@@ -259,6 +259,99 @@ LIMIT {k}
 """
 
 
+def ivf_lloyd_oracle_sql(
+    query_vec: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+) -> str:
+    """DuckDB equivalent of the Lloyd-refined IVF pipeline
+    (ivf_assign(lloyd_iters=i) -> probe -> cosine top-k), in closed
+    form: seed centroids (first n rows by id, L2-normalized), then
+    ``lloyd_iters`` exact k-means steps — assignment by argmax dot
+    with ties to the lowest centroid id (scaling by 1/|e| does not
+    change the argmax, so the normalization in the engine's Arrow
+    kernel is dropped), per-centroid mean of the RAW vectors expanded
+    per dimension (dim = len(query_vec), known at SQL-gen time),
+    renormalized, with a centroid that loses all members keeping its
+    previous position (LEFT JOIN + CASE) — then the final assignment
+    and the nprobe nearest centroids as the probe set.  This is the
+    oracle for the MATERIALIZED IVF index too
+    (ann_index.build_ann_index_ivf stores exactly these centroids in
+    its meta), so the partition-pruned layout is value-checked
+    end-to-end."""
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = _vec_lit(qv / np.linalg.norm(qv))
+    vec = _vec_lit(query_vec)
+    ctes = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+)"""
+    ]
+    for i in range(lloyd_iters):
+        prev, a, m, nxt = f"c{i}", f"a{i}", f"m{i}", f"c{i + 1}"
+        avg_list = ", ".join(
+            f"avg(embedding[{j + 1}]::DOUBLE)" for j in range(dim)
+        )
+        ctes.append(f"""{a} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)""")
+        ctes.append(f"""{m} AS (
+  SELECT centroid_id, [{avg_list}] AS mv FROM {a} GROUP BY centroid_id
+)""")
+        ctes.append(f"""{nxt} AS (
+  SELECT c.centroid_id,
+         CASE WHEN m.mv IS NOT NULL
+                   AND sqrt(list_dot_product(m.mv::DOUBLE[],
+                                             m.mv::DOUBLE[])) > 0
+              THEN list_transform(m.mv::DOUBLE[],
+                x -> x / sqrt(list_dot_product(m.mv::DOUBLE[],
+                                               m.mv::DOUBLE[])))
+              ELSE c.cvec END AS cvec
+  FROM {prev} c LEFT JOIN {m} m USING (centroid_id)
+)""")
+    last = f"c{lloyd_iters}"
+    ctes.append(f"""afin AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e CROSS JOIN {last} c
+  ) WHERE rk = 1
+)""")
+    ctes.append(f"""probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id, list_dot_product(cvec, {qn}::DOUBLE[]) AS qs
+    FROM {last} ORDER BY qs DESC, centroid_id ASC LIMIT {n_probe}
+  )
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {vec}::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))), 6)
+       AS cos_sim
+FROM afin WHERE centroid_id IN (SELECT centroid_id FROM probe)
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted file) — deterministic centroids
 # ---------------------------------------------------------------------------

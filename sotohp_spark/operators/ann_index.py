@@ -1,18 +1,30 @@
-"""Materialized ANN index: SRP-LSH buckets as a PARTITION KEY on disk.
+"""Materialized ANN indexes: the partition-pruned scale path.
 
-`ann.cosine_topk_lsh` computes the bucket column on the fly — right for
-ad-hoc queries, but at 100 TB the winning move is to pay the bucketing
-once at ingest and make the bucket the physical partition key: a probe
-then reads ONLY the probed buckets' files (hive partition pruning — a
-b-bit index turns a full scan into ~(1+b+C(b,2))/2^b of the data at
-multiprobe Hamming 2).  This module materializes exactly that layout:
+`ann.cosine_topk_lsh` / `ann.cosine_topk_ivf` compute the bucket /
+centroid assignment on the fly — right for ad-hoc queries, but at
+100 TB the winning move is to pay the assignment once at ingest and
+make it the physical partition key: a probe then reads ONLY the probed
+partitions' files (hive partition pruning).  Two layouts:
 
+SRP-LSH (build_ann_index / ann_index_topk):
     <path>/bucket=<b>/*.parquet     (id, embedding)
     <path>/_ann_meta.json           dim, bits, seed, n_vectors
+a b-bit index turns a full scan into ~(1+b+C(b,2))/2^b of the data at
+multiprobe Hamming 2.  Determinism: hyperplanes derive from
+(seed, bits, dim) alone, so index and query sides (and the DuckDB
+oracle, ann.lsh_topk_oracle_sql) always agree on bucket assignment.
 
-Determinism contract: hyperplanes derive from (seed, bits, dim) alone,
-so index and query sides (and the DuckDB oracle,
-ann.lsh_topk_oracle_sql) always agree on bucket assignment.
+IVF (build_ann_index_ivf / ann_index_ivf_topk):
+    <path>/centroid_id=<c>/*.parquet   (id, embedding)
+    <path>/_ann_meta.json              centroids (the trained matrix), ...
+the classic inverted-file layout: deterministic seed centroids
+(first-n rows by id, L2-normalized) optionally Lloyd-refined, stored
+IN the meta so probe selection needs no data read; nprobe nearest
+centroids -> a partition IN-filter.  Recall tracks the data
+distribution (centroids adapt) where LSH's random hyperplanes do not.
+The DuckDB oracle re-derives seed+Lloyd+assignment in closed form
+(ann.ivf_lloyd_oracle_sql), so the materialized layout is
+value-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -77,6 +89,83 @@ def ann_index_topk(
     df = (
         spark.read.option("basePath", path).parquet(path)
         .where(F.col("bucket").isin(probe))
+    )
+    return (
+        df.select(
+            meta["id_col"],
+            F.round(cosine_sim(F.col(meta["vec_col"]), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
+        .limit(k)
+    )
+
+
+def build_ann_index_ivf(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF layout: train centroids (deterministic
+    seeds + ``lloyd_iters`` refinements, operators/ann.ivf_assign),
+    assign every vector ONCE, write with ``centroid_id`` as the hive
+    partition key, and persist the trained centroid matrix in the
+    meta file — query-side probe selection is then a pure driver-side
+    argsort over (n_centroids x dim), no data read."""
+    import numpy as np
+
+    from sotohp_spark.operators.ann import ivf_assign
+
+    assigned, cent = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col,
+        method="auto", lloyd_iters=lloyd_iters,
+    )
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    n = spark.read.parquet(path).count()
+    meta = {
+        "kind": "ivf",
+        "dim": int(cent.shape[1]),
+        "n_centroids": int(cent.shape[0]),
+        "lloyd_iters": int(lloyd_iters),
+        "centroids": [[float(x) for x in row] for row in cent],
+        "n_vectors": int(n),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    fsio.write_text_atomic(spark, f"{path}/_ann_meta.json", json.dumps(meta))
+    return meta
+
+
+def ann_index_ivf_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine over the materialized IVF index: nprobe nearest
+    centroids (from the stored matrix) become a PARTITION filter —
+    unprobed centroid partitions are never read (plan-asserted in
+    tests/test_plans.py)."""
+    import numpy as np
+
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_meta.json"))
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    order = np.argsort(-(cent @ qv), kind="stable")[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = (
+        spark.read.option("basePath", path).parquet(path)
+        .where(F.col("centroid_id").isin([int(c) for c in order]))
     )
     return (
         df.select(

@@ -308,9 +308,24 @@ def append_conversations(
     stores without atomic rename, the marker-before-moves ordering is
     what keeps a crash recoverable — recovery re-reads the marker and
     reconciles, it never depends on a move being atomic.
+
+    With a configured Iceberg catalog (cfg.iceberg_table_prefix + the
+    runtime on the classpath) the append routes to the catalog-native
+    two-phase protocol instead: pending row + snapshot-id rollback
+    points, no marker files (index/catalog_build.py).
     """
     from sotohp_spark.index.build import recover_pending_compact
+    from sotohp_spark.sources.catalog import resolve_store
 
+    _store = resolve_store(spark, index_path, cfg)
+    if _store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(
+            spark, _store, cfg, rules
+        ).append_conversations(
+            new_turns, _fail_before_commit=_fail_before_commit
+        )
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     meta = builder._read_meta()
@@ -492,7 +507,8 @@ def append_tombstones(
 
 
 def delete_conversations(
-    spark: SparkSession, index_path: str, conv_ids
+    spark: SparkSession, index_path: str, conv_ids,
+    cfg: EngineConfig = DEFAULT,
 ) -> int:
     """Delete-by-id sink (the reference's ES delete routing,
     ElasticOperations.scala:113-130) as TOMBSTONES: the immutable
@@ -508,7 +524,15 @@ def delete_conversations(
     the driver, so a 100 M-conversation re-enrichment batch stays
     O(partition) per task)."""
     from sotohp_spark.index.build import recover_pending_compact
+    from sotohp_spark.sources.catalog import resolve_store
 
+    _store = resolve_store(spark, index_path, cfg)
+    if _store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(
+            spark, _store, cfg
+        ).delete_conversations(conv_ids)
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path)
     _recover_pending_bucket_compact(spark, builder)
@@ -543,7 +567,15 @@ def update_conversations(
     doc_ids at the top of the id space; the old one disappears from
     results immediately and physically at the next compaction."""
     from sotohp_spark.index.build import recover_pending_compact
+    from sotohp_spark.sources.catalog import resolve_store
 
+    _store = resolve_store(spark, index_path, cfg)
+    if _store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(
+            spark, _store, cfg, rules
+        ).update_conversations(new_turns)
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     _recover_pending_bucket_compact(spark, builder)
@@ -577,9 +609,20 @@ def compact_index(
     the tests pin) and global stats are refreshed to the surviving
     corpus.  For the cheap low-delete-ratio path that keeps sparse ids
     and EXACT pre-compaction scores, use `compact_buckets` — it
-    rewrites only the tombstoned buckets."""
-    from sotohp_spark.index.build import SCHEMA_VERSION, recover_pending_compact
+    rewrites only the tombstoned buckets.
 
+    With a configured Iceberg catalog the compaction routes to the
+    catalog-native protocol: REPLACE TABLE commits with snapshot-id
+    abort points instead of a staging-dir rename swap
+    (index/catalog_build.CatalogIndexBuilder.compact)."""
+    from sotohp_spark.index.build import SCHEMA_VERSION, recover_pending_compact
+    from sotohp_spark.sources.catalog import resolve_store
+
+    _store = resolve_store(spark, index_path, cfg)
+    if _store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(spark, _store, cfg, rules).compact()
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)
     _recover_pending_bucket_compact(spark, builder)

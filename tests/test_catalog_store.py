@@ -93,9 +93,11 @@ def test_parquet_leg_delete_doc_ids_tombstones(spark, tmp_path):
 
 
 def test_iceberg_leg_lifecycle(spark, tmp_path):
-    """Full catalog lifecycle: createOrReplace -> append ->
-    overwritePartitions -> MERGE INTO delete.  Runs only where the
-    Iceberg Spark runtime is on the classpath (not this sandbox)."""
+    """Full catalog lifecycle on REAL Iceberg SQL: build -> query ->
+    append -> delete -> compact -> query, via the same
+    CatalogIndexBuilder the fake-store tests drive.  Runs only where
+    the Iceberg Spark runtime is on the classpath (not this
+    sandbox)."""
     if not iceberg_available(spark):
         pytest.skip("Iceberg runtime not on classpath")
     spark.conf.set(
@@ -105,41 +107,286 @@ def test_iceberg_leg_lifecycle(spark, tmp_path):
     spark.conf.set(
         "spark.sql.catalog.local.warehouse", str(tmp_path / "wh")
     )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import QueryEngine
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
     store = IcebergIndexStore(spark, "local.db.t", CFG)
-    store.write_docs(_docs_df(spark, range(40)))
-    assert store.read_docs().count() == 40
-    store.write_docs(_docs_df(spark, range(40, 50)), mode="append")
-    assert store.read_docs().count() == 50
-    store.overwrite_postings_partitions(_shards_df(spark, [0, 1], "a"))
-    store.overwrite_postings_partitions(_shards_df(spark, [0], "b"))
-    got = {
-        (r["term"], r["range_bucket"]) for r in store.read_postings().collect()
-    }
-    assert got == {("tb", 0), ("ta", 1)}
-    store.delete_doc_ids(spark.createDataFrame([(3,)], "doc_id long"))
-    assert store.read_docs().where(F.col("doc_id") == 3).count() == 0
-    assert store.read_docs().count() == 49
+    cb = CatalogIndexBuilder(spark, store, CFG)
+    turns = transcripts_df(spark, sf=0.05)
+    convs = [
+        r[0] for r in turns.select("conv_id").distinct()
+        .orderBy("conv_id").collect()
+    ]
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+    cb.build(t1, input_fingerprint="half")
+    m = cb.append_conversations(t2)
+    assert m["n_docs"] == len(convs)
+    assert QueryEngine(spark, store=store).top_k(
+        "error retry", 5, with_docs=False
+    ).count() == 5
+    assert cb.delete_conversations([half[0]]) == 1
+    m2 = cb.compact()
+    assert m2["n_docs"] == len(convs) - 1
+    eng = QueryEngine(spark, store=store)
+    assert eng._docs.where(F.col("conv_id") == half[0]).count() == 0
+    assert not store.has_deletes()
 
 
-def test_builder_refuses_half_wired_iceberg_config(spark, tmp_path,
-                                                   monkeypatch):
-    """Until the FULL builder pipeline is catalog-backed, a configured
-    Iceberg prefix must fail fast instead of producing an index whose
-    postings live in the catalog while docs/meta stay parquet — a
-    state no reader could open."""
-    import sotohp_spark.sources.catalog as cat
+# ----------------------------------------------------------------------
+# Catalog control plane in CI: the production CatalogIndexBuilder /
+# recovery / QueryEngine logic over the versioned-directory test double
+# (tests/fake_catalog.py overrides only the 8 storage primitives).
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+from fake_catalog import FakeCatalogStore  # noqa: E402
+
+FCFG = EngineConfig(range_size=16, block_size=8, ranges_per_batch=2,
+                    shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def cat_turns(spark):
+    from sotohp_spark.generator import transcripts_df
+
+    turns = transcripts_df(spark, sf=0.05).localCheckpoint()
+    convs = [
+        r[0] for r in turns.select("conv_id").distinct()
+        .orderBy("conv_id").collect()
+    ]
+    return turns, convs
+
+
+def _topk(spark, store, q="error retry timeout", k=10):
+    from sotohp_spark.index import QueryEngine
+
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in QueryEngine(spark, store=store)
+        .top_k(q, k, with_docs=False).collect()
+    ]
+
+
+def test_catalog_build_rank_identical_to_parquet(spark, tmp_path, cat_turns):
+    """Same turns, both legs: the catalog-built index must be
+    rank-AND-score-identical to the parquet-built one (the data plane
+    is shared; only the commit protocol differs)."""
     from sotohp_spark.index import IndexBuilder
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
 
-    monkeypatch.setattr(cat, "iceberg_available", lambda s: True)
-    cfg = EngineConfig(iceberg_table_prefix="local.db.idx")
-    turns = spark.createDataFrame(
-        [("c1", 0, TS, "hello world")],
-        "conv_id string, turn_idx int, ts timestamp, text string",
+    turns, _ = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    CatalogIndexBuilder(spark, store, FCFG).build(
+        turns, input_fingerprint="fp"
     )
-    with pytest.raises(NotImplementedError, match="iceberg_table_prefix"):
-        IndexBuilder(spark, str(tmp_path / "iidx"), cfg).build(
-            turns, input_fingerprint="x"
+    IndexBuilder(spark, str(tmp_path / "pq"), FCFG).build(
+        turns, input_fingerprint="fp"
+    )
+    from sotohp_spark.index import QueryEngine
+
+    pq = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in QueryEngine(spark, str(tmp_path / "pq"))
+        .top_k("error retry timeout", 10, with_docs=False).collect()
+    ]
+    assert _topk(spark, store) == pq
+
+
+def test_catalog_kill_and_resume(spark, tmp_path, cat_turns):
+    """stop_after_batches kills the build after one committed state
+    batch; a second build call resumes from the `_state` table and
+    completes — per-bucket checkpoint rows are the resume granularity
+    on the catalog leg too."""
+    from sotohp_spark.index.build import BuildInterrupted
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, _ = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    with pytest.raises(BuildInterrupted):
+        cb.build(turns, input_fingerprint="fp", stop_after_batches=1)
+    assert len(store.built_buckets("fp")) == 1
+    meta = cb.build(turns, input_fingerprint="fp")
+    assert meta["postings_done"]
+    # all buckets marked built, with metrics
+    st = store.read_state()
+    assert st.where(F.col("status") == "built").count() >= 2
+    assert _topk(spark, store)  # queryable
+
+
+def test_catalog_append_delete_compact_lifecycle(spark, tmp_path, cat_turns):
+    """build(half) -> append(rest) -> delete one conv -> compact:
+    append extends segments without rewriting old buckets, deletes
+    tombstone (scores stable), compaction physically drops and equals
+    a fresh build of the survivors."""
+    from sotohp_spark.index import QueryEngine
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, convs = cat_turns
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    cb.build(t1, input_fingerprint="half")
+    m = cb.append_conversations(t2)
+    assert m["n_docs"] == len(convs)
+    assert len(m["segments"]) == 2
+    # delete: tombstone only, docs rows still present pre-compact
+    assert cb.delete_conversations([half[0]]) == 1
+    eng = QueryEngine(spark, store=store)
+    doomed_doc = [
+        r["doc_id"]
+        for r in store.read_docs()
+        .where(F.col("conv_id") == half[0]).collect()
+    ]
+    assert len(doomed_doc) == 1
+    assert store.has_deletes()
+    # compact == fresh catalog build of the survivors (re-densified
+    # ids, refreshed stats)
+    m2 = cb.compact()
+    assert m2["n_docs"] == len(convs) - 1
+    twin = FakeCatalogStore(spark, str(tmp_path / "twin"), FCFG)
+    CatalogIndexBuilder(spark, twin, FCFG).build(
+        turns.where(F.col("conv_id") != half[0]),
+        input_fingerprint="surv",
+    )
+    assert _topk(spark, store) == _topk(spark, twin)
+    assert not store.has_deletes()
+
+
+def test_catalog_append_crash_rolls_back_postings(spark, tmp_path, cat_turns):
+    """Crash between the postings append and the docs commit: the
+    pending row's snapshot id rolls the postings table back on the
+    next open; a clean retry then matches an uninterrupted twin
+    exactly (no double-counted term contributions)."""
+    from sotohp_spark.index.catalog_build import (
+        CatalogIndexBuilder,
+        recover_pending_catalog,
+    )
+
+    turns, convs = cat_turns
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+
+    def ts_rows(s):
+        return sorted(
+            (r["term"], r["df"]) for r in s.read_term_stats().collect()
         )
+
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    cb.build(t1, input_fingerprint="half")
+    pre_postings = store.read_postings().count()
+    pre_ts = ts_rows(store)
+    with pytest.raises(RuntimeError, match="kill-switch"):
+        cb.append_conversations(t2, _fail_before_commit=True)
+    # orphaned shards visible until recovery, pending row recorded
+    assert store.read_postings().count() > pre_postings
+    assert len(store.list_pending("append")) == 1
+    recover_pending_catalog(spark, store)
+    assert store.read_postings().count() == pre_postings
+    assert ts_rows(store) == pre_ts
+    assert not store.list_pending("append")
+    # retry == uninterrupted twin
+    cb.append_conversations(t2)
+    twin = FakeCatalogStore(spark, str(tmp_path / "twin"), FCFG)
+    cbt = CatalogIndexBuilder(spark, twin, FCFG)
+    cbt.build(t1, input_fingerprint="half")
+    cbt.append_conversations(t2)
+    assert _topk(spark, store) == _topk(spark, twin)
+    assert ts_rows(store) == ts_rows(twin)
+
+
+@pytest.mark.parametrize("point", ["docs", "postings"])
+def test_catalog_compact_crash_rolls_back(spark, tmp_path, cat_turns, point):
+    """Crash mid-compaction BEFORE the meta commit point: recovery
+    (run by the next QueryEngine open) rolls every table back to its
+    recorded snapshot — results and tombstones exactly as before the
+    attempt."""
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, convs = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    cb.build(turns, input_fingerprint="fp")
+    cb.delete_conversations(convs[:3])
+    pre = _topk(spark, store)
+    with pytest.raises(RuntimeError, match="kill-switch"):
+        cb.compact(_fail_after=point)
+    # QueryEngine open runs recovery
+    assert _topk(spark, store) == pre
+    assert store.has_deletes()
+    assert not store.list_pending("compact")
+
+
+def test_catalog_compact_crash_after_meta_rolls_forward(spark, tmp_path,
+                                                        cat_turns):
+    """Crash AFTER the meta commit point: recovery finishes the
+    cleanup (deletes cleared) instead of rolling back — results match
+    an uninterrupted compaction."""
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, convs = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    cb.build(turns, input_fingerprint="fp")
+    cb.delete_conversations(convs[:3])
+    twin = FakeCatalogStore(spark, str(tmp_path / "twin"), FCFG)
+    cbt = CatalogIndexBuilder(spark, twin, FCFG)
+    cbt.build(turns, input_fingerprint="fp")
+    cbt.delete_conversations(convs[:3])
+    cbt.compact()
+    with pytest.raises(RuntimeError, match="kill-switch"):
+        cb.compact(_fail_after="meta")
+    assert _topk(spark, store) == _topk(spark, twin)
+    assert not store.has_deletes()
+    assert not store.list_pending("compact")
+
+
+def test_catalog_routing_from_config(spark, tmp_path, cat_turns, monkeypatch):
+    """The NotImplementedError refusal is gone: with a catalog-backed
+    store resolved from the config, IndexBuilder.build,
+    append_conversations, delete_conversations, compact_index and
+    QueryEngine ALL route through the catalog pipeline end-to-end
+    (resolve_store monkeypatched to the test double — jar-present
+    environments take the same path with the real store)."""
+    import sotohp_spark.sources.catalog as cat
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+    from sotohp_spark.streaming.incremental import (
+        append_conversations,
+        compact_index,
+        delete_conversations,
+    )
+
+    turns, convs = cat_turns
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    monkeypatch.setattr(cat, "resolve_store", lambda *a, **k: store)
+    path = str(tmp_path / "unused")
+    meta = IndexBuilder(spark, path, FCFG).build(t1, input_fingerprint="h")
+    assert meta["n_docs"] == len(half)
+    # no parquet index materialized — everything went to the catalog
+    import os
+
+    assert not os.path.exists(path)
+    meta = append_conversations(spark, path, t2, FCFG)
+    assert meta["n_docs"] == len(convs)
+    assert delete_conversations(spark, path, [half[0]], FCFG) == 1
+    meta = compact_index(spark, path, FCFG)
+    assert meta["n_docs"] == len(convs) - 1
+    eng = QueryEngine(spark, path, cfg=FCFG)
+    assert eng.store is store
+    assert eng.top_k("error retry", 5, with_docs=False).count() == 5
 
 
 def test_store_delete_doc_ids_empty_is_noop(spark, tmp_path):

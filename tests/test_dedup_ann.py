@@ -374,3 +374,36 @@ def test_duplicate_clusters_one_action_per_round(spark):
         f"{n_jobs} jobs for a 2-round clustering — expected 2 setup "
         f"+ 1 action per round"
     )
+
+
+def test_ann_ivf_index_recall_at_least_lsh(spark, embeddings, tmp_path):
+    """Materialized-IVF recall@5 on the planted-neighbor fixture must
+    be >= the materialized-LSH index's recall (centroids adapt to the
+    data; random hyperplanes do not) and the index must be
+    deterministic across rebuilds."""
+    from sotohp_spark.operators.ann_index import (
+        ann_index_ivf_topk,
+        ann_index_topk,
+        build_ann_index,
+        build_ann_index_ivf,
+    )
+
+    sdf, q = embeddings
+    exact = ann.cosine_topk_bruteforce(sdf, q, k=5).toPandas()
+
+    lsh_path = str(tmp_path / "lsh")
+    build_ann_index(sdf, lsh_path, bits=6, seed=42)
+    lsh = ann_index_topk(spark, lsh_path, q, k=5, multiprobe_hamming=2).toPandas()
+    r_lsh = len(set(exact["vec_id"]) & set(lsh["vec_id"])) / 5
+
+    ivf_path = str(tmp_path / "ivf")
+    m1 = build_ann_index_ivf(sdf, ivf_path, n_centroids=8, lloyd_iters=1)
+    ivf = ann_index_ivf_topk(spark, ivf_path, q, k=5, n_probe=3).toPandas()
+    r_ivf = len(set(exact["vec_id"]) & set(ivf["vec_id"])) / 5
+    assert r_ivf >= r_lsh
+    assert r_ivf >= 0.6
+
+    m2 = build_ann_index_ivf(
+        sdf, str(tmp_path / "ivf2"), n_centroids=8, lloyd_iters=1
+    )
+    assert m1["centroids"] == m2["centroids"]

@@ -220,3 +220,37 @@ def test_q1_is_pure_jvm(spark, sf_dir):
     assert_no_python_row_udf(df)
     # the shipdate filter reaches the scan
     assert_pushed_filter(df, "l_shipdate")
+
+
+def test_ann_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF index must (a) rank-match the on-the-fly
+    IVF path at the same training (centroids stored in meta == the
+    pipeline's), and (b) read only probed centroid partitions: the
+    scan carries a centroid_id PARTITION filter."""
+    import re
+
+    from sotohp_spark.operators.ann import cosine_topk_ivf
+    from sotohp_spark.operators.ann_index import (
+        ann_index_ivf_topk,
+        build_ann_index_ivf,
+    )
+    from sotohp_spark.plans.checks import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float((i * 37 % 13) - 6) / 7.0 for i in range(64)]
+    path = str(tmp_path / "ivfidx")
+    meta = build_ann_index_ivf(emb, path, n_centroids=8, lloyd_iters=1)
+    assert meta["n_vectors"] == emb.count()
+    assert len(meta["centroids"]) == 8
+
+    got = ann_index_ivf_topk(spark, path, qv, k=10, n_probe=4)
+    want = cosine_topk_ivf(
+        emb, qv, k=10, n_centroids=8, n_probe=4, lloyd_iters=1
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    plan = formatted_plan(got)
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any(
+        "centroid_id" in f and ("INSET" in f or " IN " in f) for f in pf
+    ), f"no centroid_id partition pruning:\n{plan}"
