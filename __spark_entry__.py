@@ -134,6 +134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx.lang_id(F.col("text")).alias("lang_pred"),
         tx.fingerprint64(F.col("text")).alias("fingerprint"),
     )
+    # trained char-trigram naive-Bayes language ID (functions/text.py
+    # LANG_FIXTURE): pure column arithmetic, oracle generated from the
+    # SAME model literals; the stopword-heuristic lang_id above stays
+    # the zero-dependency fallback inside text_metrics
+    q["lang_id_trained"] = lambda s, d: _docs(s, d).select(
+        "doc_id", tx.lang_id_trained(F.col("text")).alias("lang_pred")
+    )
 
     # --- similarity search over embeddings ---
     q["ann_cosine_topk"] = lambda s, d: ann.cosine_topk_bruteforce(
@@ -225,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text (the oracle brute-scans the same text, so a hash match
     # proves the index pruning never dropped a true phrase match)
     q["transcripts_phrase_search"] = _transcripts_phrase_search
+    q["transcripts_phrase_positional"] = _transcripts_phrase_positional
     # batch variant: many phrases, ONE candidate job (terms decoded
     # once per range, shared across phrases), one verify join
     q["transcripts_phrase_batch"] = _transcripts_phrase_batch
@@ -562,6 +570,35 @@ def _transcripts_phrase_search(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     text_path = _transcript_text(spark, sf_dir)
     texts = spark.read.parquet(text_path)
+    return engine.phrase_search(_PHRASE, texts).select("doc_id", "conv_id")
+
+
+_POS_INDEX_CACHE: dict = {}
+
+
+def _transcripts_phrase_positional(spark, sf_dir):
+    """Same phrase, POSITIONAL index (cfg.store_positions): candidates
+    come from in-index adjacency (phrase_match_doc_ids — no text
+    access for pruning, strictly tighter than the conjunctive set),
+    final regex verify unchanged, so the result provably equals the
+    positionless path and the same DuckDB brute-scan oracle."""
+    import os
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    sf = _SF_FROM_DIR.get(tag, 0.05)
+    if tag not in _POS_INDEX_CACHE:
+        path = f"/tmp/sotohp_pos_index_{tag}"
+        cfg = EngineConfig(**_T_CFG, store_positions=True)
+        IndexBuilder(spark, path, cfg).reindex_all(
+            transcripts_df(spark, sf), input_fingerprint=f"sf={sf}+pos"
+        )
+        _POS_INDEX_CACHE[tag] = path
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
     return engine.phrase_search(_PHRASE, texts).select("doc_id", "conv_id")
 
 
@@ -964,6 +1001,9 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+    from sotohp_spark.functions.text import lang_id_trained_oracle_sql
+
+    o["lang_id_trained"] = lang_id_trained_oracle_sql()
     o["text_metrics"] = r"""
 WITH words AS (
   SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w,
@@ -1410,6 +1450,11 @@ FROM reach GROUP BY node
 SELECT doc_id, conv_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
 WHERE regexp_matches(text, '(^|\s){_PHRASE}(\s|$)')
 """
+
+    # positional-index phrase search returns the SAME rows by the
+    # superset property (positional candidates >= regex matches, then
+    # the identical regex verify) -> same brute-scan oracle
+    o["transcripts_phrase_positional"] = o["transcripts_phrase_search"]
 
     # batch phrase search: per-phrase brute scans of the same text,
     # unioned with their query ids

@@ -104,6 +104,26 @@ def main():
         engine.matching_doc_ids("retry timeout").count()
         record("phrase_candidates", time.time() - t1)
 
+    # positional index: build-once overhead vs the positionless build
+    # (one sample — it is a delta measurement, not a headline), then
+    # index-only phrase adjacency (no text verify, no docs scan)
+    pos_path = f"/tmp/bench_pos_index_{tag}"
+    shutil.rmtree(pos_path, ignore_errors=True)
+    cfg_pos = EngineConfig(
+        shuffle_partitions=CPUS, ranges_per_batch=64, store_positions=True
+    )
+    t1 = time.time()
+    IndexBuilder(spark, pos_path, cfg_pos).build(
+        turns, input_fingerprint=f"bench-{tsf}-pos"
+    )
+    record("index_build_positional", time.time() - t1)
+    pos_engine = QueryEngine(spark, pos_path)
+    pos_engine.preload_term_stats()
+    for _ in range(REPS):
+        t1 = time.time()
+        pos_engine.phrase_match_doc_ids("retry timeout").count()
+        record("phrase_positional", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",

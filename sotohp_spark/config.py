@@ -41,6 +41,16 @@ class EngineConfig:
     # batch (resume granularity).
     ranges_per_batch: int = 8
 
+    # Store positional postings (Lucene-style .pos data): per posting,
+    # the varbyte-compressed token positions of the term, in a payload
+    # column separate from the doc/tf stream so positionless queries
+    # never read a byte of it.  Enables index-only exact phrase search
+    # (QueryEngine.phrase_match_doc_ids) — phrase_search then uses the
+    # positional candidates (a strict subset of the conjunctive set)
+    # before its raw-text verify.  Off by default: costs index size
+    # and build time; the text-verify path needs no positions.
+    store_positions: bool = False
+
     # tie-break and float determinism: scores are float64; ties broken
     # by ascending doc_id everywhere (engine, oracle, tests).
 

@@ -78,6 +78,225 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained language ID: naive Bayes over character trigrams
+# ---------------------------------------------------------------------------
+
+# Seeded labeled fixture (public sample sentences, written for this
+# repo).  The classifier is TRAINED from these at import time — pure
+# deterministic Python arithmetic — and scored with plan-only column
+# expressions, so the DuckDB oracle reproduces it bit-for-bit from the
+# same literals (lang_id_trained_oracle_sql).
+LANG_FIXTURE = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog",
+        "this is a simple english sentence about the weather today",
+        "we are going to the market and then to the park",
+        "she said that the meeting would start in the morning",
+        "the children were playing with their friends in the garden",
+        "i think that this approach is better than the other one",
+    ],
+    "fr": [
+        "le chat est sur la table et il regarde par la fenetre",
+        "nous allons au marche et ensuite dans le parc",
+        "elle a dit que la reunion commencerait dans la matinee",
+        "les enfants jouaient avec leurs amis dans le jardin",
+        "je pense que cette approche est meilleure que l autre",
+        "il fait tres beau aujourd hui et le ciel est bleu",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "wir gehen zum markt und dann in den park",
+        "sie sagte dass die besprechung am morgen beginnen wuerde",
+        "die kinder spielten mit ihren freunden im garten",
+        "ich denke dass dieser ansatz besser ist als der andere",
+        "das wetter ist heute sehr schoen und der himmel ist blau",
+    ],
+}
+
+
+def train_char_trigram_nb(fixture=None, k: float = 0.5, top_n: int = 40):
+    """Train the trigram naive-Bayes model: add-k smoothed
+    log-probabilities over a vocabulary of the ``top_n`` most frequent
+    trigrams per language (union, sorted — deterministic).  Returns
+    {"vocab": [tri...], "langs": [lang...], "logp": {lang: [..]},
+    "logp_oov": {lang: f}, "logprior": {lang: f}}.
+
+    Trigram counting convention: NON-overlapping occurrences (the
+    replace-based count both engines evaluate identically); training
+    uses the same convention so model and scorer agree."""
+    import math
+
+    fixture = fixture or LANG_FIXTURE
+
+    def count_tri(text: str, tri: str) -> int:
+        return (len(text) - len(text.replace(tri, ""))) // 3
+
+    counts: dict = {}
+    all_tris: dict = {}
+    for lang, sents in sorted(fixture.items()):
+        c: dict = {}
+        for s in sents:
+            s = s.lower()
+            for i in range(max(0, len(s) - 2)):
+                tri = s[i:i + 3]
+                c[tri] = c.get(tri, 0) + 1
+        counts[lang] = c
+        for tri, n in c.items():
+            all_tris.setdefault(lang, []).append((n, tri))
+    vocab = sorted(
+        {
+            tri
+            for lang, pairs in all_tris.items()
+            for _, tri in sorted(pairs, key=lambda t: (-t[0], t[1]))[:top_n]
+        }
+    )
+    langs = sorted(fixture)
+    logp: dict = {}
+    logp_oov: dict = {}
+    n_docs = {lang: len(fixture[lang]) for lang in langs}
+    total_docs = sum(n_docs.values())
+    logprior = {
+        lang: math.log(n_docs[lang] / total_docs) for lang in langs
+    }
+    for lang in langs:
+        c = counts[lang]
+        # replace-convention counts over the vocab; everything else
+        # (plus unseen) shares one smoothed OOV bucket
+        def rc(tri):
+            return sum(count_tri(s.lower(), tri) for s in fixture[lang])
+
+        vocab_counts = [rc(tri) for tri in vocab]
+        total = sum(vocab_counts)
+        denom = total + k * (len(vocab) + 1)
+        logp[lang] = [
+            math.log((n + k) / denom) for n in vocab_counts
+        ]
+        logp_oov[lang] = math.log(k / denom)
+    return {
+        "vocab": vocab,
+        "langs": langs,
+        "logp": logp,
+        "logp_oov": logp_oov,
+        "logprior": logprior,
+    }
+
+
+_NB_MODEL = None
+
+
+def _nb_model():
+    global _NB_MODEL
+    if _NB_MODEL is None:
+        _NB_MODEL = train_char_trigram_nb()
+    return _NB_MODEL
+
+
+def lang_id_trained(text: Column, model: dict | None = None) -> Column:
+    """Naive-Bayes language prediction as PURE column arithmetic:
+    per vocab trigram, a replace-based occurrence count; per language,
+    score = logprior + sum(count * logp) + max(0, n_trigrams -
+    sum(count)) * logp_oov; argmax with ties to the lexicographically
+    first language.  Whole-stage codegen, no UDF; the DuckDB oracle
+    (lang_id_trained_oracle_sql) is generated from the SAME model
+    literals in the SAME evaluation order, so results hash-match."""
+    m = model or _nb_model()
+    t = F.lower(F.coalesce(text, F.lit("")))
+    cnt = {
+        tri: (
+            (F.length(t) - F.length(F.replace(t, F.lit(tri))))
+            / F.lit(3)
+        ).cast("double")
+        for tri in m["vocab"]
+    }
+    n_tris = F.greatest(
+        F.length(t) - F.lit(2), F.lit(0)
+    ).cast("double")
+    scores = {}
+    for lang in m["langs"]:
+        s = F.lit(float(m["logprior"][lang]))
+        csum = F.lit(0.0)
+        for tri, lp in zip(m["vocab"], m["logp"][lang]):
+            s = s + cnt[tri] * F.lit(float(lp))
+            csum = csum + cnt[tri]
+        s = s + F.greatest(n_tris - csum, F.lit(0.0)) * F.lit(
+            float(m["logp_oov"][lang])
+        )
+        scores[lang] = s
+    pred = None
+    langs = m["langs"]
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            pred = pred.otherwise(branch) if pred is not None else branch
+        else:
+            pred = (
+                F.when(cond, branch)
+                if pred is None
+                else pred.when(cond, branch)
+            )
+    return pred
+
+
+def lang_id_trained_oracle_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", model: dict | None = None,
+) -> str:
+    """DuckDB SQL mirroring lang_id_trained EXACTLY: same model
+    literals, same replace-based counts, same summation order, same
+    tie policy — the trained classifier's value-check oracle."""
+    m = model or _nb_model()
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    cnt_exprs = []
+    for j, tri in enumerate(m["vocab"]):
+        cnt_exprs.append(
+            f"CAST((length(t) - length(replace(t, '{esc(tri)}', '')))"
+            f" / 3 AS DOUBLE) AS c{j}"
+        )
+    score_exprs = []
+    for lang in m["langs"]:
+        parts = [f"{float(m['logprior'][lang])!r}"]
+        csum = " + ".join(f"c{j}" for j in range(len(m["vocab"])))
+        for j, lp in enumerate(m["logp"][lang]):
+            parts.append(f"c{j} * {float(lp)!r}")
+        parts.append(
+            f"greatest(ntris - ({csum}), 0.0) * "
+            f"{float(m['logp_oov'][lang])!r}"
+        )
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = m["langs"]
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        if conds:
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            branches.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, lower(coalesce({text_col}, '')) AS t FROM {table}
+),
+cnts AS (
+  SELECT {id_col},
+         CAST(greatest(length(t) - 2, 0) AS DOUBLE) AS ntris,
+         {', '.join(cnt_exprs)}
+  FROM base
+),
+scored AS (
+  SELECT {id_col}, {', '.join(score_exprs)} FROM cnts
+)
+SELECT {id_col}, {case} AS lang_pred FROM scored
+"""
+
+
 def fingerprint64(text: Column) -> Column:
     """Deterministic 60-bit document fingerprint: md5-derived (engine-
     agnostic, DuckDB-reproducible), analog of the reference's content

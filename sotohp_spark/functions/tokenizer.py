@@ -214,6 +214,69 @@ def extract_keywords(sentence: str | None, rules: KeywordRules | None = None) ->
     return set(tokenize(sentence, rules))
 
 
+def tokenize_with_positions(
+    sentence: str | None, rules: KeywordRules | None = None
+) -> list:
+    """Ordered (token, position) pairs for positional postings.
+
+    The token SEQUENCE (first elements) is exactly ``tokenize()``
+    (property-tested); positions are indices in the pre-drop stream:
+    the counter ADVANCES for tokens removed by the standalone-number
+    rule (step 7) and the stopword list (step 9), so a dropped token
+    leaves a positional GAP.  That is what makes a phrase match over
+    positions agree with a word-boundary regex over the raw text for
+    plain-word phrases: "error 2024 retry" indexes error@0, retry@2 —
+    NOT adjacent, exactly as the raw text says.  (Analyzed-stream
+    divergences remain for camelCase splits and mapping expansions,
+    where one raw word yields several tokens at successive positions —
+    the standard Lucene analyzed-phrase semantics; positional
+    candidates are therefore a SUPERSET of raw-regex matches, which is
+    the property phrase_search's verify step relies on.)
+    """
+    if not sentence:
+        return []
+    if rules is not None:
+        for pat, repl in rules.compiled_rewritings():
+            sentence = pat.sub(repl, sentence)
+        mapping = rules.mapping_dict()
+        ignoring = rules.ignoring
+    else:
+        mapping = {}
+        ignoring = ()
+
+    out = []
+    pos = 0
+    for fragment in _SPLIT1.split(sentence):
+        if not fragment:
+            continue
+        for part in _camel_parts(fragment):
+            token = part.lower()
+            token = mapping.get(token, token)
+            for tok in _SPLIT2.split(token):
+                if not tok.strip():
+                    continue
+                if _NUMBERS.fullmatch(tok):
+                    pos += 1  # dropped token HOLDS its position
+                    continue
+                tok = tok.lower()
+                if tok in ignoring:
+                    pos += 1  # dropped token HOLDS its position
+                    continue
+                out.append((tok, pos))
+                pos += 1
+    return out
+
+
+def term_positions(
+    sentence: str | None, rules: KeywordRules | None = None
+) -> dict:
+    """map term -> sorted positions list (len == the term's tf)."""
+    d: dict = {}
+    for tok, pos in tokenize_with_positions(sentence, rules):
+        d.setdefault(tok, []).append(pos)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Vectorized (Arrow-batched) Spark UDF constructors.  Rules are captured
 # in plain-dict form in the closure — one pickle per task, reconstructed
@@ -269,6 +332,41 @@ def make_term_freq_udf_routed(router: KeywordRulesRouter):
         return pd.Series(out)
 
     return term_freq_routed_udf
+
+
+def make_term_positions_udf(rules: KeywordRules | None = None):
+    """pandas UDF: text -> map<term, array<int>> token positions
+    (tokenize_with_positions semantics; array length == the term's tf,
+    so the positional postings build derives tf for free)."""
+    plain = rules.to_plain() if rules is not None else None
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+    def term_positions_udf(texts: pd.Series) -> pd.Series:
+        r = KeywordRules.from_plain(plain)
+        return texts.map(lambda s: term_positions(s, r))
+
+    return term_positions_udf
+
+
+def make_term_positions_udf_routed(router: KeywordRulesRouter):
+    """(text, source) -> map<term, array<int>> with per-row rules
+    resolution — the positional analog of make_term_freq_udf_routed."""
+    plain = router.to_plain()
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+    def term_positions_routed_udf(
+        texts: pd.Series, sources: pd.Series
+    ) -> pd.Series:
+        r = KeywordRulesRouter.from_plain(plain)
+        cache: dict = {}
+        out = []
+        for text, src in zip(texts, sources):
+            if src not in cache:
+                cache[src] = r.rules_for(src)
+            out.append(term_positions(text, cache[src]))
+        return pd.Series(out)
+
+    return term_positions_routed_udf
 
 
 def make_keywords_udf(rules: KeywordRules | None = None):

@@ -53,23 +53,50 @@ from sotohp_spark.operators.docs import build_documents
 from sotohp_spark.operators.postings import build_postings_df
 
 
-def apply_term_freqs(docs: DataFrame, rules) -> DataFrame:
+def apply_term_freqs(docs: DataFrame, rules,
+                     with_positions: bool = False) -> DataFrame:
     """tfs + doc_len columns via the Arrow-batched tokenizer UDF.
 
     ``rules`` may be a single KeywordRules (one chain for the whole
     corpus) or a KeywordRulesRouter (per-source resolution, reference
     parity: MediaServiceLive.scala:1670-1676) — routed tokenization
-    reads the docs' ``source`` column (null -> router default)."""
-    if isinstance(rules, KeywordRulesRouter):
-        src = (
-            F.col("source")
-            if "source" in docs.columns
-            else F.lit(None).cast("string")
+    reads the docs' ``source`` column (null -> router default).
+
+    ``with_positions`` (cfg.store_positions): ONE tokenizer pass emits
+    a ``poss`` map<term, positions> column and tfs is DERIVED from it
+    with pure column expressions (tf == len(positions) by
+    construction) — positions never cost a second pass over the
+    text."""
+    from sotohp_spark.functions.tokenizer import (
+        make_term_positions_udf,
+        make_term_positions_udf_routed,
+    )
+
+    routed = isinstance(rules, KeywordRulesRouter)
+    src = (
+        F.col("source")
+        if "source" in docs.columns
+        else F.lit(None).cast("string")
+    )
+    if with_positions:
+        if routed:
+            poss = make_term_positions_udf_routed(rules)(F.col("doc_text"), src)
+        else:
+            poss = make_term_positions_udf(rules)(F.col("doc_text"))
+        docs = docs.withColumn("poss", poss).withColumn(
+            "tfs",
+            F.map_from_arrays(
+                F.map_keys("poss"),
+                F.transform(F.map_values("poss"), lambda a: F.size(a)),
+            ),
         )
-        tfs = make_term_freq_udf_routed(rules)(F.col("doc_text"), src)
     else:
-        tfs = make_term_freq_udf(rules)(F.col("doc_text"))
-    return docs.withColumn("tfs", tfs).withColumn(
+        if routed:
+            tfs = make_term_freq_udf_routed(rules)(F.col("doc_text"), src)
+        else:
+            tfs = make_term_freq_udf(rules)(F.col("doc_text"))
+        docs = docs.withColumn("tfs", tfs)
+    return docs.withColumn(
         "doc_len",
         F.coalesce(
             F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x),
@@ -393,15 +420,35 @@ SCHEMA_VERSION = 3
 
 
 def docs_output(df: DataFrame) -> DataFrame:
-    """Canonical docs-table column projection."""
+    """Canonical docs-table column projection (+ the positional map
+    when the build stores positions — compaction rebuilds postings
+    from the docs table, so positions must survive the round trip)."""
     src = (
         F.col("source")
         if "source" in df.columns
         else F.lit(None).cast("string")
     )
-    return df.select(
+    cols = [
         "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len", "tfs",
         src.alias("source"),
+    ]
+    if "poss" in df.columns:
+        cols.append("poss")
+    return df.select(*cols)
+
+
+def explode_doc_terms(docs_df: DataFrame, positions: bool) -> DataFrame:
+    """docs -> (doc_id, doc_len, term, tf[, positions]) for the
+    postings build.  With positions, tf derives from the positions
+    array (len == tf by construction) so only ONE map column is
+    exploded."""
+    if positions:
+        return docs_df.select(
+            "doc_id", "doc_len",
+            F.explode("poss").alias("term", "positions"),
+        ).withColumn("tf", F.size("positions"))
+    return docs_df.select(
+        "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
     )
 
 
@@ -553,7 +600,9 @@ class IndexBuilder:
             # whatever partition count the id-assignment join left
             # behind; the write needs this range layout anyway.
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
-            docs = apply_term_freqs(docs, self.rules)
+            docs = apply_term_freqs(
+                docs, self.rules, with_positions=cfg.store_positions
+            )
             # single write: the docs table keeps the tf maps (used by the
             # postings stage); readers that want only doc metadata get
             # the tfs column pruned away by the parquet scan for free.
@@ -592,6 +641,7 @@ class IndexBuilder:
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
                 "schema_version": SCHEMA_VERSION,
+                "positions": bool(cfg.store_positions),
                 # doc ids are (doc_ts, conv_id)-ordered WITHIN a
                 # segment; appends add segments (Lucene-style).  Time-
                 # windowed search resolves a ts range to one doc-id
@@ -640,9 +690,7 @@ class IndexBuilder:
                 part = part.where(
                     F.col("range_bucket").isin([int(b) for b in chunk])
                 )
-            part = part.select(
-                "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
-            )
+            part = explode_doc_terms(part, bool(meta.get("positions")))
             shards = build_postings_df(part, meta["avgdl"], cfg)
             shards = shards.withColumn(
                 "range_bucket",

@@ -220,6 +220,7 @@ class CatalogIndexBuilder:
             apply_term_freqs,
             docs_bucket_col,
             docs_output,
+            explode_doc_terms,
             partition_state_rows,
         )
         from sotohp_spark.operators.docs import build_documents
@@ -261,7 +262,9 @@ class CatalogIndexBuilder:
             # ---- stage 1: docs + tokenize + stats in ONE pass ----
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
-            docs = apply_term_freqs(docs, self.rules)
+            docs = apply_term_freqs(
+                docs, self.rules, with_positions=cfg.store_positions
+            )
             obs = Observation()
             out = (
                 docs_output(docs)
@@ -289,6 +292,7 @@ class CatalogIndexBuilder:
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
                 "schema_version": SCHEMA_VERSION,
+                "positions": bool(cfg.store_positions),
                 "segments": [[0, int(stats["max_doc"])]],
                 "segment_ts": [[str(stats["ts_lo"]), str(stats["ts_hi"])]],
                 "docs_done": True,
@@ -320,9 +324,7 @@ class CatalogIndexBuilder:
                 part = part.where(
                     F.col("range_bucket").isin([int(b) for b in chunk])
                 )
-            part = part.select(
-                "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
-            )
+            part = explode_doc_terms(part, bool(meta.get("positions")))
             shards = build_postings_df(part, meta["avgdl"], cfg)
             shards = shards.withColumn(
                 "range_bucket",
@@ -424,7 +426,9 @@ class CatalogIndexBuilder:
         docs = assign_doc_ids(
             docs, num_ranges=cfg.shuffle_partitions
         ).withColumn("doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1))
-        docs = apply_term_freqs(docs, self.rules)
+        docs = apply_term_freqs(
+            docs, self.rules, with_positions=bool(meta.get("positions"))
+        )
         docs = docs.localCheckpoint()
         agg = docs.agg(
             F.count("*").alias("n"),
@@ -442,9 +446,9 @@ class CatalogIndexBuilder:
             f"{int(agg['digest'])}|{n_new}|{agg['lo']}|{agg['hi']}".encode()
         ).hexdigest()[:16]
 
-        doc_tf = docs.select(
-            "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
-        )
+        from sotohp_spark.index.build import explode_doc_terms
+
+        doc_tf = explode_doc_terms(docs, bool(meta.get("positions")))
         shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
         bucket_span = cfg.range_size * cfg.ranges_per_batch
         shards = shards.withColumn(
@@ -554,6 +558,7 @@ class CatalogIndexBuilder:
             SCHEMA_VERSION,
             docs_bucket_col,
             docs_output,
+            explode_doc_terms,
             partition_state_rows,
         )
         from sotohp_spark.operators.docs import assign_doc_ids
@@ -609,8 +614,8 @@ class CatalogIndexBuilder:
                             partition_col="range_bucket")
         if _fail_after == "docs":
             raise RuntimeError("test kill-switch: crash after docs replace")
-        doc_tf = store.read_docs().select(
-            "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
+        doc_tf = explode_doc_terms(
+            store.read_docs(), bool(meta.get("positions"))
         )
         avgdl = float(stats["avgdl"])
         shards = build_postings_df(doc_tf, avgdl, cfg)

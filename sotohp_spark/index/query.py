@@ -150,6 +150,13 @@ class QueryEngine:
             # commit — identical ordering, identical mask.)
             .where(F.col("first_doc") <= int(self.meta["max_doc"]))
         )
+        # scoring/candidate paths never touch the positional payload;
+        # dropping the columns here keeps the parquet scan pruned to
+        # the positionless fields on a store_positions index (Lucene's
+        # .doc/.pos file separation, as a projection)
+        self._postings_scoring = self._postings.drop(
+            "pos_offsets", "pos_payload"
+        )
         self._term_stats = store.read_term_stats()
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
@@ -516,7 +523,7 @@ class QueryEngine:
         terms = sorted(weights)
         n_terms = len(terms)
 
-        shards = self._postings.where(F.col("term").isin(terms))
+        shards = self._postings_scoring.where(F.col("term").isin(terms))
         if doc_bounds is not None:
             shards = self._prune_shards_to_bounds(shards, doc_bounds)
 
@@ -631,7 +638,7 @@ class QueryEngine:
         avgdl = self.meta["avgdl"]
         cfg = self.cfg
         conj = conjunctive
-        shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
+        shards = self._postings_scoring.where(F.col("term").isin(sorted(all_terms)))
 
         # ship the (possibly 10^5-entry) query-weight table ONCE per
         # executor as a broadcast variable instead of pickling it into
@@ -796,7 +803,7 @@ class QueryEngine:
             # empties the result (MediaServiceLive.scala:108-112)
             return empty
         n_terms = len(terms)
-        shards = self._postings.where(F.col("term").isin(terms))
+        shards = self._postings_scoring.where(F.col("term").isin(terms))
         if n_terms > 1:
             # ranges lacking any query term can't contribute
             ok = (
@@ -850,7 +857,7 @@ class QueryEngine:
             all_terms.update(terms)
         if not phrase_terms:
             return self.spark.createDataFrame([], schema)
-        shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
+        shards = self._postings_scoring.where(F.col("term").isin(sorted(all_terms)))
 
         # ship the (possibly thousands-of-phrases) term table ONCE per
         # executor as a broadcast variable instead of pickling it into
@@ -870,6 +877,79 @@ class QueryEngine:
             )
             return pd.DataFrame(pairs, columns=["query_id", "doc_id"]).astype(
                 {"query_id": "str", "doc_id": "int64"}
+            )
+
+        return self._apply_per_range(shards, match_rows, schema)
+
+    def _phrase_offsets(self, phrase: str, source=None) -> list:
+        """[(term, relative position)] for a phrase, first KEPT token
+        at offset 0.  Dropped tokens (standalone numbers, stopwords)
+        leave gaps — tokenize_with_positions semantics."""
+        from sotohp_spark.functions.tokenizer import tokenize_with_positions
+
+        toks = tokenize_with_positions(phrase, self._query_rules(source))
+        if not toks:
+            return []
+        base = toks[0][1]
+        return [(t, p - base) for t, p in toks]
+
+    def phrase_match_doc_ids(self, phrase: str, source=None) -> DataFrame:
+        """INDEX-ONLY exact phrase match from positional postings —
+        requires an index built with cfg.store_positions (meta
+        records it); never reads the docs or text tables.
+
+        Semantics are analyzed-stream adjacency (Lucene phrase-query
+        semantics): positions count pre-drop tokens, so a dropped
+        standalone number leaves a gap ("error 2024 retry" does NOT
+        match "error retry"); camelCase splits and mapping expansions
+        occupy successive positions, so "retryTimeout" DOES match the
+        phrase "retry timeout" — a documented superset of raw-text
+        word-boundary regex matches.  phrase_search uses this set as
+        a TIGHTER candidate set in front of its regex verify, which
+        is exact because of that superset property.
+
+        Returns DataFrame(doc_id long), unordered and distinct.  A
+        phrase whose every token is dropped returns EMPTY (callers
+        own the full-scan fallback, as with matching_doc_ids).
+        """
+        from sotohp_spark.operators.postings import positional_phrase_match
+
+        if not self.meta.get("positions"):
+            raise ValueError(
+                "phrase_match_doc_ids needs a positional index — "
+                "build with EngineConfig(store_positions=True), or "
+                "use phrase_search's text-verify mode"
+            )
+        schema = "doc_id long"
+        empty = self.spark.createDataFrame([], schema)
+        offs = self._phrase_offsets(phrase, source)
+        if not offs:
+            return empty
+        terms = sorted({t for t, _ in offs})
+        dfs = self._term_dfs(terms)
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return empty
+        n_terms = len(terms)
+        # FULL postings columns (pos_offsets/pos_payload included) —
+        # the one query path that reads the positional stream
+        shards = self._postings.where(F.col("term").isin(terms))
+        if n_terms > 1:
+            ok = (
+                shards.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") == n_terms)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+
+        def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            if len({r["term"] for r in rows}) < n_terms:
+                return pd.DataFrame({"doc_id": []}).astype(
+                    {"doc_id": "int64"}
+                )
+            return pd.DataFrame(
+                {"doc_id": positional_phrase_match(rows, offs, deletes)}
             )
 
         return self._apply_per_range(shards, match_rows, schema)
@@ -1032,7 +1112,15 @@ class QueryEngine:
             return texts.where(F.lit(False))
         if not tokenize(phrase, self._query_rules(source)):
             return texts.where(F.col(text_col).rlike(pat))
-        cands = self.matching_doc_ids(phrase, source)
+        # positional index -> positional candidates (adjacency already
+        # proven in the index, a strict subset of the conjunctive set
+        # and a SUPERSET of the regex matches, so the verify below
+        # stays exact while regex-testing far fewer rows); otherwise
+        # the positionless conjunction
+        if self.meta.get("positions"):
+            cands = self.phrase_match_doc_ids(phrase, source)
+        else:
+            cands = self.matching_doc_ids(phrase, source)
         return texts.join(
             cands.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).where(F.col(text_col).rlike(pat))

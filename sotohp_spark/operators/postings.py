@@ -57,6 +57,15 @@ POSTINGS_SCHEMA = T.StructType(
         # never deserialize the payload bytes
         T.StructField("payload_bytes", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
+        # OPTIONAL positional payload (cfg.store_positions): per block,
+        # a self-delimiting varbyte stream of [npos, first_pos,
+        # pos_gaps...] per posting, in the block's doc order; NULL on
+        # positionless indexes (the default).  Kept in a SEPARATE
+        # column so positionless queries never deserialize a byte of
+        # it (parquet column pruning) — Lucene separates .doc/.pos
+        # files for the same reason.
+        T.StructField("pos_offsets", T.ArrayType(T.IntegerType()), True),
+        T.StructField("pos_payload", T.BinaryType(), True),
     ]
 )
 
@@ -67,29 +76,42 @@ def encode_shard(
     dls: np.ndarray,
     avgdl: float,
     cfg: EngineConfig = DEFAULT,
+    positions=None,
 ):
     """Encode one (term, range) posting list -> shard fields.
 
     Returns (n_docs, first_doc, last_doc, block_offsets,
     block_first_doc, block_last_doc, block_max_tf, block_min_dl,
-    payload_bytes).  (avgdl/cfg kept for signature stability; the
-    stored bound is avgdl-free — see POSTINGS_SCHEMA.)
+    payload, pos_offsets, pos_payload).  (avgdl/cfg kept for signature
+    stability; the stored bound is avgdl-free — see POSTINGS_SCHEMA.)
+
+    ``positions``: optional sequence of per-posting position arrays
+    (aligned with ``doc_ids`` BEFORE sorting).  When given, a second
+    block-aligned varbyte stream is produced: per posting
+    [npos, first_pos, pos_gaps...] — self-delimiting, so decode needs
+    no per-doc length table.  When None, (None, None) is returned for
+    the positional fields.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
+    if positions is not None:
+        positions = [positions[i] for i in order.tolist()]
     n = doc_ids.size
     bs = cfg.block_size
     nblocks = (n + bs - 1) // bs
 
     chunks = []
     offsets = [0]
+    pos_chunks = []
+    pos_offsets = [0]
     bfirst = np.empty(nblocks, dtype=np.int64)
     blast = np.empty(nblocks, dtype=np.int64)
     bmax_tf = np.empty(nblocks, dtype=np.int64)
     bmin_dl = np.empty(nblocks, dtype=np.int64)
     pos = 0
+    ppos = 0
     for bi in range(nblocks):
         lo, hi = bi * bs, min((bi + 1) * bs, n)
         d = doc_ids[lo:hi]
@@ -108,6 +130,20 @@ def encode_shard(
         blast[bi] = d[-1]
         bmax_tf[bi] = tfs[lo:hi].max()
         bmin_dl[bi] = dls[lo:hi].min()
+        if positions is not None:
+            parts = []
+            for pi in range(lo, hi):
+                pl = np.asarray(positions[pi], dtype=np.int64)
+                rec = np.empty(pl.size + 1, dtype=np.uint64)
+                rec[0] = pl.size
+                if pl.size:
+                    rec[1] = pl[0]
+                    rec[2:] = (pl[1:] - pl[:-1]).astype(np.uint64)
+                parts.append(varbyte_encode(rec))
+            pseg = b"".join(parts)
+            pos_chunks.append(pseg)
+            ppos += len(pseg)
+            pos_offsets.append(ppos)
 
     return (
         int(n),
@@ -119,6 +155,8 @@ def encode_shard(
         bmax_tf,
         bmin_dl,
         b"".join(chunks),
+        pos_offsets if positions is not None else None,
+        b"".join(pos_chunks) if positions is not None else None,
     )
 
 
@@ -188,6 +226,11 @@ def build_postings_df(
         docs = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         dls = pdf["doc_len"].to_numpy()
+        poss = (
+            pdf["positions"].to_numpy()
+            if "positions" in pdf.columns
+            else None
+        )
         # group boundaries: term change OR range change
         change = np.empty(terms.size, dtype=bool)
         change[0] = True
@@ -199,7 +242,10 @@ def build_postings_df(
         rows = []
         for lo, hi in zip(starts.tolist(), ends.tolist()):
             (n, first, last, offsets, bfirst, blast, bmax_tf, bmin_dl,
-             payload) = encode_shard(docs[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, cfg)
+             payload, p_off, p_pay) = encode_shard(
+                docs[lo:hi], tfs[lo:hi], dls[lo:hi], avgdl, cfg,
+                positions=(poss[lo:hi] if poss is not None else None),
+            )
             rows.append(
                 (
                     terms[lo],
@@ -214,6 +260,8 @@ def build_postings_df(
                     bmin_dl.tolist(),
                     len(payload),
                     payload,
+                    p_off,
+                    p_pay,
                 )
             )
         yield pd.DataFrame(
@@ -228,6 +276,131 @@ def build_postings_df(
         with_range.repartition(cfg.shuffle_partitions, "term", "range_id")
         .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     )
+
+
+def decode_shard_positions(pos_payload: bytes, pos_offsets, block_ids=None):
+    """Decode selected blocks of a positional payload.
+
+    Returns a list of int64 position arrays, one per posting, in the
+    SAME order as decode_shard_blocks yields doc ids for the same
+    ``block_ids`` — zip them.  Records are self-delimiting
+    ([npos, first, gaps...]), so no per-doc length table is needed.
+    """
+    from sotohp_spark.operators.varbyte import varbyte_decode
+
+    buf = np.frombuffer(pos_payload, dtype=np.uint8)
+    if block_ids is None:
+        block_ids = range(len(pos_offsets) - 1)
+    out = []
+    for bi in block_ids:
+        seg = buf[pos_offsets[bi]: pos_offsets[bi + 1]]
+        vals = varbyte_decode(seg.tobytes()).astype(np.int64)
+        i = 0
+        while i < vals.size:
+            npos = int(vals[i])
+            rec = vals[i + 1: i + 1 + npos]
+            p = np.empty(npos, dtype=np.int64)
+            if npos:
+                p[0] = rec[0]
+                if npos > 1:
+                    p[1:] = rec[0] + np.cumsum(rec[1:])
+            out.append(p)
+            i += 1 + npos
+    return out
+
+
+# positional match keys pack (doc_id, anchor) into one int64:
+# anchor = token position of the phrase start, < 2^24 (a 16M-token
+# conversation; longer docs would need a wider key), leaving 39 bits
+# for doc_id — ~5*10^11 documents, comfortably past the 10^12-TURN
+# target (docs are whole conversations, ~20 turns each).
+_POS_SHIFT = 24
+
+
+def positional_phrase_match(rows, phrase_offsets, deletes=None, stats=None):
+    """Exact phrase match from POSITIONS — no text access.
+
+    ``rows``: shard dicts of ONE doc-id range, carrying pos_offsets /
+    pos_payload (built with cfg.store_positions).
+    ``phrase_offsets``: [(term, rel_offset)] from
+    tokenize_with_positions(phrase) with the first kept token at
+    offset 0 (a dropped phrase token leaves a GAP in the offsets, so
+    "error 2024 retry" demands pos(retry) == pos(error) + 2).
+
+    Two phases, both block-skipping:
+      1. candidate docs via the positionless rarest-first conjunction
+         (conjunctive_match — reuses its block-max skipping and its
+         stats instrumentation);
+      2. for each distinct term, decode positions ONLY for blocks
+         overlapping a surviving candidate, then intersect
+         (doc, pos - offset) anchor keys across the phrase terms,
+         rarest pair first.
+
+    Returns a sorted int64 doc-id array.
+    """
+    if not rows or not phrase_offsets:
+        return np.zeros(0, dtype=np.int64)
+    cand = conjunctive_match(rows, deletes, stats)
+    if cand.size == 0:
+        return cand
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+
+    # (doc, anchor) key arrays per (term, offset) pair
+    key_sets = []
+    term_keys: dict = {}
+    for term, off in phrase_offsets:
+        if term not in term_keys:
+            doc_parts, pos_parts = [], []
+            for row in by_term.get(term, ()):
+                if row.get("pos_payload") is None:
+                    raise ValueError(
+                        f"shard for term {term!r} has no positional "
+                        f"payload — index built without store_positions"
+                    )
+                bf = np.asarray(row["block_first_doc"], dtype=np.int64)
+                bl = np.asarray(row["block_last_doc"], dtype=np.int64)
+                lo = np.searchsorted(cand, bf, side="left")
+                hi = np.searchsorted(cand, bl, side="right")
+                keep = np.nonzero(hi > lo)[0].tolist()
+                if not keep:
+                    continue
+                dd, _, _ = decode_shard_blocks(
+                    row["payload"], row["block_offsets"], keep
+                )
+                pl = decode_shard_positions(
+                    row["pos_payload"], row["pos_offsets"], keep
+                )
+                sel = np.isin(dd, cand, assume_unique=True)
+                for di in np.nonzero(sel)[0].tolist():
+                    p = pl[di]
+                    if p.size:
+                        doc_parts.append(
+                            np.full(p.size, dd[di], dtype=np.int64)
+                        )
+                        pos_parts.append(p)
+            if doc_parts:
+                docs_all = np.concatenate(doc_parts)
+                pos_all = np.concatenate(pos_parts)
+            else:
+                docs_all = np.zeros(0, dtype=np.int64)
+                pos_all = np.zeros(0, dtype=np.int64)
+            term_keys[term] = (docs_all, pos_all)
+        docs_all, pos_all = term_keys[term]
+        anchor = pos_all - off
+        ok = (anchor >= 0) & (anchor < (1 << _POS_SHIFT))
+        key_sets.append(
+            np.unique((docs_all[ok] << _POS_SHIFT) | anchor[ok])
+        )
+
+    key_sets.sort(key=len)
+    keys = key_sets[0]
+    for ks in key_sets[1:]:
+        if keys.size == 0:
+            break
+        keys = np.intersect1d(keys, ks, assume_unique=True)
+    return np.unique(keys >> _POS_SHIFT)
 
 
 def conjunctive_match(rows, deletes=None, stats=None):

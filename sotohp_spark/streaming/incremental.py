@@ -361,7 +361,12 @@ def append_conversations(
     docs = assign_doc_ids(docs, num_ranges=cfg.shuffle_partitions).withColumn(
         "doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1)
     )
-    docs = apply_term_freqs(docs, rules)
+    # appends MUST match the index's positional mode (meta, not cfg):
+    # a positionless batch appended into a positional index would make
+    # phrase_match silently miss its docs
+    docs = apply_term_freqs(
+        docs, rules, with_positions=bool(meta.get("positions"))
+    )
     docs = docs.localCheckpoint()
     # one distributed aggregate: batch size, an order-independent
     # content digest for the batch id (no O(batch) driver collect —
@@ -386,7 +391,9 @@ def append_conversations(
     ).hexdigest()[:16]
 
     # ---- phase 1: postings -> staging, then move under the marker ----
-    doc_tf = docs.select("doc_id", "doc_len", F.explode("tfs").alias("term", "tf"))
+    from sotohp_spark.index.build import explode_doc_terms
+
+    doc_tf = explode_doc_terms(docs, bool(meta.get("positions")))
     shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
     bucket_span = cfg.range_size * cfg.ranges_per_batch
     shards = shards.withColumn(
@@ -880,9 +887,9 @@ def compact_buckets(
     )
     write_docs(surv, f"{staging}/docs", cfg)
     surv_staged = spark.read.parquet(f"{staging}/docs")
-    doc_tf = surv_staged.select(
-        "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
-    )
+    from sotohp_spark.index.build import explode_doc_terms
+
+    doc_tf = explode_doc_terms(surv_staged, bool(meta.get("positions")))
     # avgdl passed UNCHANGED: stored block-max metadata is avgdl-free
     # and scores must keep the pre-compaction collection stats
     shards = build_postings_df(doc_tf, meta["avgdl"], cfg)

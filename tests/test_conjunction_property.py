@@ -23,9 +23,8 @@ def _row(term, docs):
     d = np.array(sorted(docs), dtype=np.int64)
     tfs = (d % 5 + 1).astype(np.int64)
     dls = np.full(len(d), 40, dtype=np.int64)
-    (n, first, last, offsets, bfirst, blast, bmax_tf, bmin_dl, payload) = (
-        encode_shard(d, tfs, dls, avgdl=40.0, cfg=CFG)
-    )
+    (n, first, last, offsets, bfirst, blast, bmax_tf, bmin_dl, payload,
+     _po, _pp) = encode_shard(d, tfs, dls, avgdl=40.0, cfg=CFG)
     return {
         "term": term,
         "n_docs": n,

@@ -444,3 +444,46 @@ def test_phrase_search_batch_unprunable_and_empty_schema(spark, phrase_index):
     empty = engine.phrase_search_batch([], texts2)
     assert empty.count() == 0
     assert empty.columns == got.columns
+
+
+def test_lang_id_trained_classifies_fixture_languages(spark):
+    """The trained trigram NB must classify held-out sentences in its
+    three fixture languages and be deterministic; the DuckDB oracle
+    generated from the same literals must agree row-for-row."""
+    import duckdb
+
+    from sotohp_spark.functions.text import (
+        lang_id_trained,
+        lang_id_trained_oracle_sql,
+        train_char_trigram_nb,
+    )
+
+    rows = [
+        (0, "the weather today is very nice and the sky is blue"),
+        (1, "je pense que le jardin est tres beau ce matin"),
+        (2, "die kinder gehen heute morgen in den park"),
+        (3, ""),
+        (4, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"text": object}
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", lang_id_trained(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got[0] == "en" and got[1] == "fr" and got[2] == "de"
+    # model training is deterministic
+    m1, m2 = train_char_trigram_nb(), train_char_trigram_nb()
+    assert m1 == m2
+    # oracle agreement on the same rows
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        int(r[0]): r[1]
+        for r in con.execute(lang_id_trained_oracle_sql()).fetchall()
+    }
+    assert {k: got[k] for k in want} == want

@@ -1,0 +1,258 @@
+"""Positional postings (cfg.store_positions): tokenizer position
+semantics, payload round trip, index-only phrase match vs brute
+adjacency, mode equivalence of phrase_search, lifecycle preservation,
+and the no-text-access plan guarantee."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.functions.tokenizer import (
+    KeywordRules,
+    term_positions,
+    tokenize,
+    tokenize_with_positions,
+)
+from sotohp_spark.index import IndexBuilder, QueryEngine
+from sotohp_spark.operators.postings import (
+    decode_shard_blocks,
+    decode_shard_positions,
+    encode_shard,
+    positional_phrase_match,
+)
+
+CFG = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                   shuffle_partitions=4, store_positions=True)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer positions
+# ---------------------------------------------------------------------------
+def test_positions_gap_for_dropped_tokens():
+    """Dropped tokens (standalone numbers, stopwords) HOLD their
+    position — the property that keeps positional phrase match in
+    agreement with the raw-text regex for plain-word phrases."""
+    assert tokenize_with_positions("error 2024 retry") == [
+        ("error", 0), ("retry", 2)
+    ]
+    rules = KeywordRules(ignoring=frozenset({"the"}))
+    assert tokenize_with_positions("fix the bug", rules) == [
+        ("fix", 0), ("bug", 2)
+    ]
+    # camelCase splits occupy SUCCESSIVE positions (analyzed-stream
+    # semantics, the documented Lucene-style divergence)
+    assert tokenize_with_positions("retryTimeout now") == [
+        ("retry", 0), ("timeout", 1), ("now", 2)
+    ]
+    assert term_positions("a b a") == {"a": [0, 2], "b": [1]}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" abcdefgXYZ-/,'0123456789\t", max_size=60))
+def test_positions_token_sequence_equals_tokenize(s):
+    """The token sequence of tokenize_with_positions IS tokenize():
+    positions change WHAT is counted, never what is emitted."""
+    tp = tokenize_with_positions(s)
+    assert [t for t, _ in tp] == tokenize(s)
+    # positions strictly increase
+    ps = [p for _, p in tp]
+    assert all(b > a for a, b in zip(ps, ps[1:]))
+
+
+# ---------------------------------------------------------------------------
+# payload round trip
+# ---------------------------------------------------------------------------
+def test_positional_payload_round_trip():
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 23
+    docs = np.sort(rng.choice(np.arange(1000), size=n, replace=False))
+    tfs = rng.integers(1, 6, size=n)
+    dls = rng.integers(10, 90, size=n)
+    positions = [
+        np.sort(rng.choice(np.arange(500), size=int(t), replace=False))
+        for t in tfs
+    ]
+    (nn, first, last, offs, bf, bl, _mt, _md, payload, p_off, p_pay) = (
+        encode_shard(docs, tfs, dls, avgdl=40.0, cfg=CFG,
+                     positions=positions)
+    )
+    assert nn == n and p_pay is not None
+    # full decode
+    dd, tt, _ = decode_shard_blocks(payload, offs)
+    pl = decode_shard_positions(p_pay, p_off)
+    assert np.array_equal(dd, docs) and len(pl) == n
+    for got, want in zip(pl, positions):
+        assert np.array_equal(got, want)
+    # block-selective decode stays aligned with the doc stream
+    sel = [1, 3]
+    dd2, _, _ = decode_shard_blocks(payload, offs, sel)
+    pl2 = decode_shard_positions(p_pay, p_off, sel)
+    assert len(pl2) == dd2.size
+    by_doc = {int(d): p for d, p in zip(docs, positions)}
+    for d, p in zip(dd2, pl2):
+        assert np.array_equal(p, by_doc[int(d)])
+    # positionless call returns None fields
+    out = encode_shard(docs, tfs, dls, avgdl=40.0, cfg=CFG)
+    assert out[9] is None and out[10] is None
+
+
+# ---------------------------------------------------------------------------
+# positional match vs brute adjacency
+# ---------------------------------------------------------------------------
+def _brute_phrase_docs(texts, phrase):
+    """Analyzed-stream adjacency by brute force over token positions."""
+    offs = tokenize_with_positions(phrase)
+    base = offs[0][1]
+    offs = [(t, p - base) for t, p in offs]
+    out = []
+    for doc_id, text in texts:
+        tp = term_positions(text)
+        anchors = None
+        for t, off in offs:
+            a = {p - off for p in tp.get(t, ()) if p - off >= 0}
+            anchors = a if anchors is None else (anchors & a)
+        if anchors:
+            out.append(doc_id)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    texts = [
+        (0, "error retry timeout loop"),
+        (1, "retry error timeout"),            # words present, wrong order
+        (2, "error 2024 retry"),               # number gap -> NOT adjacent
+        (3, "deep error retry chain error retry"),  # repeated match
+        (4, "nothing relevant here"),
+        (5, "errorRetry camel form"),          # camel split -> adjacent
+        (6, "do it do again do it"),           # repeated-term phrase
+        (7, "error, retry via separator"),     # ',' is a separator
+    ]
+    pdf = pd.DataFrame(
+        [(f"c{i}", 0, pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=i),
+          "user", t, None) for i, t in texts],
+        columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+    )
+    path = str(tmp_path_factory.mktemp("posidx"))
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="pos"
+    )
+    # conv_id cN -> doc ids assigned by ts order == N here
+    return path, texts
+
+
+def test_phrase_match_equals_brute_adjacency(spark, pos_index):
+    path, texts = pos_index
+    engine = QueryEngine(spark, path)
+    for phrase in ["error retry", "do it do", "error retry timeout",
+                   "retry timeout", "zzz absent"]:
+        got = sorted(
+            r["doc_id"] for r in engine.phrase_match_doc_ids(phrase).collect()
+        )
+        assert got == _brute_phrase_docs(texts, phrase), phrase
+
+
+def test_phrase_match_gap_and_camel_semantics(spark, pos_index):
+    path, _ = pos_index
+    engine = QueryEngine(spark, path)
+    got = sorted(
+        r["doc_id"]
+        for r in engine.phrase_match_doc_ids("error retry").collect()
+    )
+    assert 2 not in got      # number gap blocks adjacency
+    assert 1 not in got      # wrong order
+    assert 5 in got          # camel split IS adjacent (analyzed semantics)
+    assert 7 in got          # ',' separator collapses (analyzed semantics)
+    assert {0, 3} <= set(got)
+
+
+def test_phrase_search_modes_equal_and_superset_chain(spark, pos_index,
+                                                     tmp_path):
+    """phrase_search over the positional index == over a positionless
+    twin (regex verify makes both exact), with the candidate chain
+    regex-matches <= positional <= conjunctive."""
+    path, texts = pos_index
+    cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                         shuffle_partitions=4)
+    pdf = pd.DataFrame(texts, columns=["doc_id", "text"])
+    tdf = spark.createDataFrame(pdf)
+    ep = QueryEngine(spark, path)
+    turns = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"c{i}", 0, pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=i),
+              "user", t, None) for i, t in texts],
+            columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+        )
+    )
+    npath = str(tmp_path / "noposidx")
+    IndexBuilder(spark, npath, cfg_n).build(turns, input_fingerprint="pos")
+    en = QueryEngine(spark, npath)
+    for phrase in ["error retry", "retry timeout"]:
+        rp = sorted(r["doc_id"] for r in ep.phrase_search(phrase, tdf).collect())
+        rn = sorted(r["doc_id"] for r in en.phrase_search(phrase, tdf).collect())
+        assert rp == rn, phrase
+        pos_c = {r["doc_id"] for r in ep.phrase_match_doc_ids(phrase).collect()}
+        conj_c = {r["doc_id"] for r in ep.matching_doc_ids(phrase).collect()}
+        assert set(rp) <= pos_c <= conj_c, phrase
+
+
+def test_positional_path_reads_no_text_or_docs(spark, pos_index):
+    """The index-only phrase match must scan ONLY the postings tree:
+    no docs-table scan, no text scan, in the executed plan."""
+    from sotohp_spark.plans.checks import formatted_plan
+
+    path, _ = pos_index
+    engine = QueryEngine(spark, path)
+    df = engine.phrase_match_doc_ids("error retry")
+    plan = formatted_plan(df)
+    import re
+
+    locs = re.findall(r"Location: \S+ \[([^\]]*)", plan)
+    assert locs, plan
+    for loc in locs:
+        assert "/postings" in loc, f"non-postings scan in plan: {loc}"
+    assert "/docs" not in plan
+
+
+def test_positionless_index_refuses_positional_match(spark, tmp_path):
+    cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                         shuffle_partitions=4)
+    turns = spark.createDataFrame(
+        pd.DataFrame(
+            [("c0", 0, pd.Timestamp("2025-01-01"), "user", "hello world",
+              None)],
+            columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+        )
+    )
+    path = str(tmp_path / "np")
+    IndexBuilder(spark, path, cfg_n).build(turns, input_fingerprint="x")
+    with pytest.raises(ValueError, match="store_positions"):
+        QueryEngine(spark, path).phrase_match_doc_ids("hello world")
+
+
+def test_append_preserves_positions(spark, pos_index):
+    """A batch appended into a positional index must itself be
+    positional (meta-driven, not caller-cfg-driven) — otherwise
+    phrase match silently misses appended docs."""
+    from sotohp_spark.streaming.incremental import append_conversations
+
+    path, _ = pos_index
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            [("cnew", 0, pd.Timestamp("2025-02-01"), "user",
+              "fresh error retry appended", None)],
+            columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+        )
+    )
+    # caller passes a POSITIONLESS cfg on purpose: meta must win
+    cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                         shuffle_partitions=4)
+    append_conversations(spark, path, new, cfg_n)
+    engine = QueryEngine(spark, path)
+    ids = {r["doc_id"] for r in engine.phrase_match_doc_ids("error retry").collect()}
+    new_id = engine._docs.where(F.col("conv_id") == "cnew").collect()[0]["doc_id"]
+    assert new_id in ids

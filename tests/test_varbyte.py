@@ -66,7 +66,7 @@ def test_shard_roundtrip(rows):
     tf = np.array([r[1] for r in uniq], dtype=np.int64)
     dl = np.array([r[2] for r in uniq], dtype=np.int64)
     cfg = EngineConfig(block_size=64)
-    (n, first, last, offs, bf, bl, bmax_tf, bmin_dl, payload) = encode_shard(
+    (n, first, last, offs, bf, bl, bmax_tf, bmin_dl, payload, _po, _pp) = encode_shard(
         d, tf, dl, 100.0, cfg
     )
 

@@ -26,7 +26,7 @@ def make_shards(rng, n_terms=4, n_docs=400, avgdl=50.0):
         dls = rng.integers(10, 200, size=df).astype(np.int64)
         w = float(rng.uniform(0.2, 3.0))
         weights[term] = w
-        (n, first, last, offs, bf, bl, bmax, bmin, payload) = encode_shard(
+        (n, first, last, offs, bf, bl, bmax, bmin, payload, _po, _pp) = encode_shard(
             docs, tfs, dls, avgdl, CFG
         )
         shards.append(
@@ -88,7 +88,7 @@ def test_wand_ties_broken_by_doc_id():
     docs = np.arange(0, 64, dtype=np.int64)
     tfs = np.full(64, 3, dtype=np.int64)
     dls = np.full(64, 40, dtype=np.int64)
-    (n, first, last, offs, bf, bl, bmax, bmin, payload) = encode_shard(
+    (n, first, last, offs, bf, bl, bmax, bmin, payload, _po, _pp) = encode_shard(
         docs, tfs, dls, 40.0, CFG
     )
     shard = {
