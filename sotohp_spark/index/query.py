@@ -311,6 +311,11 @@ class QueryEngine:
         pin the hot term-hash buckets, not everything — same call on a
         filtered view."""
         self._postings = self._postings.cache()
+        # re-derive the positionless projection so scoring reads the
+        # CACHED frame (a stale reference would re-scan parquet)
+        self._postings_scoring = self._postings.drop(
+            "pos_offsets", "pos_payload"
+        )
         return self._postings.count()
 
     def preload_term_stats(self) -> int:

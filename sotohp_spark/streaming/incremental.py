@@ -985,8 +985,13 @@ def stream_ingest_available_now(
     stream = reader.parquet(turns_source_dir)
 
     def process(batch_df: DataFrame, epoch_id: int):
+        from sotohp_spark.sources.catalog import resolve_store
+
         n_convs = batch_df.select("conv_id").distinct().count()
-        before = IndexBuilder(spark, index_path, cfg)._read_meta()
+        # store-resolved meta read: on the catalog leg the parquet
+        # meta.json does not exist (append_conversations itself routes
+        # either way)
+        before = resolve_store(spark, index_path, cfg).read_meta()
         meta = append_conversations(spark, index_path, batch_df, cfg, rules)
         appended = meta["n_docs"] - (before["n_docs"] if before else 0)
         if appended < n_convs:
