@@ -541,6 +541,106 @@ class CatalogIndexBuilder:
         return self.append_conversations(new_turns)
 
     # ------------------------------------------------------------------
+    def compact_buckets(self) -> dict:
+        """BUCKET-LOCAL compaction on the catalog leg: rewrite ONLY the
+        range buckets containing tombstoned docs.  Same contract as
+        the parquet compact_buckets — doc ids stay sparse, meta and
+        term_stats untouched, every query's ranks AND scores identical
+        before and after; at a 0.1% delete ratio this touches ~0.1% of
+        the index.
+
+        Catalog protocol — NO pending row needed, because every
+        intermediate state is query-correct:
+          1. overwritePartitions(docs, survivors of affected buckets)
+             (+ explicit DELETE of buckets left empty — overwrite only
+             touches partitions present in the new data);
+          2. overwritePartitions(postings, rebuilt shards) (+ empty-
+             bucket DELETEs);
+          3. clear the tombstone table (the commit point).
+        A crash anywhere before 3 leaves tombstones in place, and the
+        anti-filter still masks any stale postings of doomed docs; a
+        retry reconverges (survivor recompute is idempotent).  Bucket
+        geometry comes from META, never the caller's cfg."""
+        from sotohp_spark.index.build import (
+            docs_bucket_col,
+            docs_output,
+            explode_doc_terms,
+        )
+        from sotohp_spark.operators.postings import build_postings_df
+
+        store = self.store
+        recover_pending_catalog(self.spark, store)
+        meta = store.read_meta()
+        if meta is None:
+            raise ValueError(f"no catalog index at prefix {store.prefix}")
+        if not store.has_deletes():
+            return meta
+        cfg = EngineConfig(
+            k1=meta["k1"],
+            b=meta["b"],
+            range_size=meta["range_size"],
+            block_size=meta["block_size"],
+            ranges_per_batch=meta.get("ranges_per_batch", 8),
+            shuffle_partitions=self.cfg.shuffle_partitions,
+            store_positions=bool(meta.get("positions")),
+        )
+        span = cfg.range_size * cfg.ranges_per_batch
+        doomed = store.read_deletes().select("doc_id").distinct().localCheckpoint()
+        affected = sorted(
+            int(r["b"])
+            for r in doomed.select(
+                (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
+            ).distinct().collect()
+        )
+        if not affected:
+            store.clear_deletes()
+            return meta
+
+        surv = (
+            store.read_docs()
+            .where(F.col("range_bucket").isin(affected))
+            .join(doomed, "doc_id", "left_anti")
+            .localCheckpoint()  # one compute: docs overwrite + postings build
+        )
+        out = docs_output(surv).withColumn(
+            "range_bucket", docs_bucket_col(cfg)
+        )
+        kept_buckets = {
+            int(r["range_bucket"])
+            for r in out.select("range_bucket").distinct().collect()
+        }
+        # 1. docs: overwrite surviving buckets, DELETE emptied ones
+        if kept_buckets:
+            store.overwrite_partitions_table(
+                store.docs_table, out, partition_col="range_bucket"
+            )
+        for b in sorted(set(affected) - kept_buckets):
+            store.delete_where(store.docs_table, f"range_bucket = {b}")
+
+        # 2. postings rebuilt from the survivors' stored tf maps;
+        # avgdl passed UNCHANGED (stored block-max metadata is
+        # avgdl-free and scores must keep pre-compaction stats)
+        doc_tf = explode_doc_terms(surv, bool(meta.get("positions")))
+        shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
+        shards = shards.withColumn(
+            "range_bucket",
+            (F.col("range_id").cast("long") * cfg.range_size / span)
+            .cast("int"),
+        ).localCheckpoint()
+        shard_buckets = {
+            int(r["range_bucket"])
+            for r in shards.select("range_bucket").distinct().collect()
+        }
+        if shard_buckets:
+            store.overwrite_postings_partitions(shards)
+        for b in sorted(set(affected) - shard_buckets):
+            store.delete_where(store.postings_table, f"range_bucket = {b}")
+
+        # 3. commit point
+        store.clear_deletes()
+        return meta
+
+    # ------------------------------------------------------------------
     def compact(self, _fail_after: str | None = None) -> dict:
         """Compaction: physically drop tombstoned docs, re-densify doc
         ids, refresh global stats — fresh-build equivalent, like

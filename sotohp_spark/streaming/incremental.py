@@ -832,7 +832,15 @@ def compact_buckets(
         require_atomic_rename,
         write_docs,
     )
+    from sotohp_spark.sources.catalog import resolve_store
 
+    _store = resolve_store(spark, index_path, cfg)
+    if _store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(
+            spark, _store, cfg, rules
+        ).compact_buckets()
     require_atomic_rename(index_path, "compact_buckets swap")
     recover_pending_compact(spark, index_path)
     builder = IndexBuilder(spark, index_path, cfg, rules)

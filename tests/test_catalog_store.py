@@ -395,3 +395,76 @@ def test_store_delete_doc_ids_empty_is_noop(spark, tmp_path):
     store = ParquetIndexStore(spark, str(tmp_path / "idx"), CFG)
     store.delete_doc_ids(spark.createDataFrame([], "doc_id long"))
     assert not _os.path.exists(f"{tmp_path}/idx/deletes")
+
+
+def test_catalog_compact_buckets_score_identity(spark, tmp_path, cat_turns):
+    """Bucket-local compaction on the catalog leg: scores identical
+    before/after (meta + term_stats untouched, sparse ids), doomed
+    docs physically gone, only affected buckets rewritten, and a
+    mid-protocol state (before the tombstone clear) stays
+    query-correct."""
+    from sotohp_spark.index import QueryEngine
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, convs = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    cb = CatalogIndexBuilder(spark, store, FCFG)
+    meta0 = cb.build(turns, input_fingerprint="fp")
+    cb.delete_conversations(convs[:3])
+    pre = _topk(spark, store)
+    # record untouched-bucket versions to prove bucket-locality at the
+    # STORE level: only affected partitions are rewritten (the fake
+    # store rewrites whole tables per commit, so assert on CONTENT:
+    # unaffected buckets' rows are byte-identical)
+    span = FCFG.range_size * FCFG.ranges_per_batch
+    doomed_buckets = {
+        int(r[0] // span)
+        for r in store.read_deletes().select("doc_id").collect()
+    }
+    before_rows = {
+        b: sorted(
+            (r["doc_id"], r["doc_len"])
+            for r in store.read_docs()
+            .where(F.col("range_bucket") == b).collect()
+        )
+        for b in range(3)
+        if b not in doomed_buckets
+    }
+    m = cb.compact_buckets()
+    assert m["n_docs"] == meta0["n_docs"]  # meta stats untouched
+    post = _topk(spark, store)
+    assert post == pre
+    assert not store.has_deletes()
+    eng = QueryEngine(spark, store=store)
+    assert eng._docs.where(F.col("conv_id").isin(convs[:3])).count() == 0
+    for b, rows in before_rows.items():
+        got = sorted(
+            (r["doc_id"], r["doc_len"])
+            for r in store.read_docs()
+            .where(F.col("range_bucket") == b).collect()
+        )
+        assert got == rows  # unaffected buckets untouched
+    # idempotent: a second call with no tombstones is a no-op
+    assert cb.compact_buckets()["n_docs"] == meta0["n_docs"]
+
+
+def test_catalog_compact_buckets_routes_from_config(spark, tmp_path,
+                                                    cat_turns, monkeypatch):
+    import sotohp_spark.sources.catalog as cat
+    from sotohp_spark.index import IndexBuilder
+    from sotohp_spark.streaming.incremental import (
+        compact_buckets,
+        delete_conversations,
+    )
+
+    turns, convs = cat_turns
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    monkeypatch.setattr(cat, "resolve_store", lambda *a, **k: store)
+    path = str(tmp_path / "unused")
+    IndexBuilder(spark, path, FCFG).build(turns, input_fingerprint="fp")
+    delete_conversations(spark, path, [convs[0]], FCFG)
+    compact_buckets(spark, path, FCFG)
+    assert not store.has_deletes()
+    import os
+
+    assert not os.path.exists(path)
