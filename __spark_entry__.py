@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # proves the index pruning never dropped a true phrase match)
     q["transcripts_phrase_search"] = _transcripts_phrase_search
     q["transcripts_phrase_positional"] = _transcripts_phrase_positional
+    q["transcripts_phrase_batch_positional"] = (
+        _transcripts_phrase_batch_positional
+    )
     # batch variant: many phrases, ONE candidate job (terms decoded
     # once per range, shared across phrases), one verify join
     q["transcripts_phrase_batch"] = _transcripts_phrase_batch
@@ -600,6 +603,25 @@ def _transcripts_phrase_positional(spark, sf_dir):
     engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
     texts = spark.read.parquet(_transcript_text(spark, sf_dir))
     return engine.phrase_search(_PHRASE, texts).select("doc_id", "conv_id")
+
+
+def _transcripts_phrase_batch_positional(spark, sf_dir):
+    """Batch phrase screen over the positional index: per range each
+    term's postings AND positions decode once, shared across phrases
+    (phrase_match_doc_ids_batch); adjacency-proven candidates, regex
+    verify unchanged -> same rows as the positionless batch and the
+    same per-phrase brute-scan oracle."""
+    from sotohp_spark.index import QueryEngine
+
+    _transcripts_phrase_positional(spark, sf_dir)  # ensure cached index
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.phrase_search_batch(_PHRASE_BATCH, texts).select(
+        "query_id", "doc_id", "conv_id"
+    )
 
 
 _PHRASE_BATCH = [
@@ -1464,6 +1486,10 @@ FROM read_parquet('{_ORACLE_DOC_TEXT}')
 WHERE regexp_matches(text, '(^|\s){ph}(\s|$)')"""
         for qid, ph in _PHRASE_BATCH
     )
+    # the positional-index batch returns the SAME rows (adjacency-
+    # proven candidates are a superset of regex matches; identical
+    # verify) -> same oracle
+    o["transcripts_phrase_batch_positional"] = o["transcripts_phrase_batch"]
 
     # Gopher-style repetition metrics (token-fraction adaptation)
     o["repetition_filter"] = r"""

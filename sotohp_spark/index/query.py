@@ -959,6 +959,55 @@ class QueryEngine:
 
         return self._apply_per_range(shards, match_rows, schema)
 
+    def phrase_match_doc_ids_batch(self, phrases, source=None) -> DataFrame:
+        """Positional phrase matches for MANY phrases in ONE
+        distributed job — the positional analog of
+        matching_doc_ids_batch (requires a store_positions index).
+        Per range each term's postings AND positions decode once,
+        shared across every phrase referencing the term.  Returns
+        DataFrame(query_id string, doc_id long)."""
+        from sotohp_spark.operators.postings import (
+            positional_phrase_match_batch,
+        )
+
+        if not self.meta.get("positions"):
+            raise ValueError(
+                "phrase_match_doc_ids_batch needs a positional index — "
+                "build with EngineConfig(store_positions=True)"
+            )
+        schema = "query_id string, doc_id long"
+        offsets_map: dict = {}
+        all_terms: set = set()
+        for qid, text in phrases:
+            offs = self._phrase_offsets(text, source)
+            if not offs:
+                continue
+            terms = sorted({t for t, _ in offs})
+            dfs = self._term_dfs(terms)
+            if any(dfs.get(t, 0) == 0 for t in terms):
+                continue
+            offsets_map[str(qid)] = offs
+            all_terms.update(terms)
+        if not offsets_map:
+            return self.spark.createDataFrame([], schema)
+        shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
+
+        prev = getattr(self, "_phrase_pos_bc", None)
+        if prev is not None:
+            prev.unpersist()
+        bc_offs = self.spark.sparkContext.broadcast(offsets_map)
+        self._phrase_pos_bc = bc_offs
+
+        def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            pairs = positional_phrase_match_batch(
+                pdf.to_dict("records"), bc_offs.value, deletes
+            )
+            return pd.DataFrame(pairs, columns=["query_id", "doc_id"]).astype(
+                {"query_id": "str", "doc_id": "int64"}
+            )
+
+        return self._apply_per_range(shards, match_rows, schema)
+
     def phrase_search_batch(
         self,
         phrases,
@@ -1050,7 +1099,13 @@ class QueryEngine:
 
         branches = []
         if indexed:
-            cands = self.matching_doc_ids_batch(indexed, source)
+            # positional index -> adjacency-proven candidates (strict
+            # subset of the conjunctive set, superset of the regex
+            # matches — the verify below stays exact either way)
+            if self.meta.get("positions"):
+                cands = self.phrase_match_doc_ids_batch(indexed, source)
+            else:
+                cands = self.matching_doc_ids_batch(indexed, source)
             joined = cands.join(tr, "doc_id")
             branches.append(
                 _verify(

@@ -403,6 +403,79 @@ def positional_phrase_match(rows, phrase_offsets, deletes=None, stats=None):
     return np.unique(keys >> _POS_SHIFT)
 
 
+def positional_phrase_match_batch(rows, phrase_offsets, deletes=None):
+    """Positional phrase matches for MANY queries over one doc-id
+    range in one decode pass — the positional analog of
+    conjunctive_match_batch: each term's postings AND positions are
+    decoded at most once and shared by every phrase referencing it
+    (contamination screens probe thousands of phrases whose Zipf-head
+    terms repeat constantly).
+
+    ``phrase_offsets``: query_id -> [(term, rel_offset)]
+    (QueryEngine._phrase_offsets semantics).  Queries with a term
+    absent from this range yield no rows.  Returns [(query_id,
+    doc_id)] pairs.
+    """
+    if not rows or not phrase_offsets:
+        return []
+    needed = set()
+    for offs in phrase_offsets.values():
+        needed.update(t for t, _ in offs)
+    decoded: dict = {}
+    for r in rows:
+        if r["term"] not in needed:
+            continue
+        if r.get("pos_payload") is None:
+            raise ValueError(
+                f"shard for term {r['term']!r} has no positional "
+                f"payload — index built without store_positions"
+            )
+        dd, _, _ = decode_shard_blocks(r["payload"], r["block_offsets"])
+        pl = decode_shard_positions(r["pos_payload"], r["pos_offsets"])
+        doc_parts, pos_parts = [], []
+        for di in range(dd.size):
+            p = pl[di]
+            if p.size:
+                doc_parts.append(np.full(p.size, dd[di], dtype=np.int64))
+                pos_parts.append(p)
+        if doc_parts:
+            da = np.concatenate(doc_parts)
+            pa = np.concatenate(pos_parts)
+        else:
+            da = np.zeros(0, dtype=np.int64)
+            pa = np.zeros(0, dtype=np.int64)
+        prev = decoded.get(r["term"])
+        decoded[r["term"]] = (
+            (da, pa)
+            if prev is None
+            else (
+                np.concatenate([prev[0], da]),
+                np.concatenate([prev[1], pa]),
+            )
+        )
+    out = []
+    for qid, offs in phrase_offsets.items():
+        if any(t not in decoded for t, _ in offs):
+            continue
+        key_sets = []
+        for t, off in offs:
+            da, pa = decoded[t]
+            anchor = pa - off
+            ok = (anchor >= 0) & (anchor < (1 << _POS_SHIFT))
+            key_sets.append(np.unique((da[ok] << _POS_SHIFT) | anchor[ok]))
+        key_sets.sort(key=len)
+        keys = key_sets[0]
+        for ks in key_sets[1:]:
+            if keys.size == 0:
+                break
+            keys = np.intersect1d(keys, ks, assume_unique=True)
+        cand = np.unique(keys >> _POS_SHIFT)
+        if deletes is not None and len(deletes) and cand.size:
+            cand = cand[~np.isin(cand, deletes)]
+        out.extend((qid, int(d)) for d in cand)
+    return out
+
+
 def conjunctive_match(rows, deletes=None, stats=None):
     """Doc ids present in EVERY term's postings among ``rows`` (shard
     dicts of one doc-id range) — rarest-first block-skipping

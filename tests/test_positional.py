@@ -256,3 +256,57 @@ def test_append_preserves_positions(spark, pos_index):
     ids = {r["doc_id"] for r in engine.phrase_match_doc_ids("error retry").collect()}
     new_id = engine._docs.where(F.col("conv_id") == "cnew").collect()[0]["doc_id"]
     assert new_id in ids
+
+
+def test_phrase_batch_positional_equals_individual(spark, pos_index):
+    """Batch positional candidates == per-phrase positional match per
+    query id; phrase_search_batch over the positional index returns
+    exactly the per-phrase phrase_search rows (including an
+    unprunable all-dropped phrase via the full-scan branch)."""
+    path, texts = pos_index
+    engine = QueryEngine(spark, path)
+    phrases = [("a", "error retry"), ("b", "do it do"),
+               ("c", "error zzzqx")]
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in engine.phrase_match_doc_ids_batch(phrases).collect()
+    }
+    want = set()
+    for qid, ph in phrases:
+        want |= {
+            (qid, r["doc_id"])
+            for r in engine.phrase_match_doc_ids(ph).collect()
+        }
+    assert got == want and not any(q == "c" for q, _ in got)
+
+    tdf = spark.createDataFrame(
+        pd.DataFrame(texts, columns=["doc_id", "text"])
+    )
+    full = engine.phrase_search_batch(
+        phrases + [("num", "2024")], tdf
+    )
+    pairs = {(r["query_id"], r["doc_id"]) for r in full.collect()}
+    for qid, ph in phrases + [("num", "2024")]:
+        want_q = {
+            (qid, r["doc_id"])
+            for r in engine.phrase_search(ph, tdf).collect()
+        }
+        assert {p for p in pairs if p[0] == qid} == want_q, (qid, ph)
+
+
+def test_phrase_batch_positional_refuses_positionless(spark, tmp_path):
+    cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                         shuffle_partitions=4)
+    turns = spark.createDataFrame(
+        pd.DataFrame(
+            [("c0", 0, pd.Timestamp("2025-01-01"), "user", "hello world",
+              None)],
+            columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+        )
+    )
+    path = str(tmp_path / "np2")
+    IndexBuilder(spark, path, cfg_n).build(turns, input_fingerprint="x")
+    with pytest.raises(ValueError, match="store_positions"):
+        QueryEngine(spark, path).phrase_match_doc_ids_batch(
+            [("a", "hello world")]
+        )
