@@ -219,6 +219,7 @@ def ngram_jaccard_pairs(
     text_col="text",
     shingle_n: int = 3,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= threshold, via an inverted
     shingle index (no cross join): pairs sharing a shingle -> count
@@ -232,6 +233,26 @@ def ngram_jaccard_pairs(
       n² join rows).  Jaccard is then computed over the CAPPED shingle
       universe on both sides of |A ∪ B| (the DuckDB oracle mirrors the
       cap exactly).
+    - ``prefix_filter`` (default OFF): AllPairs/PPJoin prefix
+      filtering (Bayardo et al. 2007; Xiao et al. 2008).  Shingles
+      get a GLOBAL rarity order (df asc, shingle asc); two sets with
+      Jaccard >= t MUST share an element within their first
+      ``|X| - ceil(t*|X|) + 1`` elements under any fixed total order,
+      so the candidate self-join runs over those prefixes only and
+      candidates are verified with one array_intersect over the
+      per-doc sorted shingle sets.  LOSSLESS for the given threshold
+      (equality vs the unfiltered path is pytest-pinned at several
+      thresholds).  MEASURED NEGATIVE RESULT (round 5, recorded in
+      BENCH/BASELINE.md so it isn't retried as a default): with the
+      df cap on, the extra window/df-join/verify machinery costs more
+      than it saves (5.0 vs 3.1 s at 5k docs; 12.3 vs 11.4 s at 55k);
+      without the cap, a boilerplate-heavy corpus defeats it — sets
+      that are half boilerplate put hot shingles inside the prefix
+      (too few rare shingles), and near-threshold boilerplate pairs
+      are irreducible for ANY lossless method.  Keep the df cap as
+      the scale control; use prefix_filter when a corpus needs an
+      exact uncapped sweep and its documents carry enough distinctive
+      content.
     - the per-doc sizes table is joined WITHOUT a forced broadcast: it
       is O(n_docs) and must stay a shuffle join at scale (AQE may still
       choose broadcast when it is actually small).
@@ -250,6 +271,71 @@ def ngram_jaccard_pairs(
         sh = sh.join(hot, "sh", "left_anti")
     inv = sh
     sizes = inv.groupBy("doc").agg(F.count("*").alias("sz"))
+
+    if prefix_filter and threshold > 0:
+        from pyspark.sql import Window
+
+        df_tab = inv.groupBy("sh").agg(F.count("*").alias("_df"))
+        ranked = (
+            inv.join(df_tab, "sh")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("doc").orderBy(
+                        F.col("_df").asc(), F.col("sh").asc()
+                    )
+                ),
+            )
+            .join(sizes, "doc")
+        )
+        prefix = ranked.where(
+            F.col("_rk")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        ).select("doc", "sh")
+        pa, pb = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+        )
+        arrays = inv.groupBy("doc").agg(
+            F.sort_array(F.collect_set("sh")).alias("arr")
+        )
+        return (
+            cand.join(
+                arrays.select(
+                    F.col("doc").alias("doc_a"), F.col("arr").alias("_arr_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                arrays.select(
+                    F.col("doc").alias("doc_b"), F.col("arr").alias("_arr_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "inter", F.size(F.array_intersect("_arr_a", "_arr_b"))
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (
+                        F.size("_arr_a") + F.size("_arr_b") - F.col("inter")
+                    ),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
 
     a = inv.alias("a")
     b = inv.alias("b")

@@ -407,3 +407,26 @@ def test_ann_ivf_index_recall_at_least_lsh(spark, embeddings, tmp_path):
         sdf, str(tmp_path / "ivf2"), n_centroids=8, lloyd_iters=1
     )
     assert m1["centroids"] == m2["centroids"]
+
+
+def test_jaccard_prefix_filter_lossless(spark, near_dup_docs):
+    """PPJoin-style prefix filtering must return EXACTLY the
+    unfiltered pairs at any threshold (lossless), with and without
+    the hot-shingle cap."""
+    for t in (0.3, 0.5, 0.8):
+        for cap in (None, 5):
+            a = {
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in dedup.ngram_jaccard_pairs(
+                    near_dup_docs, threshold=t, max_shingle_df=cap,
+                    prefix_filter=True,
+                ).collect()
+            }
+            b = {
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in dedup.ngram_jaccard_pairs(
+                    near_dup_docs, threshold=t, max_shingle_df=cap,
+                    prefix_filter=False,
+                ).collect()
+            }
+            assert a == b, (t, cap)
