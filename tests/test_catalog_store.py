@@ -468,3 +468,33 @@ def test_catalog_compact_buckets_routes_from_config(spark, tmp_path,
     import os
 
     assert not os.path.exists(path)
+
+
+def test_catalog_positional_lifecycle(spark, tmp_path, cat_turns):
+    """store_positions on the CATALOG leg: build -> positional phrase
+    match -> append (meta-driven mode) -> full compact; the positional
+    stream survives every stage and phrase_match stays available."""
+    from sotohp_spark.index import QueryEngine
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+    turns, convs = cat_turns
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+    cfg_pos = EngineConfig(range_size=16, block_size=8, ranges_per_batch=2,
+                           shuffle_partitions=8, store_positions=True)
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), cfg_pos)
+    cb = CatalogIndexBuilder(spark, store, cfg_pos)
+    cb.build(t1, input_fingerprint="h")
+    eng = QueryEngine(spark, store=store)
+    assert eng.meta.get("positions")
+    n1 = eng.phrase_match_doc_ids("error retry").count()
+    cb.append_conversations(t2)
+    eng2 = QueryEngine(spark, store=store)
+    n2 = eng2.phrase_match_doc_ids("error retry").count()
+    assert n2 >= n1
+    cb.delete_conversations([half[0]])
+    cb.compact()
+    eng3 = QueryEngine(spark, store=store)
+    assert eng3.meta.get("positions")
+    assert eng3.phrase_match_doc_ids("error retry").count() >= n2 - 1

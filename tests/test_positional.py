@@ -310,3 +310,35 @@ def test_phrase_batch_positional_refuses_positionless(spark, tmp_path):
         QueryEngine(spark, path).phrase_match_doc_ids_batch(
             [("a", "hello world")]
         )
+
+
+def test_routed_positions_per_source(spark, tmp_path):
+    """Per-source rules routing with positions: a stopword ignored for
+    one source leaves a positional gap there but not for the other —
+    and tf still equals len(positions) on both."""
+    from sotohp_spark.functions.tokenizer import (
+        KeywordRulesRouter,
+        make_term_positions_udf_routed,
+    )
+
+    router = KeywordRulesRouter(
+        by_source=(("a", KeywordRules(ignoring=frozenset({"the"}))),),
+        default=None,
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "fix the bug"), ("b", "fix the bug")],
+            columns=["source", "text"],
+        )
+    )
+    got = {
+        r["source"]: r["p"]
+        for r in df.select(
+            "source",
+            make_term_positions_udf_routed(router)(
+                F.col("text"), F.col("source")
+            ).alias("p"),
+        ).collect()
+    }
+    assert got["a"] == {"fix": [0], "bug": [2]}          # 'the' gap
+    assert got["b"] == {"fix": [0], "the": [1], "bug": [2]}
