@@ -498,3 +498,42 @@ def test_catalog_positional_lifecycle(spark, tmp_path, cat_turns):
     eng3 = QueryEngine(spark, store=store)
     assert eng3.meta.get("positions")
     assert eng3.phrase_match_doc_ids("error retry").count() >= n2 - 1
+
+
+def test_catalog_streaming_ingest_routes(spark, tmp_path, cat_turns,
+                                         monkeypatch):
+    """Structured-Streaming availableNow ingest over a configured
+    catalog: every micro-batch append routes through the catalog
+    two-phase protocol (no parquet index is ever materialized), and
+    the grown index serves queries."""
+    import os
+
+    import sotohp_spark.sources.catalog as cat
+    from sotohp_spark.index import QueryEngine
+    from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+    from sotohp_spark.streaming.incremental import (
+        stream_ingest_available_now,
+    )
+
+    turns, convs = cat_turns
+    half = convs[: len(convs) // 2]
+    t1 = turns.where(F.col("conv_id").isin(half))
+    t2 = turns.where(~F.col("conv_id").isin(half))
+    store = FakeCatalogStore(spark, str(tmp_path / "cat"), FCFG)
+    CatalogIndexBuilder(spark, store, FCFG).build(
+        t1, input_fingerprint="h"
+    )
+    src = str(tmp_path / "stream_src")
+    # conversation-aligned source files (the bounded-trigger contract)
+    t2.repartition(2, "conv_id").write.mode("overwrite").parquet(src)
+    monkeypatch.setattr(cat, "resolve_store", lambda *a, **k: store)
+    path = str(tmp_path / "unused_idx")
+    stream_ingest_available_now(
+        spark, src, path, str(tmp_path / "ckpt"), FCFG,
+        max_files_per_trigger=1,
+    )
+    assert not os.path.exists(path)
+    assert store.read_meta()["n_docs"] == len(convs)
+    assert QueryEngine(spark, store=store).top_k(
+        "error retry", 5, with_docs=False
+    ).count() == 5
