@@ -342,3 +342,26 @@ def test_routed_positions_per_source(spark, tmp_path):
     }
     assert got["a"] == {"fix": [0], "bug": [2]}          # 'the' gap
     assert got["b"] == {"fix": [0], "the": [1], "bug": [2]}
+
+
+def test_scoring_scan_prunes_positional_columns(spark, pos_index):
+    """BM25 scoring on a store_positions index must NOT read the
+    positional payload: the postings scan's ReadSchema excludes
+    pos_offsets/pos_payload (the .doc/.pos separation, verified at
+    the plan level), while phrase_match's scan includes them."""
+    from sotohp_spark.plans.checks import formatted_plan
+
+    path, _ = pos_index
+    engine = QueryEngine(spark, path)
+    engine.LOCAL_PATH_MAX_POSTINGS = 0  # force the distributed plan
+    plan = formatted_plan(engine.top_k("error retry", 5, with_docs=False))
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    post_schemas = [s for s in schemas if "payload" in s]
+    assert post_schemas, plan
+    for s in post_schemas:
+        assert "pos_payload" not in s and "pos_offsets" not in s, s
+
+    plan2 = formatted_plan(engine.phrase_match_doc_ids("error retry"))
+    assert "pos_payload" in plan2
