@@ -365,3 +365,34 @@ def test_scoring_scan_prunes_positional_columns(spark, pos_index):
 
     plan2 = formatted_plan(engine.phrase_match_doc_ids("error retry"))
     assert "pos_payload" in plan2
+
+
+def test_positional_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume on a store_positions build: the resumed stage-2
+    (positions explode over the remaining buckets) must produce an
+    index identical in results to an uninterrupted twin — BM25 AND
+    positional phrase match."""
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index.build import BuildInterrupted
+
+    turns = transcripts_df(spark, sf=0.05).localCheckpoint()
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    with pytest.raises(BuildInterrupted):
+        IndexBuilder(spark, p1, CFG).build(
+            turns, input_fingerprint="fp", stop_after_batches=1
+        )
+    IndexBuilder(spark, p1, CFG).build(turns, input_fingerprint="fp")
+    IndexBuilder(spark, p2, CFG).build(turns, input_fingerprint="fp")
+    ea, eb = QueryEngine(spark, p1), QueryEngine(spark, p2)
+    ta = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ea.top_k("error retry timeout", 10, with_docs=False).collect()
+    ]
+    tb = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eb.top_k("error retry timeout", 10, with_docs=False).collect()
+    ]
+    assert ta == tb
+    pa = sorted(r["doc_id"] for r in ea.phrase_match_doc_ids("error retry").collect())
+    pb = sorted(r["doc_id"] for r in eb.phrase_match_doc_ids("error retry").collect())
+    assert pa == pb and ea.meta.get("positions")
