@@ -157,6 +157,10 @@ class QueryEngine:
         self._postings_scoring = self._postings.drop(
             "pos_offsets", "pos_payload"
         )
+        # selective serving cache (cache_postings): pinned hot frame +
+        # driver-side hot term set; None until the caller opts in
+        self._postings_hot: DataFrame | None = None
+        self._hot_terms: frozenset | None = None
         self._term_stats = store.read_term_stats()
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
@@ -305,18 +309,85 @@ class QueryEngine:
         }
         return weights, sum(dfs.values())
 
-    def cache_postings(self) -> int:
-        """Pin the postings table in executor memory (the serving-node
-        hot set; measured ~30% p95 cut at local scale).  At 100 TB you
-        pin the hot term-hash buckets, not everything — same call on a
-        filtered view."""
-        self._postings = self._postings.cache()
-        # re-derive the positionless projection so scoring reads the
-        # CACHED frame (a stale reference would re-scan parquet)
-        self._postings_scoring = self._postings.drop(
-            "pos_offsets", "pos_payload"
-        )
-        return self._postings.count()
+    def cache_postings(self, top_terms: int | None = None,
+                       include_positions: bool = False) -> int:
+        """Pin the postings hot set in executor memory (the serving-node
+        posture; measured ~30% p95 cut at local scale).
+
+        ``top_terms=None`` (default): cache the whole POSITIONLESS
+        scoring projection.  Even on a store_positions index this never
+        pins pos_offsets/pos_payload (comparable in size to the doc
+        payload) — BM25-only serving should not pay phrase memory.
+
+        ``top_terms=N``: SELECTIVE — cache only the N highest-df terms.
+        Warm p95 tracks the Zipf-head posting volume (BENCH/p95_sf400),
+        so the head is the hot set; caching it bounds executor cache
+        memory to the head's postings while rare terms keep the pruned
+        parquet path (term-sorted row groups -> the cold read is the
+        cheap one).  At 100 TB you pin the head, not the table.
+        Scoring-path routing is driver-side exact: query terms are
+        split against the hot set and the cold scan's IN-list carries
+        ONLY the cold terms, so parquet pushdown is never polluted by a
+        NOT-IN over the hot list.
+
+        ``include_positions=True``: cache the full frame instead
+        (phrase-heavy serving); cached batches are columnar, so scoring
+        reads of the cached frame still skip the pos columns.
+
+        Returns the number of cached shard rows (materializes the
+        cache).  Re-invocation releases the previous pin first."""
+        if self._postings_hot is not None:
+            self._postings_hot.unpersist()
+        base = self._postings if include_positions else self._postings_scoring
+        if top_terms is None:
+            self._hot_terms = None
+            hot = base.cache()
+            if include_positions:
+                self._postings = hot
+                self._postings_scoring = hot.drop(
+                    "pos_offsets", "pos_payload"
+                )
+            else:
+                self._postings_scoring = hot
+        else:
+            hot_list = [
+                r["term"]
+                for r in self._term_stats
+                .orderBy(F.col("df").desc(), F.col("term"))
+                .limit(int(top_terms))
+                .select("term")
+                .collect()
+            ]
+            self._hot_terms = frozenset(hot_list)
+            hot = base.where(F.col("term").isin(hot_list)).cache()
+        self._postings_hot = hot
+        return hot.count()
+
+    def _scoring_shards(self, terms) -> DataFrame:
+        """Postings shards for ``terms`` (positionless projection),
+        routed through the selective cache when one is pinned: hot
+        terms read the InMemoryRelation, cold terms read parquet with
+        an IN-list of only the cold terms (full pushdown).  One plan,
+        one job — the union lives inside the same action."""
+        terms = sorted(terms)
+        if self._hot_terms is None:
+            return self._postings_scoring.where(F.col("term").isin(terms))
+        hot = [t for t in terms if t in self._hot_terms]
+        cold = [t for t in terms if t not in self._hot_terms]
+        hot_view = self._postings_hot
+        if "pos_offsets" in hot_view.columns:
+            hot_view = hot_view.drop("pos_offsets", "pos_payload")
+        parts = []
+        if hot:
+            parts.append(hot_view.where(F.col("term").isin(hot)))
+        if cold:
+            parts.append(
+                self._postings_scoring.where(F.col("term").isin(cold))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def preload_term_stats(self) -> int:
         """Pull term->df to the driver (the search head's dictionary
@@ -528,7 +599,7 @@ class QueryEngine:
         terms = sorted(weights)
         n_terms = len(terms)
 
-        shards = self._postings_scoring.where(F.col("term").isin(terms))
+        shards = self._scoring_shards(terms)
         if doc_bounds is not None:
             shards = self._prune_shards_to_bounds(shards, doc_bounds)
 
@@ -643,7 +714,7 @@ class QueryEngine:
         avgdl = self.meta["avgdl"]
         cfg = self.cfg
         conj = conjunctive
-        shards = self._postings_scoring.where(F.col("term").isin(sorted(all_terms)))
+        shards = self._scoring_shards(all_terms)
 
         # ship the (possibly 10^5-entry) query-weight table ONCE per
         # executor as a broadcast variable instead of pickling it into
@@ -808,7 +879,7 @@ class QueryEngine:
             # empties the result (MediaServiceLive.scala:108-112)
             return empty
         n_terms = len(terms)
-        shards = self._postings_scoring.where(F.col("term").isin(terms))
+        shards = self._scoring_shards(terms)
         if n_terms > 1:
             # ranges lacking any query term can't contribute
             ok = (
@@ -862,7 +933,7 @@ class QueryEngine:
             all_terms.update(terms)
         if not phrase_terms:
             return self.spark.createDataFrame([], schema)
-        shards = self._postings_scoring.where(F.col("term").isin(sorted(all_terms)))
+        shards = self._scoring_shards(all_terms)
 
         # ship the (possibly thousands-of-phrases) term table ONCE per
         # executor as a broadcast variable instead of pickling it into
@@ -1066,9 +1137,10 @@ class QueryEngine:
             for qid, p in phrases
             if p.strip() and not tokenize(p, rules)
         ]
+        unprunable_keys = set(unprunable)
         indexed = [
             (qid, p) for qid, p in phrases
-            if (str(qid), p) not in set(unprunable)
+            if (str(qid), p) not in unprunable_keys
         ]
 
         def _verify(joined: DataFrame, pats) -> DataFrame:
@@ -1133,6 +1205,120 @@ class QueryEngine:
         for b in branches[1:]:
             out = out.unionByName(b)
         return out
+
+    def phrase_ranked(
+        self,
+        phrase: str,
+        k: int = 10,
+        texts: DataFrame | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source=None,
+        with_docs: bool = False,
+    ) -> DataFrame:
+        """Phrase-RANKED retrieval: exact-phrase membership + BM25
+        relevance in one API — the engine analog of ES/Lucene
+        ``match_phrase`` scoring (the search-tier feature the
+        reference delegates to Elasticsearch,
+        ElasticOperations.scala / MediaServiceLive.scala:108-112).
+
+        Membership comes from positional postings
+        (phrase_match_scored: block-skipping conjunction, then anchor
+        intersection — requires cfg.store_positions); relevance is the
+        STANDARD scorer over the phrase's terms (qtf*idf weights,
+        global collection stats — Lucene filter-query semantics), read
+        from the same decoded shards in the same per-range task, so a
+        warm query costs the same ONE distributed pass as a phrase
+        match alone.
+
+        ``texts=None``: analyzed-stream adjacency semantics (camelCase
+        splits match across words; dropped-token gaps enforced), a
+        documented SUPERSET of raw-text word-boundary matches.
+        ``texts=(id, text) frame``: each candidate is regex-verified
+        against the raw text BEFORE the global top-k, so the result is
+        exactly "raw-text phrase matches, BM25-ranked" — the oracle-
+        checkable form.  Verification must precede the limit: a
+        superset-only member may not displace a true match from the
+        top k.
+
+        A phrase whose every token is dropped by the analysis chain
+        has no index evidence; with ``texts`` it falls back to a FULL
+        verify scan scored 0.0 (membership is still exact; BM25 over
+        zero indexed terms is zero), without ``texts`` it returns
+        empty — phrase_search's lossless contract.
+
+        Returns DataFrame(doc_id, score) ordered by (score desc,
+        doc_id asc) limited to k; ``with_docs`` attaches doc columns.
+        """
+        import re
+
+        from sotohp_spark.operators.postings import phrase_match_scored
+
+        schema = "doc_id long, score double"
+        empty = self.spark.createDataFrame([], schema)
+        pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
+        offs = self._phrase_offsets(phrase, source)
+        if not phrase.strip():
+            scored = empty
+        elif not offs:
+            if texts is None:
+                scored = empty
+            else:
+                scored = (
+                    texts.where(F.col(text_col).rlike(pat))
+                    .select(
+                        F.col(id_col).alias("doc_id"),
+                        F.lit(0.0).alias("score"),
+                    )
+                )
+        else:
+            if not self.meta.get("positions"):
+                raise ValueError(
+                    "phrase_ranked needs a positional index — build "
+                    "with EngineConfig(store_positions=True)"
+                )
+            terms = sorted({t for t, _ in offs})
+            dfs = self._term_dfs(terms)
+            if any(dfs.get(t, 0) == 0 for t in terms):
+                scored = empty
+            else:
+                weights, _ = self.query_weights(phrase, source)
+                avgdl = self.meta["avgdl"]
+                cfg = self.cfg
+                n_terms = len(terms)
+                shards = self._postings.where(F.col("term").isin(terms))
+                if n_terms > 1:
+                    ok = (
+                        shards.groupBy("range_id")
+                        .agg(F.countDistinct("term").alias("nt"))
+                        .where(F.col("nt") == n_terms)
+                        .select("range_id")
+                    )
+                    shards = shards.join(F.broadcast(ok), "range_id")
+
+                def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+                    rows = pdf.to_dict("records")
+                    if len({r["term"] for r in rows}) < n_terms:
+                        return pd.DataFrame(
+                            {"doc_id": [], "score": []}
+                        ).astype({"doc_id": "int64", "score": "float64"})
+                    docs, scores = phrase_match_scored(
+                        rows, offs, weights, avgdl, cfg, deletes
+                    )
+                    return pd.DataFrame({"doc_id": docs, "score": scores})
+
+                scored = self._apply_per_range(shards, score_rows, schema)
+        if texts is not None and offs:
+            verified = texts.join(
+                scored.withColumnRenamed("doc_id", id_col), id_col
+            ).where(F.col(text_col).rlike(pat))
+            scored = verified.select(
+                F.col(id_col).alias("doc_id"), "score"
+            )
+        out = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+        return self._attach_docs(out) if with_docs else out
 
     def phrase_search(
         self,

@@ -134,6 +134,21 @@ def encode_shard(
             parts = []
             for pi in range(lo, hi):
                 pl = np.asarray(positions[pi], dtype=np.int64)
+                # positional_phrase_match packs (doc_id, anchor) into a
+                # 64-bit key with the anchor in the low _POS_SHIFT bits;
+                # an anchor >= 2^_POS_SHIFT would be silently DROPPED at
+                # query time, breaking the documented superset property.
+                # Enforce the invariant here, where the index is built,
+                # so the violation is loud instead of a silent miss.
+                if pl.size and int(pl[-1]) >= (1 << _POS_SHIFT):
+                    raise ValueError(
+                        f"token position {int(pl[-1])} >= 2^{_POS_SHIFT} "
+                        f"(doc {int(doc_ids[pi])}): documents longer than "
+                        f"{1 << _POS_SHIFT} tokens are not supported by "
+                        "positional postings (the phrase key packs the "
+                        f"anchor into {_POS_SHIFT} bits); split the "
+                        "document or build without store_positions"
+                    )
                 rec = np.empty(pl.size + 1, dtype=np.uint64)
                 rec[0] = pl.size
                 if pl.size:
@@ -401,6 +416,67 @@ def positional_phrase_match(rows, phrase_offsets, deletes=None, stats=None):
             break
         keys = np.intersect1d(keys, ks, assume_unique=True)
     return np.unique(keys >> _POS_SHIFT)
+
+
+def score_doc_set(rows, weights, avgdl, doc_ids,
+                  cfg: EngineConfig = DEFAULT) -> np.ndarray:
+    """Exact BM25 scores for a GIVEN sorted-unique doc-id set over one
+    range's shards — the membership is decided elsewhere (a phrase
+    match, a filter), scoring stays the standard scorer (Lucene
+    filter-query semantics: membership changes, collection stats and
+    per-term weights do not).
+
+    Decodes ONLY blocks whose fences overlap the doc set; terms
+    without a weight contribute nothing.  Accumulation follows the
+    canonical (term, first_doc) ascending order score_range uses, so
+    scores are bit-identical to the WAND path and the SQL oracle at
+    6-dp rounding.  Returns float64 scores aligned with ``doc_ids``.
+    """
+    scores = np.zeros(doc_ids.size, dtype=np.float64)
+    if doc_ids.size == 0:
+        return scores
+    for r in sorted(rows, key=lambda s: (s["term"], s.get("first_doc", 0))):
+        w = weights.get(r["term"])
+        if w is None:
+            continue
+        bf = np.asarray(r["block_first_doc"], dtype=np.int64)
+        bl = np.asarray(r["block_last_doc"], dtype=np.int64)
+        lo = np.searchsorted(doc_ids, bf, side="left")
+        hi = np.searchsorted(doc_ids, bl, side="right")
+        keep = np.nonzero(hi > lo)[0].tolist()
+        if not keep:
+            continue
+        dd, tf, dl = decode_shard_blocks(
+            r["payload"], r["block_offsets"], keep
+        )
+        sel = np.isin(dd, doc_ids, assume_unique=True)
+        if not sel.any():
+            continue
+        idx = np.searchsorted(doc_ids, dd[sel])
+        scores[idx] += w * bm25.tf_norm(
+            tf[sel], dl[sel], avgdl, cfg.k1, cfg.b
+        )
+    return scores
+
+
+def phrase_match_scored(rows, phrase_offsets, weights, avgdl,
+                        cfg: EngineConfig = DEFAULT, deletes=None,
+                        stats=None):
+    """Phrase-RANKED kernel for one doc-id range: exact positional
+    phrase membership (positional_phrase_match — block-skipping
+    conjunction then anchor intersection) followed by an exact BM25
+    score of ONLY the matched docs, from the same decoded shards.
+
+    One pass over one range's rows serves both membership and
+    relevance — the engine-side analog of Lucene's phrase query
+    scoring (ES ``match_phrase``: phrase containment gates, BM25 over
+    the phrase terms ranks).  Returns (doc_ids int64[], scores
+    float64[]), doc-sorted.
+    """
+    matched = positional_phrase_match(rows, phrase_offsets, deletes, stats)
+    if matched.size == 0:
+        return matched, np.zeros(0, dtype=np.float64)
+    return matched, score_doc_set(rows, weights, avgdl, matched, cfg)
 
 
 def positional_phrase_match_batch(rows, phrase_offsets, deletes=None):

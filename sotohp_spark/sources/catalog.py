@@ -512,13 +512,24 @@ class IcebergIndexStore:
         self.spark.sql(f"DELETE FROM {name} WHERE {cond_sql}")
 
     def current_snapshot(self, name: str) -> int | None:
-        """Latest committed snapshot id, or None if the table does not
-        exist yet (rollback(None) then means 'drop')."""
+        """Snapshot id the table currently points at, or None if the
+        table does not exist yet (rollback(None) then means 'drop').
+
+        Read from ``.history``, NOT ``.snapshots``: the snapshots table
+        lists ALL snapshots including ones orphaned by a prior
+        rollback_to_snapshot (and committed_at can tie at millisecond
+        granularity), so ordering it by committed_at can return an
+        orphaned snapshot after a crash recovery.  A pending row would
+        then record that orphan as its rollback point and a second
+        recovery would resurrect the first crash's ghost postings.
+        rollback_to_snapshot appends a history row making the restored
+        snapshot current, so the latest made_current_at row IS the
+        current table pointer."""
         if not self.table_exists(name):
             return None
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {name}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {name}.history "
+            f"ORDER BY made_current_at DESC LIMIT 1"
         ).collect()
         return int(rows[0]["snapshot_id"]) if rows else None
 
