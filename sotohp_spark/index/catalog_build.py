@@ -541,13 +541,18 @@ class CatalogIndexBuilder:
         return self.append_conversations(new_turns)
 
     # ------------------------------------------------------------------
-    def compact_buckets(self) -> dict:
+    def compact_buckets(self, buckets: list | None = None) -> dict:
         """BUCKET-LOCAL compaction on the catalog leg: rewrite ONLY the
         range buckets containing tombstoned docs.  Same contract as
         the parquet compact_buckets — doc ids stay sparse, meta and
         term_stats untouched, every query's ranks AND scores identical
         before and after; at a 0.1% delete ratio this touches ~0.1% of
         the index.
+
+        ``buckets``: optional EXTRA buckets to rewrite even without
+        tombstones (merge_segments' physical consolidation of
+        append-fragmented buckets — same rewrite, same score
+        identity).
 
         Catalog protocol — NO pending row needed, because every
         intermediate state is query-correct:
@@ -573,7 +578,7 @@ class CatalogIndexBuilder:
         meta = store.read_meta()
         if meta is None:
             raise ValueError(f"no catalog index at prefix {store.prefix}")
-        if not store.has_deletes():
+        if buckets is None and not store.has_deletes():
             return meta
         cfg = EngineConfig(
             k1=meta["k1"],
@@ -585,12 +590,21 @@ class CatalogIndexBuilder:
             store_positions=bool(meta.get("positions")),
         )
         span = cfg.range_size * cfg.ranges_per_batch
-        doomed = store.read_deletes().select("doc_id").distinct().localCheckpoint()
+        if store.has_deletes():
+            doomed = (
+                store.read_deletes().select("doc_id").distinct()
+                .localCheckpoint()
+            )
+        else:  # merge_segments path: rewrite without any tombstones
+            doomed = self.spark.createDataFrame([], "doc_id long")
         affected = sorted(
-            int(r["b"])
-            for r in doomed.select(
-                (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
-            ).distinct().collect()
+            {
+                int(r["b"])
+                for r in doomed.select(
+                    (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
+                ).distinct().collect()
+            }
+            | set(int(b) for b in (buckets or []))
         )
         if not affected:
             store.clear_deletes()
@@ -638,6 +652,45 @@ class CatalogIndexBuilder:
 
         # 3. commit point
         store.clear_deletes()
+        return meta
+
+    # ------------------------------------------------------------------
+    def merge_segments(self, physical: bool = True,
+                       fragment_shards: int = 1) -> dict:
+        """Segment maintenance on the catalog leg (the counterpart of
+        streaming.incremental.merge_segments): coalesce adjacent
+        time-ordered segments in meta, then optionally consolidate
+        append-fragmented buckets bucket-locally.
+
+        The catalog-leg fragmentation signal is DUPLICATE
+        (term, range_id) shard rows — each small append adds its own
+        shard row for ranges a previous append already populated;
+        buckets holding more than ``fragment_shards`` rows per key get
+        rewritten through compact_buckets(buckets=...) (score-
+        identical).  File-level compaction within a partition is the
+        catalog's own concern (Iceberg rewrite_data_files)."""
+        from sotohp_spark.streaming.incremental import coalesce_segments
+
+        store = self.store
+        recover_pending_catalog(self.spark, store)
+        meta = store.read_meta()
+        if meta is None:
+            raise ValueError(f"no catalog index at prefix {store.prefix}")
+        if coalesce_segments(meta):
+            store.write_meta(meta)
+        if physical:
+            frag = sorted(
+                int(r["range_bucket"])
+                for r in store.read_postings()
+                .groupBy("range_bucket", "range_id", "term")
+                .count()
+                .where(F.col("count") > fragment_shards)
+                .select("range_bucket")
+                .distinct()
+                .collect()
+            )
+            if frag:
+                meta = self.compact_buckets(buckets=frag)
         return meta
 
     # ------------------------------------------------------------------

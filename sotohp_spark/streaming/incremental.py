@@ -139,6 +139,135 @@ def _recover_pending_append(spark: SparkSession, builder: IndexBuilder) -> None:
         fsio.remove(spark, mpath)
 
 
+def coalesce_segments(meta: dict) -> int:
+    """Coalesce adjacent index segments IN META whenever their
+    concatenation preserves the within-segment time ordering — the
+    metadata half of segment merging (Lucene's tiered merge, applied
+    to the doc-id-interval bookkeeping).
+
+    meta["segments"] holds one (first_doc, last_doc) interval per
+    build/append; _doc_bounds_for_ts relies on doc ids being
+    time-ordered WITHIN a segment.  Two consecutive segments A,B can
+    become one iff every timestamp of A precedes (<=) every timestamp
+    of B — then the concatenated id sequence is still non-decreasing
+    in doc_ts and any time window still maps to one contiguous id
+    interval.  In the streaming steady state appends arrive roughly in
+    event order, so B micro-batches collapse to ~1 segment and window
+    planning returns to O(1) regardless of append count.  A segment
+    without recorded ts bounds never merges (no evidence).
+
+    Mutates ``meta`` in place; returns the number of merges applied.
+    Doc-id gaps between segments (bucket-local compaction leaves
+    sparse ids) are fine: the merged interval claims ids no document
+    holds, which no query can match.
+    """
+    import datetime
+
+    def _ts(v):
+        return datetime.datetime.fromisoformat(str(v))
+
+    segs = [list(s) for s in meta.get("segments") or []]
+    seg_ts = list(meta.get("segment_ts") or [])
+    while len(seg_ts) < len(segs):
+        seg_ts.append(None)
+    out_s: list = []
+    out_t: list = []
+    merged = 0
+    for s, t in zip(segs, seg_ts):
+        if (
+            out_s
+            and out_t[-1] is not None
+            and t is not None
+            and _ts(out_t[-1][1]) <= _ts(t[0])
+        ):
+            out_s[-1] = [out_s[-1][0], s[1]]
+            out_t[-1] = [out_t[-1][0], t[1]]
+            merged += 1
+        else:
+            out_s.append(list(s))
+            out_t.append(list(t) if t is not None else None)
+    if merged:
+        meta["segments"] = out_s
+        meta["segment_ts"] = out_t
+    return merged
+
+
+def fragmented_buckets(spark: SparkSession, builder: IndexBuilder,
+                       max_files: int = 8) -> list:
+    """Range buckets whose postings directory accumulated more than
+    ``max_files`` data files — the physical fingerprint of many small
+    appends landing in the same bucket (each append writes its own
+    file set, and may add a SECOND shard row for a (term, range) a
+    previous append already populated).  These are the buckets worth
+    a bucket-local rewrite; a bucket written by one batch build stays
+    out of the list."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    # appended shard files are prefixed append-<batch>- (the pending
+    # marker records them); match on the parquet suffix, not the name
+    for p in fsio.glob(
+        spark, f"{builder.postings_path}/range_bucket=*/*.parquet"
+    ):
+        bucket = p.split("range_bucket=", 1)[1].split("/", 1)[0]
+        counts[int(bucket)] += 1
+    return sorted(b for b, n in counts.items() if n > max_files)
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_path: str,
+    cfg: EngineConfig = DEFAULT,
+    rules: KeywordRules | None = None,
+    fragment_files: int = 8,
+    physical: bool = True,
+) -> dict:
+    """Segment maintenance for the append/streaming steady state —
+    the engine's Lucene-style merge policy, WITHOUT re-densifying doc
+    ids (that is compact_index, the full optimize):
+
+    1. METADATA: coalesce adjacent time-ordered segments
+       (coalesce_segments) — restores O(1) time-window planning after
+       hundreds of in-order appends, costs one meta rewrite;
+    2. PHYSICAL (``physical=True``): buckets fragmented past
+       ``fragment_files`` data files are rewritten bucket-locally
+       through the compact_buckets protocol (crash-safe staging +
+       marker + swap), consolidating per-(term, range) shards and
+       file sets.  Scores and ranks are IDENTICAL before and after
+       (same contract as compact_buckets; the rewrite re-encodes the
+       same postings from the stored tf maps).
+
+    Returns the (possibly updated) meta.  Reference analog: ES/Lucene
+    background segment merging under continuous indexing; the routing
+    tier the reference builds on (ElasticOperations.scala:91-97).
+    """
+    from sotohp_spark.index.build import recover_pending_compact
+    from sotohp_spark.sources.catalog import resolve_store
+
+    store = resolve_store(spark, index_path, cfg)
+    if store.kind != "parquet":
+        from sotohp_spark.index.catalog_build import CatalogIndexBuilder
+
+        return CatalogIndexBuilder(spark, store, cfg, rules).merge_segments(
+            physical=physical
+        )
+    recover_pending_compact(spark, index_path)
+    builder = IndexBuilder(spark, index_path, cfg, rules)
+    _recover_pending_bucket_compact(spark, builder)
+    meta = builder._read_meta()
+    if meta is None:
+        raise ValueError(f"no index at {index_path}")
+    if coalesce_segments(meta):
+        builder._write_meta(meta)
+    if physical:
+        frag = fragmented_buckets(spark, builder, fragment_files)
+        if frag:
+            meta = compact_buckets(
+                spark, index_path, cfg, rules, buckets=frag
+            )
+    return meta
+
+
 def _refresh_derived_state(
     spark: SparkSession, builder: IndexBuilder, new_segment: tuple | None = None,
     new_segment_ts: tuple | None = None,
@@ -791,9 +920,16 @@ def compact_buckets(
     spark: SparkSession, index_path: str, cfg: EngineConfig = DEFAULT,
     rules: KeywordRules | None = None,
     _fail_after: str | None = None,
+    buckets: list | None = None,
 ) -> dict:
     """BUCKET-LOCAL compaction: physically drop tombstoned docs from
     only the range buckets that contain them.
+
+    ``buckets``: optional EXTRA range buckets to rewrite even if they
+    hold no tombstones — the physical half of segment merging
+    (merge_segments): a bucket fragmented by many small appends is
+    re-encoded from its docs' stored tf maps into one consolidated
+    file set / one shard per (term, range), with identical scores.
 
     Contract (vs `compact_index`, the full re-densify):
     - doc ids stay SPARSE (never reused; max_doc/segments unchanged);
@@ -854,7 +990,7 @@ def compact_buckets(
             f"v{meta.get('schema_version', 1)}; bucket compaction rewrites "
             f"the v{SCHEMA_VERSION} layout — run index.migrate_index first"
         )
-    if not builder.has_deletes():
+    if buckets is None and not builder.has_deletes():
         return meta
 
     # bucket geometry comes from META, never from the caller's cfg: a
@@ -870,17 +1006,23 @@ def compact_buckets(
         shuffle_partitions=cfg.shuffle_partitions,
     )
     span = meta["range_size"] * meta.get("ranges_per_batch", 8)
-    doomed = (
-        spark.read.parquet(f"{builder.path}/deletes")
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint()
-    )
+    if builder.has_deletes():
+        doomed = (
+            spark.read.parquet(f"{builder.path}/deletes")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint()
+        )
+    else:  # merge_segments path: rewrite without any tombstones
+        doomed = spark.createDataFrame([], "doc_id long")
     affected = sorted(
-        int(r["b"])
-        for r in doomed.select(
-            (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
-        ).distinct().collect()
+        {
+            int(r["b"])
+            for r in doomed.select(
+                (F.col("doc_id") / F.lit(span)).cast("int").alias("b")
+            ).distinct().collect()
+        }
+        | set(int(b) for b in (buckets or []))
     )
     if not affected:
         return meta
