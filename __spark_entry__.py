@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batch variant: many phrases, ONE candidate job (terms decoded
     # once per range, shared across phrases), one verify join
     q["transcripts_phrase_batch"] = _transcripts_phrase_batch
+    # phrase-RANKED: exact-phrase membership + standard BM25 relevance
+    # in one per-range pass (ES match_phrase scoring analog); the
+    # oracle brute-filters the text then recomputes BM25 from the
+    # stored tf maps, so a hash match proves membership AND ranking
+    q["transcripts_phrase_ranked"] = _transcripts_phrase_ranked
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -629,6 +634,25 @@ _PHRASE_BATCH = [
     ("p2", "tool call"),
     ("p3", "search query"),
 ]
+
+
+def _transcripts_phrase_ranked(spark, sf_dir):
+    """Phrase-ranked retrieval (QueryEngine.phrase_ranked): positional
+    phrase candidates scored by the standard BM25 scorer in the SAME
+    per-range task, regex-verified on the materialized text BEFORE the
+    top-k limit — "raw-text phrase matches, BM25-ranked", the ES
+    match_phrase scoring analog (round-6 surface)."""
+    import os
+
+    from sotohp_spark.index import QueryEngine
+
+    _transcripts_phrase_positional(spark, sf_dir)  # ensure pos index + text
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.phrase_ranked(_PHRASE, k=10, texts=texts).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1491,6 +1515,12 @@ WHERE regexp_matches(text, '(^|\s){ph}(\s|$)')"""
     # verify) -> same oracle
     o["transcripts_phrase_batch_positional"] = o["transcripts_phrase_batch"]
 
+    # phrase-ranked: brute regex membership over the same text, BM25
+    # recomputed from the stored tf maps, top-k by (score, doc_id)
+    o["transcripts_phrase_ranked"] = _transcripts_phrase_ranked_oracle_sql(
+        _PHRASE, k=10
+    )
+
     # Gopher-style repetition metrics (token-fraction adaptation)
     o["repetition_filter"] = r"""
 WITH toks AS (
@@ -1635,6 +1665,55 @@ LEFT JOIN totals USING (doc_id)
 LEFT JOIN hits USING (doc_id)
 """
     return o
+
+
+def _transcripts_phrase_ranked_oracle_sql(
+    phrase: str, k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Phrase-ranked oracle: membership = word-boundary regex over the
+    materialized text (the same brute scan as the phrase oracles),
+    relevance = BM25 recomputed from the stored tf maps with GLOBAL
+    collection stats (Lucene filter-query semantics — membership
+    filters, scoring does not change), top-k by (score desc, doc_id)."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(phrase))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return rf"""
+WITH members AS (
+  SELECT doc_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
+  WHERE regexp_matches(text, '(^|\s){phrase}(\s|$)')
+),
+tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN members USING (doc_id)
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _transcripts_bm25_oracle_sql(

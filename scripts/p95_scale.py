@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--sf", type=float, default=100.0)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cache-top-terms", type=int, default=0,
+                    help="pin the N highest-df terms (selective "
+                         "cache_postings) and measure the warm posture")
+    ap.add_argument("--concurrency", type=int, default=0,
+                    help="also measure p95 under N concurrent query "
+                         "threads (FAIR scheduler pool)")
     args = ap.parse_args()
 
     from sotohp_spark.config import EngineConfig
@@ -47,9 +53,14 @@ def main():
     from sotohp_spark.index import IndexBuilder, QueryEngine
     from sotohp_spark.session import get_spark
 
+    extra = {}
+    if args.concurrency:
+        # FAIR pools so concurrent client threads share the executors
+        # instead of FIFO head-of-line blocking (the serving shape)
+        extra["spark.scheduler.mode"] = "FAIR"
     spark = get_spark(
         "p95-scale", master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus,
+        shuffle_partitions=args.cpus, extra_conf=extra,
     )
     src = f"/tmp/scaling_turns_{args.sf}"
     if not os.path.exists(src + "/_SUCCESS"):
@@ -119,6 +130,66 @@ def main():
         jobs_during(spark, lambda qt=qt, kk=kk: one(qt, kk))
         for _, qt, kk in queries[:20]
     ]
+    warm = {}
+    if args.cache_top_terms:
+        cached_rows = engine.cache_postings(top_terms=args.cache_top_terms)
+        lat_w = []
+        for _, qtext, k in queries[:10]:
+            one(qtext, k)  # warm the cache into executor memory
+        for _ in range(args.reps):
+            for _, qtext, k in queries:
+                t1 = time.time()
+                one(qtext, k)
+                lat_w.append((time.time() - t1) * 1000)
+        warm = {
+            "cache_top_terms": args.cache_top_terms,
+            "cached_shard_rows": int(cached_rows),
+            "p50_warm_cached_ms": round(p(lat_w, 0.50), 1),
+            "p95_warm_cached_ms": round(p(lat_w, 0.95), 1),
+        }
+
+    conc = {}
+    if args.concurrency:
+        import queue as queue_mod
+        import threading
+
+        work: queue_mod.Queue = queue_mod.Queue()
+        for _ in range(args.reps):
+            for _, qtext, k in queries:
+                work.put((qtext, k))
+        lat_c: list = []
+        lock = threading.Lock()
+
+        def client(pool_id):
+            sc = spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", f"q{pool_id}")
+            while True:
+                try:
+                    qtext, k = work.get_nowait()
+                except queue_mod.Empty:
+                    return
+                t1 = time.time()
+                one(qtext, k)
+                with lock:
+                    lat_c.append((time.time() - t1) * 1000)
+
+        t0c = time.time()
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(args.concurrency)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall_c = time.time() - t0c
+        conc = {
+            "concurrency": args.concurrency,
+            "p50_concurrent_ms": round(p(lat_c, 0.50), 1),
+            "p95_concurrent_ms": round(p(lat_c, 0.95), 1),
+            "concurrent_qps": round(len(lat_c) / wall_c, 1),
+        }
+
     out = {
         "sf": args.sf,
         "n_turns": int(n_turns),
@@ -134,7 +205,22 @@ def main():
         "jobs_per_warm_query_max": max(jwarm),
         "jobs_per_warm_query_min": min(jwarm),
         "reps": args.reps,
+        **warm,
+        **conc,
     }
+    extra_rows = ""
+    if warm:
+        extra_rows += (
+            f"| selective cache: top {warm['cache_top_terms']} terms "
+            f"({warm['cached_shard_rows']:,} shard rows) p50 / p95 (ms) | "
+            f"{warm['p50_warm_cached_ms']} / {warm['p95_warm_cached_ms']} |\n"
+        )
+    if conc:
+        extra_rows += (
+            f"| {conc['concurrency']}-thread concurrent p50 / p95 (ms), "
+            f"QPS | {conc['p50_concurrent_ms']} / "
+            f"{conc['p95_concurrent_ms']}, {conc['concurrent_qps']} |\n"
+        )
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/p95_sf{int(args.sf)}.md", "w") as f:
         f.write(
@@ -154,6 +240,7 @@ No driver dictionary preload (LRU + pruned point lookups — the
 | 50-query batch, one job (s) | {out['batch50_sec']} |
 | Spark jobs per WARM interactive query | {out['jobs_per_warm_query_min']}..{out['jobs_per_warm_query_max']} |
 
+{extra_rows}
 The job count per warm query is the flat-cost evidence: it does not
 grow with corpus size (compare the identical pin at sf0.1 in
 tests/test_query_paths.py); latency grows only with the PRUNED
