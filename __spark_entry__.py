@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _ann_query_vec(), k=10, n_centroids=8, n_probe=4
     )
     q["embedding_neardup_exact"] = lambda s, d: _embedding_neardup_exact(s, d)
+    # IVF-probed near-dup (round-6): candidates from each vector's
+    # top-n_probe Voronoi cells, exact cosine verify — the trained-
+    # centroid alternative to the SRP-LSH bucketing
+    q["embedding_neardup_ivf"] = lambda s, d: ann.embedding_neardup_ivf(
+        _t(s, d, "embeddings"), threshold=0.45, n_centroids=8, n_probe=2
+    )
     q["ann_index_topk"] = _ann_index_topk
     q["ann_index_ivf_topk"] = _ann_index_ivf_topk
 
@@ -1112,6 +1118,14 @@ FROM words
 
     o["ann_index_ivf_topk"] = ivf_lloyd_oracle_sql(
         qv, k=10, n_centroids=8, n_probe=4, lloyd_iters=1
+    )
+    from sotohp_spark.operators.ann import ivf_neardup_oracle_sql
+
+    # threshold 0.45: the synthetic embeddings' cosine ceiling is
+    # ~0.51 at sf0.01, so 0.45 yields a NON-EMPTY pair set (an empty
+    # result would be a vacuous green)
+    o["embedding_neardup_ivf"] = ivf_neardup_oracle_sql(
+        threshold=0.45, n_centroids=8, n_probe=2
     )
     o["embedding_neardup_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

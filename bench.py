@@ -124,6 +124,13 @@ def main():
         pos_engine.phrase_match_doc_ids("retry timeout").count()
         record("phrase_positional", time.time() - t1)
 
+    # phrase-RANKED: membership + BM25 relevance out of the SAME
+    # per-range pass (ES match_phrase scoring analog, round-6)
+    for _ in range(REPS):
+        t1 = time.time()
+        pos_engine.phrase_ranked("retry timeout", k=10).collect()
+        record("phrase_ranked", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",
@@ -131,6 +138,7 @@ def main():
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_cosine_topk_lsh",
+        "embedding_neardup_ivf",
         "q1_pricing_summary",
         "join_order_customer_nation",
         "sessionization",

@@ -259,6 +259,60 @@ LIMIT {k}
 """
 
 
+def ivf_neardup_oracle_sql(
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB equivalent of embedding_neardup_ivf (lloyd_iters=0):
+    centroid derivation (first n rows by id, L2-normalized),
+    per-vector TOP-n_probe cells (ties to the lowest centroid id —
+    np.argsort-stable semantics), shared-cell candidate pairs, exact
+    rounded cosine filter, one row per pair.  No data read at SQL
+    generation time."""
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+sims AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+           / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+probes AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS rk
+    FROM sims
+  ) WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b
+  FROM probes pa JOIN probes pb
+    ON pa.centroid_id = pb.centroid_id AND pa.vec_id < pb.vec_id
+)
+SELECT id_a, id_b,
+  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]))), 6) AS cos_sim
+FROM cand
+JOIN embeddings a ON cand.id_a = a.vec_id
+JOIN embeddings b ON cand.id_b = b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]))), 6) >= {threshold}
+"""
+
+
 def ivf_lloyd_oracle_sql(
     query_vec: list,
     k: int = 10,
@@ -505,6 +559,84 @@ def cosine_topk_ivf(
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def embedding_neardup_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-probed near-duplicate pairs: candidates are vector pairs
+    sharing at least one of each vector's ``n_probe`` nearest
+    centroids; exact cosine over the candidates keeps precision at
+    1.0 (only recall is approximate — like the SRP-LSH variant
+    ``embedding_neardup_pairs``, but the buckets follow the DATA
+    distribution (Voronoi cells of the trained centroids) instead of
+    fixed random hyperplanes, so dense regions split and sparse
+    regions pool).
+
+    Multi-probe matters for dedup specifically: a near-dup pair
+    straddling a cell boundary is recovered when either member's
+    probe list reaches the other's home cell — recall vs exact is
+    pinned in tests/test_dedup_ann.py.
+
+    Scale shape: one broadcast of the (C, d) centroid matrix, one
+    Arrow-batched probe assignment (rows multiply by n_probe only),
+    then a self-join keyed on centroid_id — with the vector table
+    materialized partition-by-centroid (operators/ann_index.py)
+    that join is partition-local, never all-pairs.  Returns
+    DataFrame(id_a, id_b, cos_sim) with id_a < id_b, one row per
+    pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    _, cent = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col,
+        method="udf", lloyd_iters=lloyd_iters,
+    )
+    n_probe = min(n_probe, len(cent))
+    bc = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+    @pandas_udf("array<int>")
+    def probe_ids(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ c.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    wb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(probe_ids(F.col(vec_col))).alias("centroid_id"),
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(
+                cosine_sim(F.col("a.vec"), F.col("b.vec")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        # a pair sharing several probed cells appears once per cell;
+        # collapse to one row (identical cos_sim on every copy)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 

@@ -430,3 +430,55 @@ def test_jaccard_prefix_filter_lossless(spark, near_dup_docs):
                 ).collect()
             }
             assert a == b, (t, cap)
+
+
+def test_embedding_neardup_ivf_recall_and_precision(spark, embeddings):
+    """IVF-probed near-dup (round-6): candidates from each vector's
+    top-n_probe Voronoi cells, exact cosine verify.  Precision is 1.0
+    by construction (every reported pair re-checked exactly); recall
+    vs the exact all-pairs set is pinned on the planted fixture, and
+    the planted near-dup cluster (7, 23, 91 — copies of one query
+    vector) must be fully recovered: true near-dups share a cell by
+    construction of the geometry."""
+    df, _ = embeddings
+    thr = 0.8
+    # exact all-pairs baseline in numpy (200 vectors)
+    pdf = df.toPandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ids = pdf["vec_id"].to_numpy()
+    exact = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            cs = round(float(sims[i, j]), 6)
+            if cs >= thr:
+                exact[(int(ids[i]), int(ids[j]))] = cs
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in ann.embedding_neardup_ivf(
+            df, threshold=thr, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    # precision 1.0: every reported pair is a true pair w/ equal cosine
+    for pair, cs in got.items():
+        assert pair in exact and cs == exact[pair]
+    # planted cluster fully recovered
+    for pair in [(7, 23), (7, 91), (23, 91)]:
+        if pair in exact:
+            assert pair in got, pair
+    # overall recall floor on the fixture
+    assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
+
+
+def test_embedding_neardup_ivf_no_allpairs_plan(spark, embeddings):
+    """The candidate join must be keyed on centroid_id — never a
+    cartesian/broadcast-nested-loop over the vector table."""
+    df, _ = embeddings
+    plan = (
+        ann.embedding_neardup_ivf(df, threshold=0.9, n_centroids=8,
+                                  n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
