@@ -54,6 +54,16 @@ class EngineConfig:
     # tie-break and float determinism: scores are float64; ties broken
     # by ascending doc_id everywhere (engine, oracle, tests).
 
+    # Segment-merge policy (streaming.incremental.merge_segments):
+    # when set, append_conversations coalesces adjacent TIME-ORDERED
+    # segments in metadata once the segment count exceeds this —
+    # free (one meta rewrite), keeps time-window planning O(1) under
+    # continuous in-order ingest.  The PHYSICAL half (bucket-local
+    # consolidation of fragmented buckets) stays an explicit
+    # maintenance call, like Lucene's background merges vs optimize.
+    # None (default) = no automatic coalescing.
+    auto_merge_segments: int | None = None
+
     # Optional Iceberg catalog table prefix (e.g. "local.db.myindex").
     # When set AND the Iceberg runtime is on the classpath,
     # sources/catalog.resolve_store yields IcebergIndexStore and the

@@ -1079,6 +1079,25 @@ class QueryEngine:
 
         return self._apply_per_range(shards, match_rows, schema)
 
+    @staticmethod
+    def _require_texts(texts, api: str, optional: bool = False):
+        """The verify side of the phrase APIs is a (doc_id, text)
+        DataFrame — the index stores tf/position maps, not raw text,
+        so the caller must supply it.  Catch the common slip (passing
+        k, or forgetting the argument) with a named error instead of
+        an AttributeError deep inside a join."""
+        if optional and texts is None:
+            return
+        if not isinstance(texts, DataFrame):
+            raise TypeError(
+                f"{api} needs texts=(id, text) DataFrame for raw-text "
+                f"verification (got {type(texts).__name__}); the index "
+                "stores term/position maps, not document text — pass "
+                "the materialized documents table"
+                + (" or texts=None for analyzed-stream semantics"
+                   if optional else "")
+            )
+
     def phrase_search_batch(
         self,
         phrases,
@@ -1112,6 +1131,7 @@ class QueryEngine:
 
         from sotohp_spark.functions.tokenizer import tokenize
 
+        self._require_texts(texts, "phrase_search_batch")
         ids = [str(qid) for qid, _ in phrases]
         if len(set(ids)) != len(ids):
             # dict last-wins in candidate generation but the verify
@@ -1254,6 +1274,7 @@ class QueryEngine:
 
         from sotohp_spark.operators.postings import phrase_match_scored
 
+        self._require_texts(texts, "phrase_ranked", optional=True)
         schema = "doc_id long, score double"
         empty = self.spark.createDataFrame([], schema)
         pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
@@ -1353,6 +1374,7 @@ class QueryEngine:
 
         from sotohp_spark.functions.tokenizer import tokenize
 
+        self._require_texts(texts, "phrase_search")
         pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
         if not phrase.strip():
             return texts.where(F.lit(False))

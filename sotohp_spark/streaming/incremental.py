@@ -375,6 +375,12 @@ def _apply_append_derived_state(
         seg_ts.append([str(new_segment_ts[0]), str(new_segment_ts[1])])
         meta["segment_ts"] = seg_ts
     meta["segments"] = segs
+    # opt-in merge policy: once the segment list outgrows the knob,
+    # coalesce the time-ordered runs in METADATA (free — the physical
+    # bucket consolidation stays an explicit merge_segments call)
+    thresh = getattr(builder.cfg, "auto_merge_segments", None)
+    if thresh is not None and len(meta["segments"]) > int(thresh):
+        coalesce_segments(meta)
 
     if moved_files:  # a batch whose docs all tokenize empty moves none
         delta = (

@@ -265,3 +265,42 @@ def test_merge_segments_catalog_leg(spark, tmp_path):
     after = eng2.top_k_pdf("error retry timeout", 10)
     assert list(before["doc_id"]) == list(after["doc_id"])
     assert np.allclose(before["score"], after["score"], rtol=0, atol=0)
+
+
+def test_auto_merge_segments_knob(spark, tmp_path):
+    """cfg.auto_merge_segments: the append path coalesces time-ordered
+    segment runs in metadata once the list outgrows the knob — the
+    automatic half of the merge policy (physical consolidation stays
+    an explicit merge_segments call)."""
+    cfg = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                       shuffle_partitions=4, auto_merge_segments=2)
+    path = str(tmp_path / "auto_idx")
+    pdf = generate_transcripts_pdf(0.05)
+    chunks = _time_chunks(pdf, 6)
+    IndexBuilder(spark, path, cfg).build(
+        spark.createDataFrame(chunks[0]), input_fingerprint="base"
+    )
+    counts = []
+    for c in chunks[1:]:
+        meta = append_conversations(spark, path, spark.createDataFrame(c),
+                                    cfg)
+        counts.append(len(meta["segments"]))
+    # the post-append view never exceeds the knob (coalesce fires the
+    # moment the list outgrows it) ...
+    assert all(n <= 2 for n in counts), counts
+    # ... and in-order appends DO collapse fully whenever it fires
+    assert 1 in counts, counts
+    # and the index still answers identically to an un-merged twin
+    plain_cfg = EngineConfig(range_size=8, block_size=4,
+                             ranges_per_batch=2, shuffle_partitions=4)
+    twin = str(tmp_path / "twin_idx")
+    IndexBuilder(spark, twin, plain_cfg).build(
+        spark.createDataFrame(chunks[0]), input_fingerprint="base"
+    )
+    for c in chunks[1:]:
+        append_conversations(spark, twin, spark.createDataFrame(c),
+                             plain_cfg)
+    a = QueryEngine(spark, path).top_k_pdf("error retry timeout", 10)
+    b = QueryEngine(spark, twin).top_k_pdf("error retry timeout", 10)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["score"]) == list(b["score"])
