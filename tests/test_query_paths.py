@@ -97,3 +97,46 @@ def test_term_lookup_without_preload_is_one_job_then_zero(spark, tmp_path):
     warm.preload_term_stats()
     want, _ = warm.query_weights("error retry timeout")
     assert got == want  # LRU path computes identical weights
+
+
+def test_local_gate_routes_concurrent_queries_distributed(spark, tmp_path):
+    """Serving concurrency: the driver-LOCAL fast path is gated to ONE
+    in-flight query (concurrent local decodes serialize on the GIL —
+    measured 0.6 QPS at 4 clients vs 7.1 distributed).  A single call
+    keeps the local path (block-skip stats populated); while the gate
+    is held the SAME call must route distributed and return identical
+    ranks and scores."""
+    rows = [
+        (f"c{i:05d}", 0, TS + datetime.timedelta(seconds=i),
+         "alpha beta " + ("gamma " * (1 + i % 5)))
+        for i in range(512)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, text string"
+    )
+    path = str(tmp_path / "gate_idx")
+    cfg = EngineConfig(
+        range_size=64, block_size=8, ranges_per_batch=4, shuffle_partitions=4
+    )
+    IndexBuilder(spark, path, cfg).build(turns, input_fingerprint="gate")
+    engine = QueryEngine(spark, path)
+
+    local = engine.top_k("gamma beta", k=10, with_docs=False).collect()
+    assert engine.last_query_stats.get("blocks_total", 0) > 0  # local ran
+
+    assert engine._local_gate.acquire(blocking=False)
+    try:
+        routed = engine.top_k("gamma beta", k=10, with_docs=False).collect()
+        # distributed path never populates driver-side skip stats
+        assert engine.last_query_stats == {}
+    finally:
+        engine._local_gate.release()
+    assert [(r["doc_id"], r["score"]) for r in local] == [
+        (r["doc_id"], r["score"]) for r in routed
+    ]
+    # gate released: the local path is available again
+    out = engine.top_k("gamma beta", k=10, with_docs=False).collect()
+    assert engine.last_query_stats.get("blocks_total", 0) > 0
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], r["score"]) for r in local
+    ]
