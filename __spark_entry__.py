@@ -250,6 +250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle brute-filters the text then recomputes BM25 from the
     # stored tf maps, so a hash match proves membership AND ranking
     q["transcripts_phrase_ranked"] = _transcripts_phrase_ranked
+    # ES-tier query surface (round 6): df-ranked prefix completion
+    # over the term dictionary, filter-context facet aggregation over
+    # the conjunctive matched set, and more-like-this retrieval from a
+    # stored doc's top tf*idf terms — each independently re-derived by
+    # the DuckDB oracle from the stored tf maps
+    q["transcripts_suggest"] = _transcripts_suggest
+    q["transcripts_facets_month"] = _transcripts_facets_month
+    q["transcripts_more_like_this"] = _transcripts_more_like_this
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -659,6 +667,41 @@ def _transcripts_phrase_ranked(spark, sf_dir):
     return engine.phrase_ranked(_PHRASE, k=10, texts=texts).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+def _transcripts_suggest(spark, sf_dir):
+    """Prefix completion over the term dictionary (QueryEngine.suggest):
+    StringStartsWith pushed into the term_stats parquet scan, df-ranked,
+    TakeOrderedAndProject cap — no doc scan.  Oracle derives the same
+    dfs independently from the stored per-doc tf maps (ES terms-suggest
+    analog over the search tier the reference delegates)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.suggest("re", k=10)
+
+
+def _transcripts_facets_month(spark, sf_dir):
+    """Filter-context aggregation (QueryEngine.facets): every doc
+    matching ALL query terms, bucketed by month with count + avg length
+    — the ES aggregations shape.  Candidates stream from the per-range
+    block-skipping conjunction (one job, no k), metadata joins on the
+    hive-pruned docs table, then partial-aggregates to a tiny frame."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.facets("error retry", by="month")
+
+
+def _transcripts_more_like_this(spark, sf_dir):
+    """Similar-document retrieval (QueryEngine.more_like_this): the
+    source doc's stored tf map -> top tf*idf terms (scorer's own idf,
+    term-asc ties) -> disjunctive BM25 with qtf=1, source excluded.
+    The oracle repeats the whole derivation in SQL from the stored
+    maps: term selection AND retrieval."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.more_like_this(_MLT_DOC, k=10, max_terms=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+_MLT_DOC = 7
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1465,6 +1508,17 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_upsert_topk"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, docs_glob=_ORACLE_UPSERT_DOCS
     )
+    # ES-tier surface: each oracle re-derives the WHOLE feature from
+    # the stored tf maps — dictionary dfs for suggest, conjunctive
+    # membership + metadata agg for facets, term selection AND
+    # retrieval for more-like-this
+    o["transcripts_suggest"] = _transcripts_suggest_oracle_sql("re", k=10)
+    o["transcripts_facets_month"] = _transcripts_facets_oracle_sql(
+        "error retry"
+    )
+    o["transcripts_more_like_this"] = _transcripts_mlt_oracle_sql(
+        _MLT_DOC, k=10, max_terms=10
+    )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -1784,6 +1838,97 @@ scored AS (
   {having}
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_suggest_oracle_sql(prefix: str, k: int) -> str:
+    """Independent dictionary derivation: dfs recomputed from the
+    per-doc tf maps (NOT read from term_stats — a mismatch would catch
+    a stats-write bug), prefix-filtered, df desc / term asc, top k."""
+    return f"""
+SELECT e.key AS term, count(*)::BIGINT AS df
+FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+WHERE e.key LIKE '{prefix}%'
+GROUP BY e.key
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def _transcripts_facets_oracle_sql(query_text: str) -> str:
+    """Conjunctive membership from the tf maps, then the month facet
+    aggregation over doc metadata — mirrors facets(by="month")."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query_text)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, e.key AS term
+    FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+    LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+    WHERE e.key IN ({in_list})
+  )
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(terms)}
+)
+SELECT strftime(d.doc_ts, '%Y-%m') AS facet,
+       count(*)::BIGINT AS n_docs,
+       round(avg(d.doc_len), 6) AS avg_doc_len
+FROM read_parquet('{_ORACLE_INDEX_DOCS}') d
+JOIN m USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def _transcripts_mlt_oracle_sql(
+    doc_id: int, k: int, max_terms: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """More-like-this re-derived END TO END in SQL: the source doc's
+    stored tf map -> tf*idf-ranked term selection (idf = the scorer's
+    ln(1+(n-df+0.5)/(df+0.5)), ties by term asc) -> disjunctive BM25
+    with qtf=1 per selected term, source doc excluded.  A hash match
+    proves both the interesting-terms derivation and the retrieval."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+src AS (SELECT term, tf FROM tf WHERE doc_id = {doc_id}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf
+  WHERE tf.term IN (SELECT term FROM src)
+  GROUP BY tf.term
+),
+sel AS (
+  SELECT s.term,
+         ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM src s JOIN dft d ON s.term = d.term CROSS JOIN g
+  ORDER BY s.tf * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {max_terms}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(sel.w * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN sel ON tf.term = sel.term CROSS JOIN g
+  WHERE tf.doc_id <> {doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 

@@ -574,6 +574,7 @@ class QueryEngine:
         source=None,
         ts_min=None,
         ts_max=None,
+        _weights: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
 
@@ -594,7 +595,16 @@ class QueryEngine:
             if doc_bounds is None:
                 out = self.spark.createDataFrame([], TOPK_SCHEMA)
                 return self._attach_docs(out) if with_docs else out
-        weights, n_candidates = self.query_weights(query_text, source)
+        if _weights is not None:
+            # internal: caller supplies ready (term -> weight) pairs of
+            # KNOWN corpus terms (more_like_this) — no re-tokenization,
+            # so analyzed terms can never skew through the query chain
+            weights = dict(_weights)
+            n_candidates = sum(
+                self._term_dfs(sorted(weights)).values()
+            )
+        else:
+            weights, n_candidates = self.query_weights(query_text, source)
         spark = self.spark
         if conjunctive and len(weights) < len(
             set(tokenize(query_text, self._query_rules(source)))
@@ -852,6 +862,124 @@ class QueryEngine:
         pdf = self.top_k(query_text, k, conjunctive, with_docs=False).toPandas()
         pdf["rank"] = range(1, len(pdf) + 1)
         return pdf
+
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Prefix completion over the term dictionary, ranked by
+        document frequency (the ES `completion`/`terms` suggest shape:
+        the dictionary IS the index artifact, so no doc scan ever
+        happens).  Returns DataFrame(term, df), df desc, term asc.
+
+        Scale shape: term_stats is a parquet table of the vocabulary
+        (term, df, cf).  `startswith` compiles to a StringStartsWith
+        pushdown (parquet row-group min/max on the term column prune
+        non-matching groups), so the scan cost tracks the PREFIX RANGE,
+        not the vocabulary; the result is capped at k before collect.
+        df counts committed docs as of the last stats write — like a
+        Lucene term dictionary, tombstoned docs decay df only at
+        merge/compaction, never per delete."""
+        prefix = prefix.strip().lower()
+        if not prefix:
+            return self.spark.createDataFrame([], "term string, df long")
+        return (
+            self._term_stats.where(F.col("term").startswith(prefix))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(k)
+        )
+
+    def facets(self, query_text: str, by: str = "month",
+               source=None) -> DataFrame:
+        """ES-style aggregation over the query's matched set: every doc
+        matching ALL query terms (filter context — same membership as
+        matching_doc_ids, no scores) is bucketed by a metadata facet
+        and counted.  Returns DataFrame(facet, n_docs, avg_doc_len),
+        ordered by facet.
+
+        ``by``: "month" (doc_ts truncated), "week", or "n_turns"
+        (conversation length — histogram of turn counts).
+
+        Scale shape: candidates stream out of the per-range block-
+        skipping conjunction (one job, no k cap), join doc metadata on
+        (range_bucket, doc_id) — range_bucket derived from the doc id
+        the same way _attach_docs does, so the docs side hive-prunes to
+        the buckets that hold candidates — then partial-aggregate into
+        at most a few hundred facet buckets.  Nothing is ordered or
+        collected before the final tiny facet frame."""
+        if by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "n_turns":
+            key = F.col("n_turns").cast("string")
+        else:
+            raise ValueError(f"unknown facet key {by!r} "
+                             "(expected month | week | n_turns)")
+        ids = self.matching_doc_ids(query_text, source=source)
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = ids.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        return (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(key.alias("facet"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("doc_len"), 6).alias("avg_doc_len"),
+            )
+            .orderBy("facet")
+        )
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 10, source=None) -> DataFrame:
+        """Similar-document retrieval (the ES more_like_this shape):
+        the source doc's stored tf map is read back with ONE hive- and
+        row-group-pruned point lookup, its terms are ranked by
+        tf * idf (idf = the scorer's own ln(1+(N-df+0.5)/(df+0.5)),
+        ties broken by term asc), and the top ``max_terms`` become a
+        disjunctive BM25 query with qtf=1 per term.  The source doc is
+        excluded from the result.  Returns the standard top-k frame.
+
+        The interesting-terms selection is driver-side over ONE doc's
+        map (bounded by doc length) + max_terms LRU df lookups — cost
+        is independent of corpus size; the retrieval is the standard
+        top_k plan."""
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        rb = int(doc_id) // span
+        if self.store.kind == "parquet":
+            docs_full = self.spark.read.option(
+                "basePath", f"{self.path}/docs"
+            ).parquet(f"{self.path}/docs")
+        else:
+            docs_full = self.store.read_docs()
+        where = (F.col("doc_id") == int(doc_id))
+        if "range_bucket" in docs_full.columns:
+            where = (F.col("range_bucket") == rb) & where
+        row = docs_full.where(where).select("tfs").collect()
+        if not row:
+            raise ValueError(f"doc_id {doc_id} not in the docs table")
+        tfs = row[0]["tfs"] or {}
+        dfs = self._term_dfs(sorted(tfs))
+        n = int(self.meta["n_docs"])
+
+        def idf(t):
+            d = dfs.get(t, 0)
+            return bm25.lucene_idf_scalar(n, d) if d else 0.0
+
+        ranked = sorted(
+            ((tf * idf(t), t) for t, tf in tfs.items() if idf(t) > 0.0),
+            key=lambda x: (-x[0], x[1]),
+        )[:max_terms]
+        if not ranked:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        mlt_weights = {t: idf(t) for _, t in ranked}  # qtf = 1 per term
+        out = self.top_k("", k + 1, with_docs=False, source=source,
+                         _weights=mlt_weights)
+        return (
+            out.where(F.col("doc_id") != int(doc_id))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
 
     def matching_doc_ids(self, query_text: str, source=None) -> DataFrame:
         """ALL live doc ids containing EVERY query term — candidate
