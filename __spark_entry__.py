@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_suggest"] = _transcripts_suggest
     q["transcripts_facets_month"] = _transcripts_facets_month
     q["transcripts_more_like_this"] = _transcripts_more_like_this
+    # deep pagination (cursor into the per-range scorer, no OFFSET
+    # rescan of earlier pages' rows on the Spark side) + matched-set
+    # count (the ES _count shape)
+    q["transcripts_search_after"] = _transcripts_search_after
+    q["transcripts_count"] = _transcripts_count
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -702,6 +707,30 @@ def _transcripts_more_like_this(spark, sf_dir):
 
 
 _MLT_DOC = 7
+
+
+def _transcripts_search_after(spark, sf_dir):
+    """Deep pagination (top_k(search_after=...)): page 2 of the
+    flagship query — the cursor is page 1's last (score, doc_id) at
+    full float64 precision, and the per-range scorer excludes
+    everything at-or-before it while block-max pruning keeps working
+    over the eligible docs.  The oracle computes the same page as rows
+    11..20 of its full ordering (page 1 rank identity is already
+    hash-proven by transcripts_bm25_topk)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    page1 = engine.top_k("error retry timeout", k=10,
+                         with_docs=False).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    return engine.top_k(
+        "error retry timeout", k=10, search_after=cursor
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_count(spark, sf_dir):
+    """Matched-set cardinality (QueryEngine.count): the ES _count
+    shape — per-range block-skipping conjunction, counted, no k."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.count("error retry")
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1519,6 +1548,12 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_more_like_this"] = _transcripts_mlt_oracle_sql(
         _MLT_DOC, k=10, max_terms=10
     )
+    # page 2 = rows 11..20 of the oracle's full ordering; the engine
+    # reaches it through the float64-exact search_after cursor instead
+    o["transcripts_search_after"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10, offset=10
+    )
+    o["transcripts_count"] = _transcripts_count_oracle_sql("error retry")
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -1787,7 +1822,7 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 def _transcripts_bm25_oracle_sql(
     query_text: str, k: int, conjunctive: bool = False,
     k1: float = 1.2, b: float = 0.75, ts_window: tuple | None = None,
-    docs_glob: str | None = None,
+    docs_glob: str | None = None, offset: int = 0,
 ) -> str:
     """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
     contract as QueryEngine (sotohp_spark/operators/bm25.py).
@@ -1838,7 +1873,28 @@ scored AS (
   {having}
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
-FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def _transcripts_count_oracle_sql(query_text: str) -> str:
+    """Conjunctive matched-set cardinality from the stored tf maps."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query_text)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT count(*)::BIGINT AS n_matches FROM (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, e.key AS term
+    FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+    LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+    WHERE e.key IN ({in_list})
+  )
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(terms)}
+)
 """
 
 

@@ -574,6 +574,7 @@ class QueryEngine:
         source=None,
         ts_min=None,
         ts_max=None,
+        search_after: tuple | None = None,
         _weights: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
@@ -584,7 +585,16 @@ class QueryEngine:
         doc_ts falls in the (inclusive) window — membership filter
         only; scores keep global collection stats (Lucene filter-query
         semantics).  Time-ordered doc ids turn the window into a doc-id
-        interval, so untouched range buckets are partition-pruned."""
+        interval, so untouched range buckets are partition-pruned.
+
+        ``search_after``: (score, doc_id) of the LAST row of the
+        previous page — deep pagination without OFFSET (the ES
+        search_after shape).  Only docs strictly after the cursor in
+        (score desc, doc_id asc) order are returned; the cursor rides
+        into the per-range scorer, which keeps block-max pruning valid
+        over cursor-eligible docs (operators/wand.score_range).  Page
+        boundaries compare float64-exact — always feed back a score
+        the engine itself returned, not a rounded display value."""
         # reset per query: stats are populated by the driver-local
         # path only; leaving the previous query's numbers in place
         # would attribute them to a distributed/early-exit query
@@ -635,7 +645,8 @@ class QueryEngine:
         ):
             try:
                 out = self._top_k_local(
-                    shards, weights, k, avgdl, conjunctive, doc_bounds
+                    shards, weights, k, avgdl, conjunctive, doc_bounds,
+                    cursor=search_after,
                 )
             finally:
                 self._local_gate.release()
@@ -655,7 +666,7 @@ class QueryEngine:
             rows = pdf.to_dict("records")
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
-                deletes=deletes, doc_bounds=doc_bounds,
+                deletes=deletes, doc_bounds=doc_bounds, cursor=search_after,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -803,7 +814,7 @@ class QueryEngine:
         )
 
     def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive,
-                     doc_bounds=None):
+                     doc_bounds=None, cursor=None):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
@@ -823,7 +834,7 @@ class QueryEngine:
             d, s = wand.score_range(
                 by_range[rid], weights, k, avgdl, conjunctive=conjunctive,
                 cfg=self.cfg, deletes=self._deletes, doc_bounds=doc_bounds,
-                stats=stats,
+                stats=stats, cursor=cursor,
             )
             all_docs.append(d)
             all_scores.append(s)
@@ -862,6 +873,19 @@ class QueryEngine:
         pdf = self.top_k(query_text, k, conjunctive, with_docs=False).toPandas()
         pdf["rank"] = range(1, len(pdf) + 1)
         return pdf
+
+    def count(self, query_text: str, source=None) -> DataFrame:
+        """Matched-set cardinality without retrieval (the ES `_count`
+        shape): docs containing ALL query terms, counted.  Returns a
+        one-row DataFrame(n_matches long).
+
+        Scale shape: the count aggregates the per-range block-skipping
+        conjunction's output (matching_doc_ids — each doc id lives in
+        exactly one range, so per-range counts partial-aggregate into
+        the global one); no scores, no ordering, no k."""
+        return self.matching_doc_ids(query_text, source=source).agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
 
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion over the term dictionary, ranked by

@@ -43,6 +43,7 @@ def score_range(
     deletes: np.ndarray | None = None,
     doc_bounds: tuple | None = None,
     stats: dict | None = None,
+    cursor: tuple | None = None,
 ):
     """Score one doc-id range.
 
@@ -57,6 +58,17 @@ def score_range(
     Scores keep GLOBAL collection stats (Lucene filter-query semantics:
     a filter changes membership, not scoring).
 
+    ``cursor``: optional (score, doc_id) from a previous page — only
+    docs STRICTLY after it in (score desc, doc_id asc) order are
+    returned (the ES search_after shape).  The exclusion applies to
+    EXACT scores, so block-max pruning stays valid: theta builds from
+    cursor-eligible docs only, and any unprocessed interval's docs
+    score below theta regardless of eligibility.  Low-scoring docs
+    become eligible on deep pages, so late pages decode more blocks —
+    the same cost profile Lucene's searchAfter has.  Cursor equality
+    is float64-exact, which holds because cursors come from a previous
+    page of the SAME deterministic summation.
+
     ``stats``: optional dict the call ACCUMULATES block-max pruning
     evidence into (keys blocks_total / blocks_decoded / blocks_skipped)
     — the proof that the machinery actually skips on Zipf-head terms,
@@ -66,6 +78,13 @@ def score_range(
     """
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    cur_mask = None
+    if cursor is not None:
+        c_s, c_d = float(cursor[0]), int(cursor[1])
+
+        def cur_mask(dd: np.ndarray, ss: np.ndarray) -> np.ndarray:
+            return (ss < c_s) | ((ss == c_s) & (dd > c_d))
+
     bounds_mask = None
     if doc_bounds is not None:
         ivs = sorted(
@@ -107,7 +126,8 @@ def score_range(
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + n_blocks
             stats["blocks_skipped"] = stats.get("blocks_skipped", 0)
         return _score_conjunctive(
-            shards, term_weights, k, avgdl, cfg, deletes, bounds_mask
+            shards, term_weights, k, avgdl, cfg, deletes, bounds_mask,
+            cur_mask,
         )
 
     # ---- disjunctive block-max path ----
@@ -218,6 +238,14 @@ def score_range(
             out_s = np.zeros(out_d.size, dtype=np.float64)
             np.add.at(out_s, grp, ss)
             dd, ss = out_d, out_s
+        if cur_mask is not None:
+            # scores here are EXACT (all covering blocks of this
+            # interval decoded), so the page membership test is final
+            keep = cur_mask(dd, ss)
+            if not keep.all():
+                dd, ss = dd[keep], ss[keep]
+            if dd.size == 0:
+                continue
         done_docs.append(dd)
         done_scores.append(ss)
         total_done += dd.size
@@ -254,7 +282,7 @@ def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
 
 def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
                        deletes: np.ndarray | None = None,
-                       bounds_mask=None):
+                       bounds_mask=None, cur_mask=None):
     """AND semantics: intersect doc ids across terms, exact scores."""
     per_term: dict[str, list] = {}
     for s in shards:
@@ -296,5 +324,10 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
     for t, (d, tf, dl) in decoded.items():
         pos = np.searchsorted(d, common)
         total += term_weights[t] * bm25.tf_norm(tf[pos], dl[pos], avgdl, cfg.k1, cfg.b)
+    if cur_mask is not None:
+        keep = cur_mask(common, total)
+        common, total = common[keep], total[keep]
+        if common.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     sel = np.lexsort((common, -total))[:k]
     return common[sel], total[sel]

@@ -166,3 +166,48 @@ def test_more_like_this_matches_brute_derivation(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_search_after_pages_stitch_to_full_ranking(spark, tmp_path):
+    """Deep pagination: walking pages of size p via search_after must
+    reproduce top_k(k=ALL) exactly (ids and float64 scores), on both
+    the driver-local and distributed scoring paths, disjunctive and
+    conjunctive, and a cursor past the last row yields an empty page."""
+    engine = _fixture(spark, tmp_path)
+    for conj in (False, True):
+        full = engine.top_k(
+            "error retry redis", k=50, with_docs=False, conjunctive=conj
+        ).collect()
+        assert full, "fixture must match something"
+        for dist in (False, True):
+            pages, cursor = [], None
+            if dist:
+                assert engine._local_gate.acquire(blocking=False)
+            try:
+                while True:
+                    page = engine.top_k(
+                        "error retry redis", k=2, with_docs=False,
+                        conjunctive=conj, search_after=cursor,
+                    ).collect()
+                    if not page:
+                        break
+                    pages.extend(page)
+                    cursor = (page[-1]["score"], page[-1]["doc_id"])
+            finally:
+                if dist:
+                    engine._local_gate.release()
+            assert [(r["doc_id"], r["score"]) for r in pages] == [
+                (r["doc_id"], r["score"]) for r in full
+            ], (conj, dist)
+    # cursor below everything -> empty page, not an error
+    assert (
+        engine.top_k("error", k=5, with_docs=False,
+                     search_after=(-1.0, 10**9)).count() == 0
+    )
+
+
+def test_count_matches_brute(spark, tmp_path):
+    engine = _fixture(spark, tmp_path)
+    n = sum(1 for t in TEXTS if {"error", "retry"} <= set(tokenize(t)))
+    assert engine.count("error retry").collect()[0]["n_matches"] == n
+    assert engine.count("zzzabsent").collect()[0]["n_matches"] == 0
