@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count (the ES _count shape)
     q["transcripts_search_after"] = _transcripts_search_after
     q["transcripts_count"] = _transcripts_count
+    # ES bool-query must_not: membership exclusion, scores untouched
+    q["transcripts_bool_must_not"] = _transcripts_bool_must_not
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -731,6 +733,19 @@ def _transcripts_count(spark, sf_dir):
     shape — per-range block-skipping conjunction, counted, no k."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.count("error retry")
+
+
+def _transcripts_bool_must_not(spark, sf_dir):
+    """ES bool query (must + must_not): BM25 over the query terms with
+    docs containing any excluded term removed — exclusion is
+    membership-only (Lucene MUST_NOT), so survivors' scores equal the
+    plain query's.  Excluded postings ride the same pruned shard scan
+    and fold into the per-range tombstone mask
+    (index/query.py top_k(must_not=...), operators/wand.split_excluded)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k(
+        "error retry timeout", k=10, must_not="t0040"
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1554,6 +1569,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "error retry timeout", k=10, offset=10
     )
     o["transcripts_count"] = _transcripts_count_oracle_sql("error retry")
+    o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout", k=10, must_not="t0040"
+    )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -1823,6 +1841,7 @@ def _transcripts_bm25_oracle_sql(
     query_text: str, k: int, conjunctive: bool = False,
     k1: float = 1.2, b: float = 0.75, ts_window: tuple | None = None,
     docs_glob: str | None = None, offset: int = 0,
+    must_not: str | None = None,
 ) -> str:
     """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
     contract as QueryEngine (sotohp_spark/operators/bm25.py).
@@ -1845,6 +1864,18 @@ def _transcripts_bm25_oracle_sql(
         if ts_window
         else ""
     )
+    excl_where = ""
+    if must_not:
+        excl = ", ".join(
+            f"'{t}'" for t in sorted(set(tokenize(must_not)))
+        )
+        # must_not = membership exclusion only (Lucene MUST_NOT):
+        # survivors keep their unmodified global-stats BM25 scores
+        excl_where = (
+            ("AND" if ts_where else "WHERE")
+            + " tf.doc_id NOT IN (SELECT doc_id FROM tf"
+            + f" WHERE term IN ({excl}))"
+        )
     return f"""
 WITH tf AS (
   SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
@@ -1869,6 +1900,7 @@ scored AS (
   FROM tf JOIN q ON tf.term = q.term
   JOIN dft ON tf.term = dft.term CROSS JOIN g
   {ts_where}
+  {excl_where}
   GROUP BY tf.doc_id
   {having}
 )

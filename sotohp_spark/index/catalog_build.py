@@ -260,6 +260,7 @@ class CatalogIndexBuilder:
                 store.clear_state()
                 store.clear_deletes()
             # ---- stage 1: docs + tokenize + stats in ONE pass ----
+            t_stage = time.time()
             docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
             docs = apply_term_freqs(
@@ -280,6 +281,8 @@ class CatalogIndexBuilder:
             )
             store.replace_table(store.docs_table, out,
                                 partition_col="range_bucket")
+            log.info("stage1 docs+tokenize+write: %.1fs",
+                     time.time() - t_stage)
             stats = obs.get
             meta = {
                 "n_docs": int(stats["n"]),
@@ -341,6 +344,10 @@ class CatalogIndexBuilder:
                     time.time() - t0,
                 )
             )
+            log.info(
+                "stage2 buckets %s..%s (%d): %.1fs",
+                min(chunk), max(chunk), len(chunk), time.time() - t0,
+            )
             batches_done += 1
             if (
                 stop_after_batches is not None
@@ -351,6 +358,7 @@ class CatalogIndexBuilder:
                 )
 
         # ---- stage 3: term stats + finalize ----
+        t_stage = time.time()
         if not meta.get("postings_done"):
             ts = (
                 store.read_postings()
@@ -365,6 +373,7 @@ class CatalogIndexBuilder:
             store.write_term_stats(ts)
             meta["postings_done"] = True
             store.write_meta(meta)
+            log.info("stage3 term_stats: %.1fs", time.time() - t_stage)
         return meta
 
     # ------------------------------------------------------------------

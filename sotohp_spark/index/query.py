@@ -575,6 +575,7 @@ class QueryEngine:
         ts_min=None,
         ts_max=None,
         search_after: tuple | None = None,
+        must_not: str | None = None,
         _weights: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
@@ -594,7 +595,17 @@ class QueryEngine:
         into the per-range scorer, which keeps block-max pruning valid
         over cursor-eligible docs (operators/wand.score_range).  Page
         boundaries compare float64-exact — always feed back a score
-        the engine itself returned, not a rounded display value."""
+        the engine itself returned, not a rounded display value.
+
+        ``must_not``: text whose terms EXCLUDE matching docs (the ES
+        bool-query must_not clause; Lucene MUST_NOT semantics: a doc
+        containing ANY excluded term is removed from the result set,
+        scores of survivors are unchanged — exclusion is membership,
+        not scoring).  Scale shape: excluded terms' postings ride the
+        SAME pruned shard scan as the query terms (one job, term-IN +
+        bucket pruning intact) and are decoded per range into the
+        tombstone mask, so exclusion is co-partitioned with scoring and
+        never shuffles or collects a doc-id list."""
         # reset per query: stats are populated by the driver-local
         # path only; leaving the previous query's numbers in place
         # would attribute them to a distributed/early-exit query
@@ -631,7 +642,23 @@ class QueryEngine:
         terms = sorted(weights)
         n_terms = len(terms)
 
-        shards = self._scoring_shards(terms)
+        excl_terms: frozenset = frozenset()
+        if must_not:
+            cand = sorted(
+                set(tokenize(must_not, self._query_rules(source)))
+            )
+            excl_dfs = self._term_dfs(cand)
+            excl_terms = frozenset(t for t in cand if excl_dfs.get(t))
+            if conjunctive and excl_terms & set(terms):
+                # must + must_not on the same term: every doc matching
+                # all positives contains it, hence is excluded
+                out = spark.createDataFrame([], TOPK_SCHEMA)
+                return self._attach_docs(out) if with_docs else out
+            # excluded postings are collected/decoded too — they count
+            # against the driver-local gate like candidate postings
+            n_candidates += sum(excl_dfs[t] for t in excl_terms)
+
+        shards = self._scoring_shards(sorted(set(terms) | excl_terms))
         if doc_bounds is not None:
             shards = self._prune_shards_to_bounds(shards, doc_bounds)
 
@@ -646,16 +673,20 @@ class QueryEngine:
             try:
                 out = self._top_k_local(
                     shards, weights, k, avgdl, conjunctive, doc_bounds,
-                    cursor=search_after,
+                    cursor=search_after, excl_terms=excl_terms,
                 )
             finally:
                 self._local_gate.release()
             return self._attach_docs(out) if with_docs else out
         if conjunctive:
             # ranges lacking any query term can't contribute: semi-filter
-            # on distinct-term count per range before the heavy decode.
+            # on distinct POSITIVE-term count per range before the heavy
+            # decode (excluded-term shards must not inflate the count).
+            pos = shards
+            if excl_terms:
+                pos = pos.where(~F.col("term").isin(list(excl_terms)))
             ok = (
-                shards.groupBy("range_id")
+                pos.groupBy("range_id")
                 .agg(F.countDistinct("term").alias("nt"))
                 .where(F.col("nt") == n_terms)
                 .select("range_id")
@@ -664,6 +695,10 @@ class QueryEngine:
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
+            if excl_terms:
+                rows, deletes = wand.split_excluded(
+                    rows, excl_terms, deletes
+                )
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
                 deletes=deletes, doc_bounds=doc_bounds, cursor=search_after,
@@ -814,7 +849,8 @@ class QueryEngine:
         )
 
     def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive,
-                     doc_bounds=None, cursor=None):
+                     doc_bounds=None, cursor=None,
+                     excl_terms: frozenset = frozenset()):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
@@ -831,9 +867,12 @@ class QueryEngine:
         # across ranges (blocks_total / blocks_decoded / blocks_skipped)
         self.last_query_stats = stats = {}
         for rid in sorted(by_range):
+            rrows, dels = by_range[rid], self._deletes
+            if excl_terms:
+                rrows, dels = wand.split_excluded(rrows, excl_terms, dels)
             d, s = wand.score_range(
-                by_range[rid], weights, k, avgdl, conjunctive=conjunctive,
-                cfg=self.cfg, deletes=self._deletes, doc_bounds=doc_bounds,
+                rrows, weights, k, avgdl, conjunctive=conjunctive,
+                cfg=self.cfg, deletes=dels, doc_bounds=doc_bounds,
                 stats=stats, cursor=cursor,
             )
             all_docs.append(d)

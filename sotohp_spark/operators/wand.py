@@ -273,6 +273,36 @@ def score_range(
     return docs[sel], scs[sel]
 
 
+def split_excluded(rows: list, excl_terms, deletes: np.ndarray | None):
+    """Split a range's shard rows into (scoring rows, widened deletes).
+
+    Rows whose term is in ``excl_terms`` (an ES bool-query must_not
+    clause) are fully decoded and their doc ids merged into the SORTED
+    tombstone array — exclusion then rides the existing deletes mask,
+    so every scoring path (block-max, conjunctive, driver-local,
+    distributed) honors it identically with no further branching.
+    Decoding every block of an excluded term's shard mirrors Lucene's
+    MUST_NOT iterator, which always advances through the excluded
+    postings; the shards arrive on the same pruned term-IN scan as the
+    query terms, so the marginal cost is the excluded terms' decode."""
+    keep, excl_docs = [], []
+    for r in rows:
+        if r["term"] in excl_terms:
+            d, _tf, _dl = decode_shard_blocks(
+                r["payload"], r["block_offsets"]
+            )
+            excl_docs.append(d)
+        else:
+            keep.append(r)
+    if excl_docs:
+        merged = np.concatenate(
+            ([deletes] if deletes is not None and deletes.size else [])
+            + excl_docs
+        )
+        deletes = np.unique(merged)
+    return keep, deletes
+
+
 def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
     """Membership of doc_ids in the SORTED deletes array (tombstones)."""
     pos = np.searchsorted(deletes, doc_ids)

@@ -211,3 +211,55 @@ def test_count_matches_brute(spark, tmp_path):
     n = sum(1 for t in TEXTS if {"error", "retry"} <= set(tokenize(t)))
     assert engine.count("error retry").collect()[0]["n_matches"] == n
     assert engine.count("zzzabsent").collect()[0]["n_matches"] == 0
+
+
+def test_must_not_excludes_matching_docs(spark, tmp_path):
+    """ES bool-query must_not: results equal top_k minus docs
+    containing any excluded term, scores unchanged (Lucene filter
+    semantics), on both scoring paths and both match semantics."""
+    engine = _fixture(spark, tmp_path)
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    texts_by_doc = {
+        r["doc_id"]: conv_text[r["conv_id"]]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    for conj in (False, True):
+        base = engine.top_k(
+            "error retry", k=50, with_docs=False, conjunctive=conj
+        ).collect()
+        assert base
+        expect = [
+            (r["doc_id"], r["score"]) for r in base
+            if "redis" not in tokenize(texts_by_doc[r["doc_id"]])
+        ]
+        for dist in (False, True):
+            if dist:
+                assert engine._local_gate.acquire(blocking=False)
+            try:
+                got = engine.top_k(
+                    "error retry", k=50, with_docs=False,
+                    conjunctive=conj, must_not="redis",
+                ).collect()
+            finally:
+                if dist:
+                    engine._local_gate.release()
+            assert [(r["doc_id"], r["score"]) for r in got] == expect, (
+                conj, dist,
+            )
+    # absent excluded term -> no-op
+    assert (
+        engine.top_k("error", k=50, with_docs=False,
+                     must_not="zzqabsent").count()
+        == engine.top_k("error", k=50, with_docs=False).count()
+    )
+    # same term in must and must_not (conjunctive) -> provably empty
+    assert engine.top_k(
+        "error", k=5, with_docs=False, conjunctive=True, must_not="error"
+    ).count() == 0
+    # disjunctive dual term: docs containing it are gone, others keep
+    # their other-term scores
+    got = engine.top_k(
+        "error retry", k=50, with_docs=False, must_not="retry"
+    ).collect()
+    for r in got:
+        assert "retry" not in tokenize(texts_by_doc[r["doc_id"]])
