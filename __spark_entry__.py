@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sotohp_spark.functions import text as tx
     from sotohp_spark.operators import analytics as an
     from sotohp_spark.operators import ann, dedup
+    from sotohp_spark.operators import topk
     from sotohp_spark.operators.topk import bm25_topk, doc_term_tf
 
     q: dict[str, Callable] = {}
@@ -151,6 +152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_cosine_topk_ivf"] = lambda s, d: ann.cosine_topk_ivf(
         _t(s, d, "embeddings"), _ann_query_vec(), k=10, n_centroids=8, n_probe=4
+    )
+    # hybrid lexical+semantic retrieval, RRF-fused (the ES 8 `rrf`
+    # retriever): BM25 arm over documents.text, cosine arm over
+    # embeddings, fusion over <= 2*k_each rows
+    q["hybrid_rrf_topk"] = lambda s, d: topk.hybrid_rrf(
+        _docs(s, d), _t(s, d, "embeddings"), FLAGSHIP_TERMS,
+        _ann_query_vec(), k=10
     )
     q["embedding_neardup_exact"] = lambda s, d: _embedding_neardup_exact(s, d)
     # IVF-probed near-dup (round-6): candidates from each vector's
@@ -265,6 +273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_count"] = _transcripts_count
     # ES bool-query must_not: membership exclusion, scores untouched
     q["transcripts_bool_must_not"] = _transcripts_bool_must_not
+    # ES fuzziness: Levenshtein<=1 dictionary expansion, one job
+    q["transcripts_fuzzy_topk"] = _transcripts_fuzzy_topk
+    # ES highlighting (whole-field): post-retrieval, k rows only
+    q["transcripts_highlight"] = _transcripts_highlight
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -748,6 +760,29 @@ def _transcripts_bool_must_not(spark, sf_dir):
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _transcripts_fuzzy_topk(spark, sf_dir):
+    """Fuzzy match (ES `fuzziness`): single-edit typos of the flagship
+    terms expand against the term dictionary in ONE OR-pushdown job
+    (StringStartsWith + length band + JVM levenshtein), each expansion
+    scoring with its own idf (index/query.py top_k_fuzzy)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_fuzzy(
+        "errox retru timeouf", k=10
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_highlight(spark, sf_dir):
+    """ES highlight, whole-field mode: top-k docs' text with every
+    whole-word query-term occurrence wrapped in <em>...</em> —
+    retrieval first, then a k-row broadcast join into the text table
+    and a codegen regexp_replace (index/query.py highlight)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.highlight("error retry timeout", texts, k=10).select(
+        "doc_id", F.round("score", 6).alias("score"), "highlight"
+    )
+
+
 def _transcripts_phrase_batch(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     texts = spark.read.parquet(_transcript_text(spark, sf_dir))
@@ -988,7 +1023,10 @@ def oracle_sql() -> dict[str, str]:
         ivf_topk_oracle_sql,
         lsh_topk_oracle_sql,
     )
-    from sotohp_spark.operators.topk import bm25_oracle_sql
+    from sotohp_spark.operators.topk import (
+        bm25_oracle_sql,
+        hybrid_rrf_oracle_sql,
+    )
 
     qv = _ann_query_vec()
     vec = "[" + ", ".join(f"{float(x)!r}" for x in qv) + "]"
@@ -1185,6 +1223,7 @@ FROM words
 """
 
     o["ann_cosine_topk"] = cosine_topk_oracle_sql(qv, k=10)
+    o["hybrid_rrf_topk"] = hybrid_rrf_oracle_sql(FLAGSHIP_TERMS, qv, k=10)
     # LSH/IVF approximations are deterministic (seed-derived
     # hyperplanes / first-k centroids) -> exactly reproducible in SQL
     o["ann_cosine_topk_lsh"] = lsh_topk_oracle_sql(
@@ -1572,6 +1611,12 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_fuzzy_topk"] = _transcripts_fuzzy_oracle_sql(
+        "errox retru timeouf", k=10
+    )
+    o["transcripts_highlight"] = _transcripts_highlight_oracle_sql(
+        "error retry timeout", k=10
+    )
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -1906,6 +1951,112 @@ scored AS (
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def _transcripts_fuzzy_oracle_sql(
+    query_text: str, k: int, max_edits: int = 1, prefix_length: int = 1,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Fuzzy-expanded BM25 mirroring top_k_fuzzy's contract: each
+    dictionary term within ``max_edits`` Levenshtein edits (sharing the
+    first ``prefix_length`` chars) of any query term scores with its
+    OWN df; a term reachable from several query terms sums their qtf
+    (linearity makes that equal to the engine's summed weights)."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    src_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    pfx_cond = (
+        f"substr(d.term, 1, {prefix_length})"
+        f" = substr(src.qt, 1, {prefix_length}) AND "
+        if prefix_length > 0
+        else ""
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+src(qt, qtf) AS (VALUES {src_vals}),
+q AS (
+  SELECT d.term, sum(src.qtf) AS qtf
+  FROM src JOIN (SELECT DISTINCT term FROM tf) d
+    ON {pfx_cond}levenshtein(d.term, src.qt) <= {max_edits}
+  GROUP BY d.term
+),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_highlight_oracle_sql(
+    query_text: str, k: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """BM25 top-k (same contract as _transcripts_bm25_oracle_sql)
+    joined to the materialized text, whole-word matches wrapped —
+    DuckDB regexp_replace with the 'g' flag mirrors Spark's
+    replace-all; RE2 and Java regex agree on (?i), alternation and
+    ASCII \\b for these lowercase terms."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    alt = "|".join(sorted(qtf))
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+  ORDER BY raw DESC, tf.doc_id ASC LIMIT {k}
+)
+SELECT t.doc_id, round(s.raw, 6) AS score,
+       regexp_replace(t.text, '(?i)\b({alt})\b', '<em>\1</em>', 'g')
+         AS highlight
+FROM read_parquet('{_ORACLE_DOC_TEXT}') t
+JOIN scored s ON t.doc_id = s.doc_id
 """
 
 

@@ -47,6 +47,29 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+def _edit_distance(a: str, b: str, cap: int) -> int:
+    """Plain Levenshtein distance, early-exited past ``cap`` (returns
+    cap+1 then).  Driver-side attribution twin of the JVM
+    F.levenshtein predicate in top_k_fuzzy — same metric, no
+    transpositions, so the two can never disagree on membership."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            )
+            cur.append(v)
+            best = min(best, v)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 class QueryEngine:
     # candidate postings below this count are scored on the driver
     # (same score_range code, no Spark job) — the interactive path;
@@ -948,6 +971,147 @@ class QueryEngine:
             .select("term", F.col("df").cast("long").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(k)
+        )
+
+    def fuzzy_expand(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 1) -> list:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of
+        ``term`` (the ES `fuzziness` expansion), as (term, df) pairs.
+
+        Scale shape: the expansion runs over the TERM DICTIONARY
+        (term_stats), never the postings or docs.  With
+        ``prefix_length`` >= 1 (the ES default recommendation for
+        exactly this reason) the candidate set is a dictionary PREFIX
+        RANGE — `startswith` compiles to a StringStartsWith pushdown on
+        the term-sorted parquet, the same pruning suggest() gets — plus
+        a length band; the Levenshtein itself is JVM-side
+        (F.levenshtein, whole-stage codegen).  prefix_length=0 is
+        honored but scans the length band of the whole vocabulary
+        (Lucene pays the same: its automaton walks the full FST)."""
+        term = term.strip().lower()
+        if not term or max_edits < 1:
+            return []
+        cand = self._term_stats.where(
+            F.length("term").between(
+                len(term) - max_edits, len(term) + max_edits
+            )
+        )
+        if prefix_length > 0:
+            cand = cand.where(
+                F.col("term").startswith(term[:prefix_length])
+            )
+        cand = cand.where(
+            F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+        )
+        return [
+            (r["term"], int(r["df"]))
+            for r in cand.select("term", "df").collect()
+        ]
+
+    def top_k_fuzzy(self, query_text: str, k: int = 10,
+                    max_edits: int = 1, prefix_length: int = 1,
+                    with_docs: bool = True, source=None) -> DataFrame:
+        """Top-k BM25 with fuzzy term matching (the ES `match` +
+        `fuzziness` shape): every query term expands to its dictionary
+        neighborhood and a doc scores the SUM over matched expansions
+        of qtf * idf(expansion's own df) * tfn — each expansion scores
+        like a regular disjunctive term with its own document
+        frequency.  (Lucene's FuzzyQuery blends the expansions' dfs
+        under TopTermsBlendedFreqScoringRewrite; the per-expansion-idf
+        contract here is deterministic, linear, and exactly
+        reproducible in SQL, which keeps the oracle honest.)
+
+        The expansion for ALL query terms is ONE dictionary job (an OR
+        of per-term prefix+length+Levenshtein predicates — the
+        StringStartsWith disjunction still pushes into the term-sorted
+        parquet scan); matches are attributed back to their source
+        terms on the driver over the tiny collected candidate list.
+        The expanded weight table then feeds the standard top_k
+        machinery (_weights), so block-max pruning, the driver-local
+        gate, deletes, and pagination all apply unchanged — warm cost
+        is 1 dictionary job + the usual scoring job."""
+        from functools import reduce
+        from operator import or_
+
+        from sotohp_spark.operators import bm25 as _bm25
+
+        toks = tokenize(query_text, self._query_rules(source))
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        conds = []
+        for t in sorted(qtf):
+            c = F.length("term").between(
+                len(t) - max_edits, len(t) + max_edits
+            ) & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+            if prefix_length > 0:
+                c = F.col("term").startswith(t[:prefix_length]) & c
+            conds.append(c)
+        if not conds or max_edits < 1:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        cand = [
+            (r["term"], int(r["df"]))
+            for r in self._term_stats.where(reduce(or_, conds))
+            .select("term", "df").collect()
+        ]
+        n = self.meta["n_docs"]
+        weights: dict[str, float] = {}
+        for t, q in sorted(qtf.items()):
+            pfx = t[:prefix_length] if prefix_length > 0 else ""
+            for t2, df in cand:
+                if not t2.startswith(pfx):
+                    continue
+                if _edit_distance(t, t2, max_edits) <= max_edits:
+                    weights[t2] = weights.get(t2, 0.0) + (
+                        q * _bm25.lucene_idf_scalar(n, df)
+                    )
+        if not weights:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        return self.top_k(
+            query_text, k=k, with_docs=with_docs, _weights=weights
+        )
+
+    def highlight(self, query_text: str, texts: DataFrame, k: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  source=None, tag: str = "em") -> DataFrame:
+        """ES highlighting, whole-field mode (number_of_fragments=0):
+        the top-k docs' raw text with every whole-word,
+        case-insensitive occurrence of any query term wrapped in
+        <tag>...</tag>.  ``texts`` is a (doc_id, text) frame — the same
+        verify-side contract phrase_search uses.
+
+        Scale shape: highlighting happens AFTER retrieval on the k-row
+        result only — the k-row frame broadcasts into the text table
+        join (partition-prunable on a doc_id-keyed table) and the
+        regexp_replace is JVM codegen on k rows, never a corpus pass.
+        Like ES's plain highlighter, the text is re-analyzed at
+        highlight time; analyzer-normalized terms that differ from
+        their raw surface form (camelCase splits) simply don't wrap."""
+        import re as _re
+
+        terms = sorted(set(tokenize(query_text, self._query_rules(source))))
+        top = self.top_k(query_text, k, with_docs=False, source=source)
+        if not terms:
+            return (
+                texts.join(F.broadcast(top), id_col)
+                .select(id_col, "score",
+                        F.col(text_col).alias("highlight"))
+            )
+        pat = (
+            r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+        )
+        return (
+            texts.join(F.broadcast(top), id_col)
+            .select(
+                id_col,
+                "score",
+                F.regexp_replace(
+                    F.col(text_col), pat, f"<{tag}>$1</{tag}>"
+                ).alias("highlight"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
         )
 
     def facets(self, query_text: str, by: str = "month",

@@ -14,6 +14,8 @@ import datetime
 import math
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from sotohp_spark.config import EngineConfig
 from sotohp_spark.functions.tokenizer import tokenize
 from sotohp_spark.index import IndexBuilder, QueryEngine
@@ -263,3 +265,155 @@ def test_must_not_excludes_matching_docs(spark, tmp_path):
     ).collect()
     for r in got:
         assert "retry" not in tokenize(texts_by_doc[r["doc_id"]])
+
+
+def _py_lev(a, b):
+    import numpy as _np
+    m = _np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+    m[:, 0] = range(len(a) + 1)
+    m[0, :] = range(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1,
+                          m[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(m[-1, -1])
+
+
+def test_fuzzy_expand_and_topk_match_brute(spark, tmp_path):
+    """ES fuzziness: expansion set equals a brute Levenshtein sweep of
+    the fixture vocabulary; top_k_fuzzy ranks equal a brute BM25 over
+    the per-expansion-idf weight contract."""
+    engine = _fixture(spark, tmp_path)
+    vocab = Counter()
+    docs = [Counter(tokenize(t)) for t in TEXTS]
+    for d in docs:
+        for t in d:
+            vocab[t] += 1  # df
+    # --- expansion vs brute, prefix 1 and 0 ---
+    for q, pfx in (("rety", 1), ("rety", 0), ("redos", 1), ("eror", 0)):
+        expect = sorted(
+            (t, df) for t, df in vocab.items()
+            if _py_lev(q, t) <= 1 and (pfx == 0 or t.startswith(q[:pfx]))
+        )
+        got = sorted(engine.fuzzy_expand(q, 1, prefix_length=pfx))
+        assert got == expect, (q, pfx, got, expect)
+    # "rety" -> retry (1 edit); "eror" -> error with prefix_length=0
+    assert ("retry", vocab["retry"]) in engine.fuzzy_expand("rety", 1)
+    assert ("error", vocab["error"]) in engine.fuzzy_expand("eror", 1, 0)
+    # --- ranked results vs brute ---
+    id_of = {
+        int(r["conv_id"][1:]): r["doc_id"]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    n = len(docs)
+
+    def idf(df):
+        return math.log1p((n - df + 0.5) / (df + 0.5))
+
+    for query, pfx in (("rety eror", 0), ("retry eror", 1)):
+        weights = {}
+        for qt in set(tokenize(query)):
+            for t, df in vocab.items():
+                if _py_lev(qt, t) <= 1 and (
+                    pfx == 0 or t.startswith(qt[:pfx])
+                ):
+                    weights[t] = weights.get(t, 0.0) + idf(df)
+        scores = _brute_bm25(weights)
+        expect = sorted(
+            ((id_of[i], s) for i, s in scores.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.top_k_fuzzy(
+                query, k=5, prefix_length=pfx, with_docs=False
+            ).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expect], (query, pfx)
+        for (_, gs), (_, es) in zip(got, expect):
+            assert abs(gs - es) < 1e-9
+    # no expansion anywhere -> empty, not an error
+    assert engine.top_k_fuzzy("zzzzzzqqq", k=5, with_docs=False).count() == 0
+
+
+def test_hybrid_rrf_matches_brute(spark):
+    """RRF fusion: sum(1/(60+rank)) over the arms a doc appears in,
+    ranks from each arm's deterministic (score desc, id asc) order —
+    including docs present in only one arm."""
+    import numpy as np
+
+    from sotohp_spark.operators.topk import bm25_topk, hybrid_rrf
+    from sotohp_spark.operators.ann import cosine_topk_bruteforce
+
+    texts = [
+        "shuffle join window",        # lexical hit
+        "shuffle shuffle noise",      # lexical hit
+        "totally unrelated words",    # semantic-only candidate
+        "join window shuffle join",   # lexical hit
+        "filler filler filler",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = rng.standard_normal((5, 8))
+    qv = [round(float(x), 6) for x in rng.standard_normal(8)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    k_each = 3
+    lex = bm25_topk(docs, ["shuffle", "join", "window"], k=k_each).collect()
+    sem = cosine_topk_bruteforce(emb, qv, k=k_each).collect()
+    expect = {}
+    for rank, r in enumerate(lex, 1):
+        expect[r["doc_id"]] = expect.get(r["doc_id"], 0.0) + 1 / (60 + rank)
+    for rank, r in enumerate(sem, 1):
+        expect[r["vec_id"]] = expect.get(r["vec_id"], 0.0) + 1 / (60 + rank)
+    want = sorted(
+        ((round(s, 6), i) for i, s in expect.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:4]
+    got = [
+        (r["rrf_score"], r["doc_id"])
+        for r in hybrid_rrf(
+            docs, emb, ["shuffle", "join", "window"], qv,
+            k=4, k_each=k_each,
+        ).collect()
+    ]
+    assert got == want, (got, want)
+    # a doc ranked by BOTH arms scores the sum of both contributions
+    both = set(r["doc_id"] for r in lex) & set(r["vec_id"] for r in sem)
+    for d in both:
+        assert expect[d] > 1 / 61 * 0.9
+
+
+def test_highlight_wraps_whole_words_only(spark, tmp_path):
+    engine = _fixture(spark, tmp_path)
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    texts = engine._docs.select("doc_id", "conv_id").withColumn(
+        "text",
+        F.udf(lambda c: conv_text[c])("conv_id"),
+    )
+    rows = engine.highlight("error retry", texts, k=10).collect()
+    top = engine.top_k("error retry", k=10, with_docs=False).collect()
+    # same docs, same order, same scores as retrieval
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in top
+    ]
+    import re
+    for r in rows:
+        # every wrapped token is exactly a query term
+        for m in re.findall(r"<em>(\w+)</em>", r["highlight"]):
+            assert m in ("error", "retry")
+        # and stripping tags restores the original text
+        plain = r["highlight"].replace("<em>", "").replace("</em>", "")
+        assert plain in TEXTS
+        # every whole-word occurrence IS wrapped
+        assert not re.search(r"(?<!<em>)\b(error|retry)\b(?!</em>)",
+                             r["highlight"])
+    # substring containment must not wrap: "regression" contains no
+    # whole-word "error"/"retry"; add a doc-level check via doc 4
+    frag = [r for r in rows if "regression" in r["highlight"]]
+    for r in frag:
+        assert "<em>regression" not in r["highlight"]
