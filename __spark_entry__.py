@@ -277,6 +277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_fuzzy_topk"] = _transcripts_fuzzy_topk
     # ES highlighting (whole-field): post-retrieval, k rows only
     q["transcripts_highlight"] = _transcripts_highlight
+    # ES sort-by-field: k most recent matches, no scores
+    q["transcripts_sort_recent"] = _transcripts_sort_recent
+    # ES _explain: per-term score breakdown of one (query, doc)
+    q["transcripts_explain"] = _transcripts_explain
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -781,6 +785,24 @@ def _transcripts_highlight(spark, sf_dir):
     return engine.highlight("error retry timeout", texts, k=10).select(
         "doc_id", F.round("score", 6).alias("score"), "highlight"
     )
+
+
+def _transcripts_sort_recent(spark, sf_dir):
+    """ES sort-by-field (`sort: [{ts: desc}]`): the k most recent
+    conjunctive matches — per-segment WindowGroupLimit top-k over the
+    time-ordered doc ids, metadata join on the survivors only
+    (index/query.py top_k_recent)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_recent("error retry", k=10)
+
+
+def _transcripts_explain(spark, sf_dir):
+    """ES _explain: per-term (qtf, df, idf, tf, contribution) rows for
+    one (query, doc) pair; contributions sum to the doc's top_k score
+    (pytest-pinned).  One partition-pruned single-row docs lookup, df
+    from the warm term-stats LRU (index/query.py explain)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.explain("error retry timeout", _MLT_DOC)
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1617,6 +1639,22 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_highlight"] = _transcripts_highlight_oracle_sql(
         "error retry timeout", k=10
     )
+    o["transcripts_explain"] = _transcripts_explain_oracle_sql(
+        "error retry timeout", _MLT_DOC
+    )
+    o["transcripts_sort_recent"] = f"""
+SELECT doc_id, conv_id, doc_ts FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+WHERE doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, e.key AS term
+    FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+    LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+    WHERE e.key IN ('error', 'retry')
+  )
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+ORDER BY doc_ts DESC, doc_id ASC LIMIT 10
+"""
     o["transcripts_doc_stats"] = f"""
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
        sum(n_turns)::BIGINT AS n_turns
@@ -2057,6 +2095,46 @@ SELECT t.doc_id, round(s.raw, 6) AS score,
          AS highlight
 FROM read_parquet('{_ORACLE_DOC_TEXT}') t
 JOIN scored s ON t.doc_id = s.doc_id
+"""
+
+
+def _transcripts_explain_oracle_sql(
+    query_text: str, doc_id: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Per-term BM25 breakdown for one doc from the stored tf maps —
+    same N/avgdl/df/idf/tfn contract as the top-k oracles."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+)
+SELECT tf.term, q.qtf::INT AS qtf, dft.df,
+       round(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5)), 6) AS idf,
+       tf.tf::BIGINT AS tf,
+       round(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({k1} + 1.0)
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl)), 6)
+         AS score
+FROM tf JOIN q ON tf.term = q.term
+JOIN dft ON tf.term = dft.term CROSS JOIN g
+WHERE tf.doc_id = {doc_id}
+ORDER BY tf.term
 """
 
 

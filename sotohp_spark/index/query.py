@@ -218,6 +218,9 @@ class QueryEngine:
         self._docs = docs.select(
             "range_bucket", "doc_id", "conv_id", "doc_ts", "n_turns", "doc_len"
         )
+        # unpruned frame (carries tfs) for the rare single-row readers
+        # (explain); every scan-heavy path uses the pruned _docs
+        self._docs_raw = docs
         if max_driver_deletes is not None:
             self.MAX_DRIVER_DELETES = max_driver_deletes
         self._deletes_df: DataFrame | None = None
@@ -1071,6 +1074,118 @@ class QueryEngine:
             return self._attach_docs(out) if with_docs else out
         return self.top_k(
             query_text, k=k, with_docs=with_docs, _weights=weights
+        )
+
+    def explain(self, query_text: str, doc_id: int,
+                source=None) -> DataFrame:
+        """Per-term score breakdown for one (query, doc) — the ES
+        `_explain` shape.  Returns one row per query term PRESENT in
+        the doc: (term, qtf, df, idf, tf, score) with score =
+        qtf * idf * tfn; the rows sum to exactly the doc's top_k score
+        (pytest-pinned), term asc.
+
+        Scale shape: df/idf come from the warm term-stats LRU (zero
+        jobs warm), the doc row is ONE partition-pruned docs lookup
+        (range_bucket derived from the id like _attach_docs), and the
+        breakdown explodes that single row's tf map filtered to the
+        query terms — one tiny job, never a postings or corpus scan."""
+        weights_terms = tokenize(query_text, self._query_rules(source))
+        qtf: dict[str, int] = {}
+        for t in weights_terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        if not qtf:
+            return self.spark.createDataFrame(
+                [], "term string, qtf int, df long, idf double, "
+                    "tf long, score double"
+            )
+        dfs = self._term_dfs(sorted(qtf))
+        n = self.meta["n_docs"]
+        avgdl = float(self.meta["avgdl"])
+        k1, b = self.cfg.k1, self.cfg.b
+        from sotohp_spark.operators import bm25 as _bm25
+
+        idf = {t: _bm25.lucene_idf_scalar(n, d) for t, d in dfs.items()}
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        row = self._docs_raw.where(
+            (F.col("range_bucket") == int(doc_id) // span)
+            & (F.col("doc_id") == int(doc_id))
+        )
+        qtf_m = F.create_map(
+            *[x for t in dfs for x in (F.lit(t), F.lit(qtf[t]))]
+        )
+        df_m = F.create_map(
+            *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+        )
+        idf_m = F.create_map(
+            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+        )
+        tfn = (
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        )
+        return (
+            row.select(
+                "doc_len", F.explode("tfs").alias("term", "tf")
+            )
+            .where(F.col("term").isin(list(dfs)))
+            .select(
+                "term",
+                qtf_m[F.col("term")].cast("int").alias("qtf"),
+                df_m[F.col("term")].cast("long").alias("df"),
+                F.round(idf_m[F.col("term")], 6).alias("idf"),
+                F.col("tf").cast("long").alias("tf"),
+                F.round(
+                    qtf_m[F.col("term")] * idf_m[F.col("term")] * tfn, 6
+                ).alias("score"),
+            )
+            .orderBy("term")
+        )
+
+    def top_k_recent(self, query_text: str, k: int = 10,
+                     source=None) -> DataFrame:
+        """The ES sort-by-field shape (`sort: [{ts: desc}]`): the k
+        MOST RECENT docs containing every query term — membership from
+        the index, ordering by doc_ts desc (doc_id asc tie-break), no
+        relevance scores.  Returns DataFrame(doc_id, conv_id, doc_ts).
+
+        Scale shape: candidates stream out of the per-range
+        block-skipping conjunction; within a SEGMENT doc ids are
+        (doc_ts, conv_id)-ordered (the build invariant time-windowed
+        search relies on), so "k most recent per segment" is "k
+        largest doc ids per segment" — a row_number window whose
+        rank<=k predicate Spark rewrites into WindowGroupLimit
+        (per-partition partial top-k BEFORE the shuffle).  Only the
+        <= k * n_segments survivors join doc metadata (broadcast,
+        partition-pruned like _attach_docs) for the exact final
+        (doc_ts, doc_id) order; ties inside one segment stay correct
+        because the id order refines doc_ts by conv_id, and ACROSS
+        segments the final sort decides."""
+        from pyspark.sql import Window
+
+        ids = self.matching_doc_ids(query_text, source=source)
+        segs = self.meta.get("segments") or [[0, self.meta["max_doc"]]]
+        seg_col = F.lit(None).cast("int")
+        for i, (lo, hi) in reversed(list(enumerate(segs))):
+            seg_col = F.when(
+                (F.col("doc_id") >= int(lo)) & (F.col("doc_id") <= int(hi)),
+                F.lit(i),
+            ).otherwise(seg_col)
+        w = Window.partitionBy("seg").orderBy(F.col("doc_id").desc())
+        survivors = (
+            ids.withColumn("seg", seg_col)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("doc_id")
+        )
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = survivors.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        return (
+            self._docs.join(F.broadcast(keyed), ["range_bucket", "doc_id"])
+            .select("doc_id", "conv_id", "doc_ts")
+            .orderBy(F.col("doc_ts").desc(), F.col("doc_id").asc())
+            .limit(k)
         )
 
     def highlight(self, query_text: str, texts: DataFrame, k: int = 10,

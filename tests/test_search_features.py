@@ -417,3 +417,133 @@ def test_highlight_wraps_whole_words_only(spark, tmp_path):
     frag = [r for r in rows if "regression" in r["highlight"]]
     for r in frag:
         assert "<em>regression" not in r["highlight"]
+
+
+def test_new_surfaces_job_parity(spark, tmp_path):
+    """Warm job-count pins: must_not and search_after ride the SAME
+    scan as a plain top_k (no extra jobs); fuzzy adds exactly one
+    dictionary job."""
+    import uuid
+
+    engine = _fixture(spark, tmp_path)
+
+    def jobs(fn):
+        gid = uuid.uuid4().hex
+        sc = spark.sparkContext
+        sc.setJobGroup(gid, "probe")
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("default", "")
+        return len(sc.statusTracker().getJobIdsForGroup(gid))
+
+    q = "error retry"
+    # warm every path (df LRU, metadata)
+    engine.top_k(q, 5, with_docs=False).collect()
+    engine.top_k(q, 5, with_docs=False, must_not="redis").collect()
+    engine.top_k(q, 5, with_docs=False, search_after=(99.0, -1)).collect()
+    engine.top_k_fuzzy(q, 5, with_docs=False).collect()
+
+    n_plain = jobs(lambda: engine.top_k(q, 5, with_docs=False).collect())
+    n_mn = jobs(lambda: engine.top_k(
+        q, 5, with_docs=False, must_not="redis").collect())
+    n_sa = jobs(lambda: engine.top_k(
+        q, 5, with_docs=False, search_after=(99.0, -1)).collect())
+    n_fz = jobs(lambda: engine.top_k_fuzzy(q, 5, with_docs=False).collect())
+    assert n_mn == n_plain, (n_mn, n_plain)
+    assert n_sa == n_plain, (n_sa, n_plain)
+    assert n_fz == n_plain + 1, (n_fz, n_plain)
+
+
+def test_top_k_recent_orders_by_time(spark, tmp_path):
+    """ES sort-by-field: k most recent conjunctive matches, exact
+    (doc_ts desc, doc_id asc) order — including across segments, where
+    an APPENDED segment holds older timestamps than the base (id order
+    alone would get this wrong)."""
+    from sotohp_spark.streaming.incremental import append_conversations
+
+    path = str(tmp_path / "recent_idx")
+    cfg = EngineConfig(
+        range_size=4, block_size=2, ranges_per_batch=2, shuffle_partitions=4
+    )
+    rows = [
+        (f"c{i:03d}", 0, TS + datetime.timedelta(days=31 * (i % 3)), t)
+        for i, t in enumerate(TEXTS)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, text string"
+    )
+    IndexBuilder(spark, path, cfg).build(turns, input_fingerprint="feat")
+    # second segment: one conversation OLDER than everything, one newer
+    extra = spark.createDataFrame(
+        [
+            ("cold", 0, TS - datetime.timedelta(days=400),
+             "ancient error retry archive"),
+            ("cnew", 0, TS + datetime.timedelta(days=400),
+             "fresh error retry incident"),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, text string",
+    )
+    append_conversations(spark, path, extra, cfg)
+    engine = QueryEngine(spark, path)
+    all_texts = dict(
+        [(f"c{i:03d}", (TS + datetime.timedelta(days=31 * (i % 3)), t))
+         for i, t in enumerate(TEXTS)]
+        + [("cold", (TS - datetime.timedelta(days=400),
+                     "ancient error retry archive")),
+           ("cnew", (TS + datetime.timedelta(days=400),
+                     "fresh error retry incident"))]
+    )
+    id_of = {
+        r["conv_id"]: r["doc_id"]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    match = [
+        c for c, (ts, t) in all_texts.items()
+        if {"error", "retry"} <= set(tokenize(t))
+    ]
+    for k in (3, 100):
+        expect = sorted(
+            ((all_texts[c][0], id_of[c]) for c in match),
+            key=lambda x: (-x[0].timestamp(), x[1]),
+        )[:k]
+        got = [
+            (r["doc_ts"], r["doc_id"])
+            for r in engine.top_k_recent("error retry", k=k).collect()
+        ]
+        assert got == [(ts, d) for ts, d in expect], (k, got, expect)
+    # newest match is the appended fresh conversation; oldest present
+    # only when k spans everything
+    assert engine.top_k_recent("error retry", k=1).collect()[0][
+        "conv_id"] == "cnew"
+    assert engine.top_k_recent("zzzabsent", k=5).count() == 0
+
+
+def test_explain_decomposes_topk_score(spark, tmp_path):
+    """ES _explain: per-term contributions of a (query, doc) sum to
+    exactly the doc's top_k score; df/idf/tf match the brute fixture
+    derivation; terms absent from the doc produce no row."""
+    engine = _fixture(spark, tmp_path)
+    top = engine.top_k("error retry redis", k=8, with_docs=False).collect()
+    for r in top[:3]:
+        rows = engine.explain("error retry redis", r["doc_id"]).collect()
+        assert abs(sum(x["score"] for x in rows) - r["score"]) < 2e-6
+        assert [x["term"] for x in rows] == sorted(x["term"] for x in rows)
+    # brute df check on one doc
+    docs = [Counter(tokenize(t)) for t in TEXTS]
+    id_of = {
+        int(r["conv_id"][1:]): r["doc_id"]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    rows = engine.explain("error retry redis", id_of[0]).collect()
+    by_term = {x["term"]: x for x in rows}
+    assert set(by_term) == {"error", "retry", "redis"}  # doc 0 has all
+    for t, x in by_term.items():
+        assert x["df"] == sum(1 for d in docs if t in d)
+        assert x["tf"] == docs[0][t]
+        assert x["qtf"] == 1
+    # doc without a term: no row for it
+    rows5 = engine.explain("error retry", id_of[5])  # "unrelated words"
+    assert rows5.count() == 0
+    # empty analyzed query -> empty frame with the contract schema
+    assert engine.explain("", id_of[0]).count() == 0
