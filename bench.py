@@ -131,9 +131,30 @@ def main():
         pos_engine.phrase_ranked("retry timeout", k=10).collect()
         record("phrase_ranked", time.time() - t1)
 
+    # round-6 ES-tier surfaces, warm on the main engine: bool
+    # exclusion (excluded postings ride the scoring scan), fuzzy
+    # (one dictionary job + scoring), recency sort (WindowGroupLimit
+    # over the conjunction)
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.top_k(
+            "error retry timeout", 10, with_docs=False,
+            must_not="spark shuffle",
+        ).collect()
+        record("topk_must_not", time.time() - t1)
+        t1 = time.time()
+        engine.top_k_fuzzy(
+            "errox retru timeouf", 10, with_docs=False
+        ).collect()
+        record("fuzzy_topk", time.time() - t1)
+        t1 = time.time()
+        engine.top_k_recent("error retry", 10).collect()
+        record("sort_recent", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",
+        "hybrid_rrf_topk",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
