@@ -1011,6 +1011,38 @@ class QueryEngine:
             for r in cand.select("term", "df").collect()
         ]
 
+    def _fuzzy_candidates_df(self, terms: list, max_edits: int,
+                             prefix_length: int) -> DataFrame:
+        """Dictionary (term, df) candidates for ALL query terms in one
+        plan.  TWO separate predicates, not one Or: a source filter
+        drops an Or node whose ANY child is unsupported, so mixing
+        levenshtein into the disjunction would silence the pushdown
+        entirely.  The prefix-only disjunction is pure
+        Or(StringStartsWith...) and reaches the parquet scan
+        (plan-asserted in tests); the length-band + Levenshtein
+        refinement evaluates post-scan in codegen."""
+        from functools import reduce
+        from operator import or_
+
+        dic = self._term_stats
+        if prefix_length > 0:
+            dic = dic.where(
+                reduce(
+                    or_,
+                    [
+                        F.col("term").startswith(t[:prefix_length])
+                        for t in terms
+                    ],
+                )
+            )
+        conds = [
+            F.length("term").between(
+                len(t) - max_edits, len(t) + max_edits
+            ) & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+            for t in terms
+        ]
+        return dic.where(reduce(or_, conds)).select("term", "df")
+
     def top_k_fuzzy(self, query_text: str, k: int = 10,
                     max_edits: int = 1, prefix_length: int = 1,
                     with_docs: bool = True, source=None) -> DataFrame:
@@ -1024,39 +1056,32 @@ class QueryEngine:
         contract here is deterministic, linear, and exactly
         reproducible in SQL, which keeps the oracle honest.)
 
-        The expansion for ALL query terms is ONE dictionary job (an OR
-        of per-term prefix+length+Levenshtein predicates — the
-        StringStartsWith disjunction still pushes into the term-sorted
-        parquet scan); matches are attributed back to their source
-        terms on the driver over the tiny collected candidate list.
+        The expansion for ALL query terms is ONE dictionary job: a
+        pure Or(StringStartsWith...) prefix disjunction that pushes
+        into the term-sorted parquet scan (plan-asserted — it must be
+        a SEPARATE predicate, because a source filter drops any Or
+        with an unsupported child like levenshtein), then the
+        length-band + Levenshtein refinement post-scan in codegen;
+        matches are attributed back to their source terms on the
+        driver over the tiny collected candidate list.
         The expanded weight table then feeds the standard top_k
         machinery (_weights), so block-max pruning, the driver-local
         gate, deletes, and pagination all apply unchanged — warm cost
         is 1 dictionary job + the usual scoring job."""
-        from functools import reduce
-        from operator import or_
-
         from sotohp_spark.operators import bm25 as _bm25
 
         toks = tokenize(query_text, self._query_rules(source))
         qtf: dict[str, int] = {}
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
-        conds = []
-        for t in sorted(qtf):
-            c = F.length("term").between(
-                len(t) - max_edits, len(t) + max_edits
-            ) & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
-            if prefix_length > 0:
-                c = F.col("term").startswith(t[:prefix_length]) & c
-            conds.append(c)
-        if not conds or max_edits < 1:
+        if not qtf or max_edits < 1:
             out = self.spark.createDataFrame([], TOPK_SCHEMA)
             return self._attach_docs(out) if with_docs else out
         cand = [
             (r["term"], int(r["df"]))
-            for r in self._term_stats.where(reduce(or_, conds))
-            .select("term", "df").collect()
+            for r in self._fuzzy_candidates_df(
+                sorted(qtf), max_edits, prefix_length
+            ).collect()
         ]
         n = self.meta["n_docs"]
         weights: dict[str, float] = {}

@@ -547,3 +547,22 @@ def test_explain_decomposes_topk_score(spark, tmp_path):
     assert rows5.count() == 0
     # empty analyzed query -> empty frame with the contract schema
     assert engine.explain("", id_of[0]).count() == 0
+
+
+def test_fuzzy_dictionary_scan_pushes_prefix_disjunction(spark, tmp_path):
+    """The fuzzy dictionary job's prefix disjunction must reach the
+    parquet scan as Or(StringStartsWith...) — kept as a SEPARATE
+    predicate from the Levenshtein refinement, because a source filter
+    drops any Or with an unsupported child."""
+    engine = _fixture(spark, tmp_path)
+    plan = (
+        engine._fuzzy_candidates_df(["errox", "retru"], 1, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "StringStartsWith" in m.group(1), plan
+    # with prefix_length=0 there is nothing pushable — but the frame
+    # still evaluates correctly (covered by the brute test); here just
+    # pin that it builds
+    assert engine._fuzzy_candidates_df(["errox"], 1, 0).count() >= 1
