@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_sort_recent"] = _transcripts_sort_recent
     # ES _explain: per-term score breakdown of one (query, doc)
     q["transcripts_explain"] = _transcripts_explain
+    # ES term suggester (did-you-mean): dictionary corrections
+    q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -803,6 +805,15 @@ def _transcripts_explain(spark, sf_dir):
     from the warm term-stats LRU (index/query.py explain)."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.explain("error retry timeout", _MLT_DOC)
+
+
+def _transcripts_suggest_corrections(spark, sf_dir):
+    """ES term suggester: per-token dictionary corrections within one
+    edit, ranked (distance asc, df desc, term asc) — one pruned
+    dictionary job + a broadcast join + WindowGroupLimit
+    (index/query.py suggest_corrections)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.suggest_corrections("errox retru timeouf", k=5)
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1642,6 +1653,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_explain"] = _transcripts_explain_oracle_sql(
         "error retry timeout", _MLT_DOC
     )
+    o["transcripts_suggest_corrections"] = (
+        _transcripts_suggest_corrections_oracle_sql(
+            "errox retru timeouf", k=5
+        )
+    )
     o["transcripts_sort_recent"] = f"""
 SELECT doc_id, conv_id, doc_ts FROM read_parquet('{_ORACLE_INDEX_DOCS}')
 WHERE doc_id IN (
@@ -2135,6 +2151,48 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+def _transcripts_suggest_corrections_oracle_sql(
+    text: str, k: int, max_edits: int = 1, prefix_length: int = 1,
+) -> str:
+    """Term-suggester twin: per-token Levenshtein corrections over the
+    term dictionary (df = docs containing the term), identity
+    excluded, ranked (distance asc, df desc, term asc), k per token."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    toks = sorted(set(tokenize(text)))
+    src_vals = ", ".join(f"('{t}')" for t in toks)
+    pfx = (
+        f"substr(v.term, 1, {prefix_length})"
+        f" = substr(src.source_term, 1, {prefix_length}) AND "
+        if prefix_length > 0
+        else ""
+    )
+    return f"""
+WITH vocab AS (
+  SELECT e.key AS term, count(*)::BIGINT AS df
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+  GROUP BY e.key
+),
+src(source_term) AS (VALUES {src_vals}),
+cand AS (
+  SELECT src.source_term, v.term,
+         levenshtein(v.term, src.source_term)::INT AS distance, v.df
+  FROM src JOIN vocab v
+    ON {pfx}levenshtein(v.term, src.source_term)
+       BETWEEN 1 AND {max_edits}
+)
+SELECT source_term, term, distance, df,
+       row_number() OVER (
+         PARTITION BY source_term
+         ORDER BY distance ASC, df DESC, term ASC
+       )::INT AS rank
+FROM cand
+QUALIFY rank <= {k}
+ORDER BY source_term, rank
 """
 
 

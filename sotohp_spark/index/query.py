@@ -1043,6 +1043,58 @@ class QueryEngine:
         ]
         return dic.where(reduce(or_, conds)).select("term", "df")
 
+    def suggest_corrections(self, text: str, k: int = 5,
+                            max_edits: int = 1, prefix_length: int = 1,
+                            source=None) -> DataFrame:
+        """The ES term suggester (did-you-mean): for every analyzed
+        token of ``text``, the top-k dictionary corrections within
+        ``max_edits`` Levenshtein edits (identity excluded), ranked
+        the way ES ranks them — distance asc, then df desc, then term
+        asc.  Returns DataFrame(source_term, term, distance, df, rank).
+
+        Scale shape: ONE dictionary job — the pruned candidate frame
+        (_fuzzy_candidates_df: Or(StringStartsWith) pushdown + length
+        band) broadcast-joins the tiny source-token frame on the
+        per-pair prefix + Levenshtein condition (JVM codegen), and the
+        per-token top-k is a rank<=k window Spark rewrites to
+        WindowGroupLimit.  Never a postings or docs scan."""
+        from pyspark.sql import Window
+
+        toks = sorted(set(tokenize(text, self._query_rules(source))))
+        empty = "source_term string, term string, distance int, " \
+                "df long, rank int"
+        if not toks or max_edits < 1:
+            return self.spark.createDataFrame([], empty)
+        src = self.spark.createDataFrame(
+            [(t,) for t in toks], "source_term string"
+        )
+        dic = self._fuzzy_candidates_df(toks, max_edits, prefix_length)
+        dist = F.levenshtein(F.col("term"), F.col("source_term"))
+        cond = (dist <= max_edits) & (dist >= 1)
+        if prefix_length > 0:
+            cond = (
+                F.col("term").startswith(
+                    F.substring(F.col("source_term"), 1, prefix_length)
+                )
+                & cond
+            )
+        w = Window.partitionBy("source_term").orderBy(
+            F.col("distance").asc(), F.col("df").desc(),
+            F.col("term").asc(),
+        )
+        return (
+            dic.join(F.broadcast(src), cond)
+            .select(
+                "source_term",
+                "term",
+                dist.cast("int").alias("distance"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("source_term", "rank")
+        )
+
     def top_k_fuzzy(self, query_text: str, k: int = 10,
                     max_edits: int = 1, prefix_length: int = 1,
                     with_docs: bool = True, source=None) -> DataFrame:

@@ -566,3 +566,40 @@ def test_fuzzy_dictionary_scan_pushes_prefix_disjunction(spark, tmp_path):
     # still evaluates correctly (covered by the brute test); here just
     # pin that it builds
     assert engine._fuzzy_candidates_df(["errox"], 1, 0).count() >= 1
+
+
+def test_suggest_corrections_matches_brute(spark, tmp_path):
+    """ES term suggester: per-token corrections equal a brute
+    Levenshtein sweep ranked (distance asc, df desc, term asc),
+    identity excluded."""
+    engine = _fixture(spark, tmp_path)
+    vocab = Counter()
+    for t in TEXTS:
+        for term in set(tokenize(t)):
+            vocab[term] += 1
+    for text, pfx in (("rety eror", 1), ("retry", 1), ("eror", 0)):
+        got = [
+            (r["source_term"], r["term"], r["distance"], r["df"], r["rank"])
+            for r in engine.suggest_corrections(
+                text, k=3, prefix_length=pfx
+            ).collect()
+        ]
+        expect = []
+        for st in sorted(set(tokenize(text))):
+            cands = sorted(
+                (
+                    (_py_lev(st, t), -df, t)
+                    for t, df in vocab.items()
+                    if 1 <= _py_lev(st, t) <= 1
+                    and (pfx == 0 or t.startswith(st[:pfx]))
+                ),
+            )[:3]
+            expect.extend(
+                (st, t, d, -negdf, i + 1)
+                for i, (d, negdf, t) in enumerate(cands)
+            )
+        assert got == expect, (text, pfx, got, expect)
+    # "retry" itself is in the dictionary -> identity excluded, but
+    # near terms may still appear; absent garbage -> no rows
+    assert engine.suggest_corrections("zzzqqqq", k=3).count() == 0
+    assert engine.suggest_corrections("", k=3).count() == 0
