@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_explain"] = _transcripts_explain
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
+    # ES percolator: many registered queries vs a doc batch, one pass
+    q["transcripts_percolate"] = _transcripts_percolate
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -814,6 +816,24 @@ def _transcripts_suggest_corrections(spark, sf_dir):
     (index/query.py suggest_corrections)."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.suggest_corrections("errox retru timeouf", k=5)
+
+
+_PERCOLATE_QUERIES = [
+    ("q_err_retry_timeout", "error retry timeout"),
+    ("q_spark_shuffle", "spark shuffle"),
+    ("q_token_query_index", "token query index"),
+    ("q_absent", "zzqabsentterm"),
+]
+
+
+def _transcripts_percolate(spark, sf_dir):
+    """ES percolator (reverse search): every registered conjunctive
+    query matched against the corpus in ONE pass — explode stored tf
+    keys, broadcast-join the registered term table, distinct-count per
+    (doc, query) vs the per-query term count
+    (index/query.py percolate)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.percolate(_PERCOLATE_QUERIES)
 
 
 def _transcripts_phrase_batch(spark, sf_dir):
@@ -1658,6 +1678,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
             "errox retru timeouf", k=5
         )
     )
+    o["transcripts_percolate"] = _transcripts_percolate_oracle_sql(
+        _PERCOLATE_QUERIES
+    )
     o["transcripts_sort_recent"] = f"""
 SELECT doc_id, conv_id, doc_ts FROM read_parquet('{_ORACLE_INDEX_DOCS}')
 WHERE doc_id IN (
@@ -2193,6 +2216,36 @@ SELECT source_term, term, distance, df,
 FROM cand
 QUALIFY rank <= {k}
 ORDER BY source_term, rank
+"""
+
+
+def _transcripts_percolate_oracle_sql(queries: list) -> str:
+    """Percolator twin: conjunctive containment of each registered
+    query's analyzed terms in the stored tf maps."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for qid, text in queries:
+        for t in sorted(set(tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    q_vals = ", ".join(rows)
+    return f"""
+WITH q(query_id, term) AS (VALUES {q_vals}),
+need AS (
+  SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY query_id
+),
+hits AS (
+  SELECT d.doc_id, q.query_id, count(DISTINCT q.term)::BIGINT AS nt
+  FROM (
+    SELECT doc_id, e.key AS term
+    FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+    LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+  ) d JOIN q ON d.term = q.term
+  GROUP BY d.doc_id, q.query_id
+)
+SELECT hits.doc_id, hits.query_id
+FROM hits JOIN need USING (query_id)
+WHERE hits.nt = need.n
 """
 
 

@@ -1043,6 +1043,54 @@ class QueryEngine:
         ]
         return dic.where(reduce(or_, conds)).select("term", "df")
 
+    def percolate(self, queries: list, docs: DataFrame | None = None,
+                  source=None) -> DataFrame:
+        """The ES percolator shape (reverse search): match MANY
+        registered conjunctive queries against a batch of documents in
+        ONE pass.  ``queries``: [(query_id, query_text)]; ``docs``: a
+        frame carrying (doc_id, tfs) — defaults to the whole indexed
+        corpus, but the alerting use passes the NEW batch only.
+        Returns DataFrame(doc_id, query_id): doc contains EVERY
+        analyzed term of the query.  Queries whose analysis drops all
+        tokens match nothing (same contract as matching_doc_ids).
+
+        Scale shape: one scan of the doc batch — explode its stored tf
+        map keys, semi-broadcast-join the (tiny) registered term table,
+        then a partial-aggregated distinct-term count per (doc, query)
+        against the broadcast per-query term count.  Cost tracks batch
+        size x matched terms, never registered-query count x corpus
+        (the reason ES indexes percolator queries instead of looping
+        them)."""
+        rules = self._query_rules(source)
+        q_terms: list = []
+        n_terms: dict = {}
+        for qid, text in queries:
+            terms = sorted(set(tokenize(text, rules)))
+            if not terms:
+                continue
+            n_terms[qid] = len(terms)
+            q_terms += [(str(qid), t) for t in terms]
+        if not q_terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, query_id string"
+            )
+        qdf = self.spark.createDataFrame(
+            q_terms, "query_id string, term string"
+        )
+        need = F.create_map(
+            *[x for qid, n in n_terms.items()
+              for x in (F.lit(str(qid)), F.lit(n))]
+        )
+        docs = self._docs_raw if docs is None else docs
+        return (
+            docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
+            .join(F.broadcast(qdf), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.count(F.lit(1)).alias("nt"))
+            .where(F.col("nt") == need[F.col("query_id")])
+            .select("doc_id", "query_id")
+        )
+
     def suggest_corrections(self, text: str, k: int = 5,
                             max_edits: int = 1, prefix_length: int = 1,
                             source=None) -> DataFrame:

@@ -603,3 +603,42 @@ def test_suggest_corrections_matches_brute(spark, tmp_path):
     # near terms may still appear; absent garbage -> no rows
     assert engine.suggest_corrections("zzzqqqq", k=3).count() == 0
     assert engine.suggest_corrections("", k=3).count() == 0
+
+
+def test_percolate_matches_brute(spark, tmp_path):
+    """ES percolator: (doc, query) pairs equal brute conjunctive
+    containment for every registered query; all-dropped-token queries
+    match nothing; a docs-batch argument restricts the pass."""
+    engine = _fixture(spark, tmp_path)
+    queries = [
+        ("q_err_retry", "error retry"),
+        ("q_redis", "redis"),
+        ("q_restart_loop", "restart loop"),
+        ("q_absent", "zzqabsent"),
+        ("q_dropped", "2024"),  # analysis drops bare numbers
+    ]
+    id_of = {
+        int(r["conv_id"][1:]): r["doc_id"]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    expect = set()
+    for qid, text in queries:
+        terms = set(tokenize(text))
+        if not terms:
+            continue
+        for i, t in enumerate(TEXTS):
+            if terms <= set(tokenize(t)):
+                expect.add((id_of[i], qid))
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate(queries).collect()
+    }
+    assert got == expect, (got ^ expect)
+    assert not any(q in ("q_absent", "q_dropped") for _, q in got)
+    # batch restriction: only docs in the passed frame are percolated
+    batch = engine._docs_raw.where(F.col("doc_id") == id_of[0])
+    got_b = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate(queries, docs=batch).collect()
+    }
+    assert got_b == {(d, q) for d, q in expect if d == id_of[0]}
