@@ -1077,19 +1077,32 @@ class QueryEngine:
         qdf = self.spark.createDataFrame(
             q_terms, "query_id string, term string"
         )
-        need = F.create_map(
-            *[x for qid, n in n_terms.items()
-              for x in (F.lit(str(qid)), F.lit(n))]
-        )
         docs = self._docs_raw if docs is None else docs
-        return (
+        hits = (
             docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
             .join(F.broadcast(qdf), "term")
             .groupBy("doc_id", "query_id")
             .agg(F.count(F.lit(1)).alias("nt"))
-            .where(F.col("nt") == need[F.col("query_id")])
-            .select("doc_id", "query_id")
         )
+        if len(n_terms) <= 1000:
+            need = F.create_map(
+                *[x for qid, n in n_terms.items()
+                  for x in (F.lit(str(qid)), F.lit(n))]
+            )
+            out = hits.where(F.col("nt") == need[F.col("query_id")])
+        else:
+            # alerting-scale registries (10^4+ queries): a literal map
+            # that size bloats the plan tree — broadcast-join the
+            # per-query term counts instead (same result, same single
+            # pass, one extra tiny build side)
+            ndf = self.spark.createDataFrame(
+                [(qid, n) for qid, n in n_terms.items()],
+                "query_id string, n int",
+            )
+            out = hits.join(F.broadcast(ndf), "query_id").where(
+                F.col("nt") == F.col("n")
+            )
+        return out.select("doc_id", "query_id")
 
     def suggest_corrections(self, text: str, k: int = 5,
                             max_edits: int = 1, prefix_length: int = 1,

@@ -642,3 +642,21 @@ def test_percolate_matches_brute(spark, tmp_path):
         for r in engine.percolate(queries, docs=batch).collect()
     }
     assert got_b == {(d, q) for d, q in expect if d == id_of[0]}
+
+
+def test_percolate_large_registry_path(spark, tmp_path):
+    """Past 1000 registered queries percolate switches from the literal
+    count map to a broadcast counts join — results must be identical."""
+    engine = _fixture(spark, tmp_path)
+    base = [("q_err_retry", "error retry"), ("q_redis", "redis")]
+    # pad with absent-term queries to cross the threshold
+    padded = base + [(f"pad{i}", f"zzq{i}absent") for i in range(1100)]
+    got_small = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate(base).collect()
+    }
+    got_large = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate(padded).collect()
+    }
+    assert got_small == got_large and got_small
