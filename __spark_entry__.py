@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_count"] = _transcripts_count
     # ES bool-query must_not: membership exclusion, scores untouched
     q["transcripts_bool_must_not"] = _transcripts_bool_must_not
+    # ES minimum_should_match: N-of-M bool query, in-scorer count filter
+    q["transcripts_min_should_match"] = _transcripts_min_should_match
     # ES fuzziness: Levenshtein<=1 dictionary expansion, one job
     q["transcripts_fuzzy_topk"] = _transcripts_fuzzy_topk
     # ES highlighting (whole-field): post-retrieval, k rows only
@@ -765,6 +767,20 @@ def _transcripts_bool_must_not(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.top_k(
         "error retry timeout", k=10, must_not="t0040"
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_min_should_match(spark, sf_dir):
+    """ES bool-query minimum_should_match (N-of-M): docs containing at
+    least 3 of the 4 query terms, ranked by their disjunctive BM25
+    score over the terms they DO contain.  The count filter rides
+    inside the per-range block-max scorer (wand.score_range min_match
+    — contribution multiplicity IS the distinct-term count), and
+    ranges holding < 3 distinct query terms are dropped before decode
+    (index/query.py top_k(min_should_match=...))."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k(
+        "error retry timeout deploy", k=10, min_should_match=3
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
@@ -1664,6 +1680,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_min_should_match"] = _transcripts_bm25_oracle_sql(
+        "error retry timeout deploy", k=10, min_should_match=3
+    )
     o["transcripts_fuzzy_topk"] = _transcripts_fuzzy_oracle_sql(
         "errox retru timeouf", k=10
     )
@@ -1963,7 +1982,7 @@ def _transcripts_bm25_oracle_sql(
     query_text: str, k: int, conjunctive: bool = False,
     k1: float = 1.2, b: float = 0.75, ts_window: tuple | None = None,
     docs_glob: str | None = None, offset: int = 0,
-    must_not: str | None = None,
+    must_not: str | None = None, min_should_match: int | None = None,
 ) -> str:
     """BM25 over the stored tf maps — same N/avgdl/df/idf/tfn/qtf
     contract as QueryEngine (sotohp_spark/operators/bm25.py).
@@ -1980,6 +1999,10 @@ def _transcripts_bm25_oracle_sql(
     having = (
         f"HAVING count(DISTINCT tf.term) = {len(qtf)}" if conjunctive else ""
     )
+    if min_should_match is not None:
+        # ES bool-query N-of-M: membership needs >= n distinct matched
+        # terms; survivors keep their disjunctive (matched-terms) score
+        having = f"HAVING count(DISTINCT tf.term) >= {min_should_match}"
     ts_where = (
         f"WHERE tf.doc_ts BETWEEN TIMESTAMP '{ts_window[0]}'"
         f" AND TIMESTAMP '{ts_window[1]}'"

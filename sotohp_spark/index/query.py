@@ -602,6 +602,7 @@ class QueryEngine:
         ts_max=None,
         search_after: tuple | None = None,
         must_not: str | None = None,
+        min_should_match: int | None = None,
         _weights: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
@@ -631,7 +632,26 @@ class QueryEngine:
         SAME pruned shard scan as the query terms (one job, term-IN +
         bucket pruning intact) and are decoded per range into the
         tombstone mask, so exclusion is co-partitioned with scoring and
-        never shuffles or collects a doc-id list."""
+        never shuffles or collects a doc-id list.
+
+        ``min_should_match``: the ES/Lucene bool-query N-of-M shape —
+        a doc must contain at least this many DISTINCT query terms to
+        appear; survivors score disjunctively over the terms they DO
+        contain.  ``min_should_match=1`` is plain disjunction,
+        ``= n_terms`` ranks identically to ``conjunctive=True`` (but
+        keeps OR absent-term semantics: an absent query term lowers
+        the reachable count instead of emptying the result, so asking
+        for more matches than the corpus has present terms returns
+        empty).  Mutually exclusive with ``conjunctive``.  The count
+        filter rides inside the per-range block-max scorer (wand.
+        score_range min_match) — same one-job plan, pruning stays
+        valid because the all-terms bound also bounds any subset."""
+        if min_should_match is not None and conjunctive:
+            raise ValueError(
+                "min_should_match and conjunctive are mutually "
+                "exclusive (conjunctive == min_should_match=n_terms "
+                "with AND absent-term semantics)"
+            )
         # reset per query: stats are populated by the driver-local
         # path only; leaving the previous query's numbers in place
         # would attribute them to a distributed/early-exit query
@@ -668,6 +688,17 @@ class QueryEngine:
         terms = sorted(weights)
         n_terms = len(terms)
 
+        min_match = None
+        if min_should_match is not None:
+            min_match = int(min_should_match)
+            if min_match > n_terms:
+                # fewer present terms than required matches: provably
+                # empty (a clause on an absent term matches no doc)
+                out = spark.createDataFrame([], TOPK_SCHEMA)
+                return self._attach_docs(out) if with_docs else out
+            if min_match <= 1:
+                min_match = None  # plain disjunction
+
         excl_terms: frozenset = frozenset()
         if must_not:
             cand = sorted(
@@ -700,6 +731,7 @@ class QueryEngine:
                 out = self._top_k_local(
                     shards, weights, k, avgdl, conjunctive, doc_bounds,
                     cursor=search_after, excl_terms=excl_terms,
+                    min_match=min_match,
                 )
             finally:
                 self._local_gate.release()
@@ -719,6 +751,21 @@ class QueryEngine:
             )
             shards = shards.join(F.broadcast(ok), "range_id")
 
+        if min_match is not None:
+            # N-of-M analog of the conjunctive range prefilter: a range
+            # holding fewer than min_match distinct POSITIVE terms
+            # cannot produce an eligible doc — drop it before decode
+            pos = shards
+            if excl_terms:
+                pos = pos.where(~F.col("term").isin(list(excl_terms)))
+            ok = (
+                pos.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") >= min_match)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             if excl_terms:
@@ -728,6 +775,7 @@ class QueryEngine:
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
                 deletes=deletes, doc_bounds=doc_bounds, cursor=search_after,
+                min_match=min_match,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -876,7 +924,8 @@ class QueryEngine:
 
     def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive,
                      doc_bounds=None, cursor=None,
-                     excl_terms: frozenset = frozenset()):
+                     excl_terms: frozenset = frozenset(),
+                     min_match: int | None = None):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
@@ -899,7 +948,7 @@ class QueryEngine:
             d, s = wand.score_range(
                 rrows, weights, k, avgdl, conjunctive=conjunctive,
                 cfg=self.cfg, deletes=dels, doc_bounds=doc_bounds,
-                stats=stats, cursor=cursor,
+                stats=stats, cursor=cursor, min_match=min_match,
             )
             all_docs.append(d)
             all_scores.append(s)

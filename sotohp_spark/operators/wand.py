@@ -44,6 +44,7 @@ def score_range(
     doc_bounds: tuple | None = None,
     stats: dict | None = None,
     cursor: tuple | None = None,
+    min_match: int | None = None,
 ):
     """Score one doc-id range.
 
@@ -68,6 +69,17 @@ def score_range(
     the same cost profile Lucene's searchAfter has.  Cursor equality
     is float64-exact, which holds because cursors come from a previous
     page of the SAME deterministic summation.
+
+    ``min_match``: minimum number of DISTINCT query terms a doc must
+    contain (the ES/Lucene ``minimum_should_match`` N-of-M bool-query
+    shape; disjunctive path only — ``conjunctive`` already means
+    min_match == n_terms).  Block-max pruning stays valid: the
+    all-terms interval bound U also bounds any term-subset's score,
+    and theta builds only from count-eligible docs, so a pruned
+    interval can't hide an eligible doc outscoring theta.  Exactness
+    is structural — a doc's interval decodes ALL covering blocks, so
+    the per-doc contribution multiplicity IS its distinct matched-term
+    count (one posting per term per doc).
 
     ``stats``: optional dict the call ACCUMULATES block-max pruning
     evidence into (keys blocks_total / blocks_decoded / blocks_skipped)
@@ -237,7 +249,20 @@ def score_range(
             out_d = dd[uniq]
             out_s = np.zeros(out_d.size, dtype=np.float64)
             np.add.at(out_s, grp, ss)
+            if min_match is not None and min_match > 1:
+                # contribution multiplicity == distinct matched terms
+                # (one posting per term per doc, all terms' covering
+                # blocks decoded at the doc's own interval)
+                cnt = np.bincount(grp, minlength=out_d.size)
+                keep = cnt >= min_match
+                out_d, out_s = out_d[keep], out_s[keep]
+                if out_d.size == 0:
+                    continue
             dd, ss = out_d, out_s
+        elif min_match is not None and min_match > 1:
+            # a single covering piece means every doc here matched
+            # exactly one query term — none can reach min_match
+            continue
         if cur_mask is not None:
             # scores here are EXACT (all covering blocks of this
             # interval decoded), so the page membership test is final

@@ -660,3 +660,67 @@ def test_percolate_large_registry_path(spark, tmp_path):
         for r in engine.percolate(padded).collect()
     }
     assert got_small == got_large and got_small
+
+
+def test_min_should_match_n_of_m(spark, tmp_path):
+    """ES bool-query minimum_should_match: a doc survives iff it
+    contains >= n distinct query terms; survivor scores equal the
+    plain disjunctive scores (they sum over matched terms either way),
+    on both scoring paths."""
+    import pytest
+
+    engine = _fixture(spark, tmp_path)
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    texts_by_doc = {
+        r["doc_id"]: conv_text[r["conv_id"]]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    query = "redis error retry"
+    qterms = set(tokenize(query))
+    base = engine.top_k(query, k=50, with_docs=False).collect()
+    assert base
+    for n in (2, 3):
+        expect = [
+            (r["doc_id"], r["score"]) for r in base
+            if len(qterms & set(tokenize(texts_by_doc[r["doc_id"]]))) >= n
+        ]
+        assert expect, n  # fixture must exercise the filter
+        for dist in (False, True):
+            if dist:
+                assert engine._local_gate.acquire(blocking=False)
+            try:
+                got = engine.top_k(
+                    query, k=50, with_docs=False, min_should_match=n
+                ).collect()
+            finally:
+                if dist:
+                    engine._local_gate.release()
+            assert [(r["doc_id"], r["score"]) for r in got] == expect, (
+                n, dist,
+            )
+    # n=1 == plain disjunction; n > n_terms == provably empty
+    got1 = engine.top_k(query, k=50, with_docs=False, min_should_match=1)
+    assert [(r["doc_id"], r["score"]) for r in got1.collect()] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+    assert engine.top_k(
+        query, k=50, with_docs=False, min_should_match=4
+    ).count() == 0
+    # absent term lowers the reachable count instead of emptying (OR
+    # semantics): msm=2 over {error retry zzqabsent} == msm=2 over the
+    # two present terms; msm=3 is then unreachable
+    got_abs = engine.top_k(
+        "error retry zzqabsent", k=50, with_docs=False, min_should_match=2
+    ).collect()
+    expect_abs = engine.top_k(
+        "error retry", k=50, with_docs=False, min_should_match=2
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got_abs] == [
+        (r["doc_id"], r["score"]) for r in expect_abs
+    ]
+    assert engine.top_k(
+        "error retry zzqabsent", k=50, with_docs=False, min_should_match=3
+    ).count() == 0
+    # conjunctive + msm is a contract error
+    with pytest.raises(ValueError):
+        engine.top_k(query, k=5, conjunctive=True, min_should_match=2)
