@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_sort_recent"] = _transcripts_sort_recent
     # ES _explain: per-term score breakdown of one (query, doc)
     q["transcripts_explain"] = _transcripts_explain
+    # ES _termvectors: one doc's stored vector + dictionary stats
+    q["transcripts_term_vectors"] = _transcripts_term_vectors
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
@@ -823,6 +825,16 @@ def _transcripts_explain(spark, sf_dir):
     from the warm term-stats LRU (index/query.py explain)."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.explain("error retry timeout", _MLT_DOC)
+
+
+def _transcripts_term_vectors(spark, sf_dir):
+    """ES _termvectors: the full stored term vector of one doc —
+    (term, tf, df, idf, weight) where weight = idf * length-normalized
+    tf (qtf-free _explain).  One partition-pruned docs-row lookup
+    exploded and broadcast into a term_stats dictionary join
+    (index/query.py term_vectors)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.term_vectors(_MLT_DOC)
 
 
 def _transcripts_suggest_corrections(spark, sf_dir):
@@ -1680,6 +1692,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_term_vectors"] = _transcripts_term_vectors_oracle_sql(
+        _MLT_DOC
+    )
     o["transcripts_min_should_match"] = _transcripts_bm25_oracle_sql(
         "error retry timeout deploy", k=10, min_should_match=3
     )
@@ -2197,6 +2212,39 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+def _transcripts_term_vectors_oracle_sql(
+    doc_id: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """One doc's full term vector from the stored tf maps — df over
+    the committed corpus, same idf/tfn contract as the top-k oracles;
+    weight = idf * tfn (no qtf: a doc vector is query-free)."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+doc AS (SELECT term, tf, doc_len FROM tf WHERE doc_id = {doc_id}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM doc) d USING (term)
+  GROUP BY tf.term
+)
+SELECT doc.term, doc.tf::BIGINT AS tf, dft.df,
+       round(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5)), 6) AS idf,
+       round(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+           * doc.tf * ({k1} + 1.0)
+           / (doc.tf + {k1} * (1.0 - {b} + {b} * doc.doc_len / g.avgdl)), 6)
+         AS weight
+FROM doc JOIN dft USING (term) CROSS JOIN g
+ORDER BY doc.term
 """
 
 

@@ -1328,6 +1328,53 @@ class QueryEngine:
             .orderBy("term")
         )
 
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """ES ``_termvectors``: the stored term vector of ONE doc —
+        every term it contains with its tf, corpus df, Lucene idf, and
+        length-normalized BM25 term weight (idf * tfn; multiplying by
+        a query's qtf gives that term's top_k contribution, so
+        explain() is exactly this restricted to query terms).  Returns
+        DataFrame(term, tf, df, idf, weight), term asc.
+
+        Scale shape: ONE partition-pruned docs-row lookup
+        (range_bucket + doc_id parquet pushdown) exploded to
+        (term, tf) and BROADCAST (one doc's vocabulary) into a join
+        with the term_stats dictionary — cost tracks the doc's
+        distinct-term count plus a columnar dictionary scan, never the
+        postings or the corpus.  df counts committed docs as of the
+        last stats write (Lucene semantics: tombstones decay df at
+        merge, not per delete)."""
+        n = self.meta["n_docs"]
+        avgdl = float(self.meta["avgdl"])
+        k1, b = self.cfg.k1, self.cfg.b
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        doc = (
+            self._docs_raw.where(
+                (F.col("range_bucket") == int(doc_id) // span)
+                & (F.col("doc_id") == int(doc_id))
+            )
+            .select("doc_len", F.explode("tfs").alias("term", "tf"))
+        )
+        idf = F.log(
+            1.0
+            + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        tfn = (
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        )
+        return (
+            self._term_stats.join(F.broadcast(doc), "term")
+            .select(
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.round(idf, 6).alias("idf"),
+                F.round(idf * tfn, 6).alias("weight"),
+            )
+            .orderBy("term")
+        )
+
     def top_k_recent(self, query_text: str, k: int = 10,
                      source=None) -> DataFrame:
         """The ES sort-by-field shape (`sort: [{ts: desc}]`): the k

@@ -724,3 +724,44 @@ def test_min_should_match_n_of_m(spark, tmp_path):
     # conjunctive + msm is a contract error
     with pytest.raises(ValueError):
         engine.top_k(query, k=5, conjunctive=True, min_should_match=2)
+
+
+def test_term_vectors_matches_brute(spark, tmp_path):
+    """ES _termvectors: one doc's full (term, tf, df, idf, weight)
+    vector matches a brute recompute from the fixture, and explain()
+    is exactly this vector restricted to query terms with qtf folded
+    in (weight * qtf == contribution)."""
+    engine = _fixture(spark, tmp_path)
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    id_of = {
+        conv_text[r["conv_id"]]: r["doc_id"]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    target = TEXTS[7]  # "restart loop detected error retry"
+    doc_id = id_of[target]
+    docs = [Counter(tokenize(t)) for t in TEXTS]
+    avgdl = sum(sum(d.values()) for d in docs) / len(docs)
+    n = len(docs)
+    k1, b = 1.2, 0.75
+    dvec = Counter(tokenize(target))
+    dl = sum(dvec.values())
+    expect = []
+    for term in sorted(dvec):
+        tf = dvec[term]
+        df = sum(1 for d in docs if term in d)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        expect.append((term, tf, df, round(idf, 6), round(idf * tfn, 6)))
+    got = [
+        (r["term"], r["tf"], r["df"], r["idf"], r["weight"])
+        for r in engine.term_vectors(doc_id).collect()
+    ]
+    assert got == expect
+    # explain == term_vectors restricted to query terms, qtf folded in
+    w_by_term = {t: w for t, _, _, _, w in expect}
+    for r in engine.explain("error retry error", doc_id).collect():
+        assert r["score"] == round(
+            r["qtf"] * w_by_term[r["term"]], 6
+        ) or abs(r["score"] - r["qtf"] * w_by_term[r["term"]]) < 2e-6
+    # unknown doc id -> empty vector
+    assert engine.term_vectors(10_000).count() == 0
