@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_explain"] = _transcripts_explain
     # ES _termvectors: one doc's stored vector + dictionary stats
     q["transcripts_term_vectors"] = _transcripts_term_vectors
+    # ES field collapsing: best doc per time bucket, buckets ranked
+    q["transcripts_collapse_day"] = _transcripts_collapse_day
+    # ES function_score: multiplicative exp recency decay over matches
+    q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
@@ -825,6 +829,36 @@ def _transcripts_explain(spark, sf_dir):
     from the warm term-stats LRU (index/query.py explain)."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.explain("error retry timeout", _MLT_DOC)
+
+
+def _transcripts_collapse_day(spark, sf_dir):
+    """ES field collapsing: one best-scoring doc per day, days ranked
+    by their best BM25 score.  Every match is scored exactly
+    (scored_matches — per-range scorer, cut disabled), metadata joins
+    with derived-bucket pruning, then one max_by aggregation per
+    collapse key (index/query.py top_k_collapse)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_collapse(
+        "error retry timeout", k=10, by="day"
+    ).select(
+        "collapse_key", "doc_id", "conv_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _transcripts_decay_topk(spark, sf_dir):
+    """ES function_score (exp recency decay): final = BM25 *
+    0.5 ** (|origin - doc_ts| / half_life).  The decay re-ranks the
+    WHOLE matched set (scored_matches, cut disabled — same cost class
+    as ES function_score), doc_ts joins in bucket-pruned, final order
+    is TakeOrderedAndProject(k) (index/query.py top_k_decay)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_decay(
+        "error retry timeout", origin="2025-04-01 00:00:00", k=10,
+        half_life_days=30.0,
+    ).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score"), "doc_ts"
+    )
 
 
 def _transcripts_term_vectors(spark, sf_dir):
@@ -1692,6 +1726,13 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_decay_topk"] = _transcripts_decay_oracle_sql(
+        "error retry timeout", origin="2025-04-01 00:00:00", k=10,
+        half_life_days=30.0,
+    )
+    o["transcripts_collapse_day"] = _transcripts_collapse_oracle_sql(
+        "error retry timeout", k=10, by="day"
+    )
     o["transcripts_term_vectors"] = _transcripts_term_vectors_oracle_sql(
         _MLT_DOC
     )
@@ -2212,6 +2253,110 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+def _transcripts_decay_oracle_sql(
+    query_text: str, origin: str, k: int, half_life_days: float = 30.0,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """function_score twin: full-match BM25 (same contract as
+    _transcripts_bm25_oracle_sql) times 0.5 ** (|origin - doc_ts| in
+    days / half_life), top-k by the decayed score."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         any_value(tf.doc_ts) AS doc_ts,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+),
+decayed AS (
+  SELECT doc_id, conv_id, doc_ts,
+         raw * pow(0.5,
+           abs(date_diff('second', doc_ts, TIMESTAMP '{origin}'))
+           / 86400.0 / {half_life_days}) AS fin
+  FROM scored
+)
+SELECT doc_id, conv_id, round(fin, 6) AS score, doc_ts
+FROM decayed ORDER BY fin DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_collapse_oracle_sql(
+    query_text: str, k: int, by: str = "day",
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Field-collapse twin: score every match (same BM25 contract as
+    _transcripts_bm25_oracle_sql, no LIMIT), keep the best doc per
+    truncated-ts bucket (QUALIFY row_number), rank buckets by that
+    best score."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    fmt = {"day": "%Y-%m-%d", "month": "%Y-%m"}[by]
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         strftime(any_value(tf.doc_ts), '{fmt}') AS collapse_key,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+),
+best AS (
+  SELECT collapse_key, doc_id, conv_id, raw
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY collapse_key ORDER BY raw DESC, doc_id ASC
+  ) = 1
+)
+SELECT collapse_key, doc_id, conv_id, round(raw, 6) AS score
+FROM best ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

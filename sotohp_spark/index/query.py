@@ -1328,6 +1328,161 @@ class QueryEngine:
             .orderBy("term")
         )
 
+    def scored_matches(self, query_text: str, conjunctive: bool = False,
+                       source=None) -> DataFrame:
+        """Every matching doc with its EXACT BM25 score — no k, no
+        global order (the scored-export shape, and the input a
+        collapse/function_score rescorer needs).  Returns
+        DataFrame(doc_id, score), partitioned by range.
+
+        Scale shape: the same one-job per-range scorer as top_k with
+        the top-k cut disabled — a scored export must decode every
+        candidate block, so there is nothing for block-max to skip and
+        the cost is THE MATCHED POSTINGS, never the corpus.  Output
+        stays distributed (no driver-local path, no collect, no sort);
+        consumers aggregate or order it themselves."""
+        weights, _ = self.query_weights(query_text, source)
+        if conjunctive and len(weights) < len(
+            set(tokenize(query_text, self._query_rules(source)))
+        ):
+            weights = {}
+        if not weights:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        avgdl = self.meta["avgdl"]
+        cfg = self.cfg
+        terms = sorted(weights)
+        n_terms = len(terms)
+        shards = self._scoring_shards(terms)
+        if conjunctive:
+            ok = (
+                shards.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") == n_terms)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+        no_cut = (1 << 31) - 1
+
+        def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            docs, scores = wand.score_range(
+                pdf.to_dict("records"), weights, no_cut, avgdl,
+                conjunctive=conjunctive, cfg=cfg, deletes=deletes,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        return self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
+
+    def top_k_collapse(self, query_text: str, k: int = 10,
+                       by: str = "day", conjunctive: bool = False,
+                       source=None) -> DataFrame:
+        """ES field collapsing (``collapse``): ONE result per collapse
+        bucket — the bucket's best-scoring doc, buckets ranked by that
+        best score.  Returns DataFrame(collapse_key, doc_id, conv_id,
+        score), score desc / doc_id asc, k buckets.
+
+        ``by``: "day" | "week" | "month" (doc_ts truncated — the doc
+        metadata this index stores; an arbitrary keyword field would
+        collapse the same way).
+
+        Scale shape: scored_matches streams every match's exact score
+        out of the per-range scorer (ES collapse also scores the full
+        matched set), joins doc metadata with the same derived
+        range_bucket partition pruning as _attach_docs, then ONE
+        groupBy(collapse_key) with max_by — an aggregation with
+        map-side partials, not a window over the matched set — and a
+        TakeOrderedAndProject(k) on the tiny per-bucket frame."""
+        if by == "day":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        else:
+            raise ValueError(f"unknown collapse key {by!r} "
+                             "(expected day | week | month)")
+        scored = self.scored_matches(query_text, conjunctive, source)
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = scored.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        best = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(key.alias("collapse_key"))
+            .agg(
+                F.max_by(
+                    F.struct("doc_id", "conv_id", "score"),
+                    # (score asc, doc_id desc) max == best score,
+                    # lowest doc id on ties
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("doc_id")).alias("nid"),
+                    ),
+                ).alias("best")
+            )
+        )
+        return (
+            best.select(
+                "collapse_key",
+                F.col("best.doc_id").alias("doc_id"),
+                F.col("best.conv_id").alias("conv_id"),
+                F.col("best.score").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def top_k_decay(self, query_text: str, origin, k: int = 10,
+                    half_life_days: float = 30.0,
+                    conjunctive: bool = False, source=None) -> DataFrame:
+        """ES function_score with an exponential recency decay:
+        final = BM25 * 0.5 ** (|origin - doc_ts| / half_life_days) —
+        relevance damped by distance from ``origin`` (symmetric, the
+        ES ``exp`` decay with scale = half_life and decay = 0.5).
+        Returns DataFrame(doc_id, conv_id, score, doc_ts), final score
+        desc / doc_id asc.
+
+        ``origin`` is required (a deterministic "now"): datetime or
+        ISO string, tz-aware values converted to the session zone.
+
+        Scale shape: a multiplicative time decay re-ranks the WHOLE
+        matched set (a doc's final score depends on its ts, so no
+        BM25-ordered prefix is safe to cut) — exactly why ES
+        function_score scores every match too.  scored_matches streams
+        exact scores out of the per-range scorer, doc_ts joins in with
+        derived-bucket pruning, and the final order is a
+        TakeOrderedAndProject(k) — cost tracks the matched postings,
+        never the corpus."""
+        if half_life_days <= 0:
+            raise ValueError("half_life_days must be positive")
+        origin_dt = self._coerce_ts(origin)
+        if origin_dt is None:
+            raise ValueError("origin is required (a deterministic now)")
+        scored = self.scored_matches(query_text, conjunctive, source)
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = scored.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        age_days = (
+            F.abs(
+                F.unix_timestamp(F.lit(origin_dt))
+                - F.unix_timestamp(F.col("doc_ts"))
+            )
+            / F.lit(86400.0)
+        )
+        decayed = F.col("score") * F.pow(
+            F.lit(0.5), age_days / F.lit(float(half_life_days))
+        )
+        return (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .select(
+                "doc_id", "conv_id",
+                decayed.alias("score"), "doc_ts",
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def term_vectors(self, doc_id: int) -> DataFrame:
         """ES ``_termvectors``: the stored term vector of ONE doc —
         every term it contains with its tf, corpus df, Lucene idf, and

@@ -765,3 +765,100 @@ def test_term_vectors_matches_brute(spark, tmp_path):
         ) or abs(r["score"] - r["qtf"] * w_by_term[r["term"]]) < 2e-6
     # unknown doc id -> empty vector
     assert engine.term_vectors(10_000).count() == 0
+
+
+def test_scored_matches_and_collapse(spark, tmp_path):
+    """scored_matches returns EVERY match with its exact disjunctive
+    score (== top_k with k >= corpus); top_k_collapse keeps one best
+    doc per time bucket, buckets ranked by best score."""
+    engine = _fixture(spark, tmp_path)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in engine.top_k("error retry", k=50, with_docs=False).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in engine.scored_matches("error retry").collect()
+    }
+    assert got == base
+    # conjunctive export == conjunctive top_k membership + scores
+    basec = {
+        r["doc_id"]: r["score"]
+        for r in engine.top_k(
+            "error retry", k=50, with_docs=False, conjunctive=True
+        ).collect()
+    }
+    gotc = {
+        r["doc_id"]: r["score"]
+        for r in engine.scored_matches("error retry", conjunctive=True).collect()
+    }
+    assert gotc == basec and set(gotc) < set(got)
+    # collapse: fixture docs land in 3 distinct months (i % 3)
+    meta = {
+        r["doc_id"]: (r["conv_id"], r["doc_ts"])
+        for r in engine._docs.select("doc_id", "conv_id", "doc_ts").collect()
+    }
+    best_by_month: dict = {}
+    for d, s in base.items():
+        m = meta[d][1].strftime("%Y-%m")
+        cur = best_by_month.get(m)
+        if cur is None or (s, -d) > (cur[1], -cur[0]):
+            best_by_month[m] = (d, s)
+    expect = sorted(
+        ((m, d, meta[d][0], s) for m, (d, s) in best_by_month.items()),
+        key=lambda x: (-x[3], x[1]),
+    )
+    got_c = [
+        (r["collapse_key"], r["doc_id"], r["conv_id"], r["score"])
+        for r in engine.top_k_collapse("error retry", k=10, by="month").collect()
+    ]
+    assert got_c == expect
+    # k cuts buckets, not docs
+    assert len(engine.top_k_collapse("error retry", k=2, by="month").collect()) == 2
+    import pytest
+    with pytest.raises(ValueError):
+        engine.top_k_collapse("error retry", by="n_turns")
+
+
+def test_top_k_decay_matches_brute(spark, tmp_path):
+    """function_score exp decay: final = BM25 * 0.5**(age/half_life),
+    re-ranked over the whole matched set."""
+    engine = _fixture(spark, tmp_path)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in engine.scored_matches("error retry").collect()
+    }
+    meta = {
+        r["doc_id"]: r["doc_ts"]
+        for r in engine._docs.select("doc_id", "doc_ts").collect()
+    }
+    origin = TS + datetime.timedelta(days=45)
+    hl = 20.0
+    expect = sorted(
+        (
+            (d, s * 0.5 ** (abs((origin - meta[d]).total_seconds()) / 86400.0 / hl))
+            for d, s in base.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.top_k_decay(
+            "error retry", origin=origin, k=5, half_life_days=hl
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-12, (gd, gs, es)
+    # decay must actually change the order vs plain BM25 on this
+    # fixture (docs span 3 months); otherwise the test proves nothing
+    plain = [
+        r["doc_id"]
+        for r in engine.top_k("error retry", k=5, with_docs=False).collect()
+    ]
+    assert [d for d, _ in got] != plain
+    import pytest
+    with pytest.raises(ValueError):
+        engine.top_k_decay("error retry", origin=origin, half_life_days=0)
+    with pytest.raises(ValueError):
+        engine.top_k_decay("error retry", origin=None)
