@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_collapse_day"] = _transcripts_collapse_day
     # ES function_score: multiplicative exp recency decay over matches
     q["transcripts_decay_topk"] = _transcripts_decay_topk
+    # ES rescore: phrase-proximity re-rank of the primary top window
+    q["transcripts_rescore"] = _transcripts_rescore
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
@@ -858,6 +860,25 @@ def _transcripts_decay_topk(spark, sf_dir):
         half_life_days=30.0,
     ).select(
         "doc_id", "conv_id", F.round("score", 6).alias("score"), "doc_ts"
+    )
+
+
+def _transcripts_rescore(spark, sf_dir):
+    """ES rescore: the top-30 primary-BM25 docs re-ranked by
+    primary + 2 * phrase-BM25 for window docs containing the exact
+    phrase (raw-text word-boundary verify).  The window broadcasts
+    into the phrase verify and secondary scorer — rescore cost is the
+    phrase postings plus window-sized joins
+    (index/query.py rescore)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.rescore(
+        "error retry timeout", _PHRASE, texts, k=10, window_size=30,
+        rescore_weight=2.0,
+    ).select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.round("primary", 6).alias("primary"),
+        F.round("secondary", 6).alias("secondary"),
     )
 
 
@@ -1726,6 +1747,10 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_rescore"] = _transcripts_rescore_oracle_sql(
+        "error retry timeout", _PHRASE, k=10, window_size=30,
+        rescore_weight=2.0,
+    )
     o["transcripts_decay_topk"] = _transcripts_decay_oracle_sql(
         "error retry timeout", origin="2025-04-01 00:00:00", k=10,
         half_life_days=30.0,
@@ -2253,6 +2278,74 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+def _transcripts_rescore_oracle_sql(
+    query_text: str, phrase: str, k: int, window_size: int,
+    query_weight: float = 1.0, rescore_weight: float = 2.0,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Rescore twin: primary window = BM25 top-window over the query
+    terms; secondary = BM25 over the PHRASE terms for window docs
+    whose raw text contains the exact phrase (same word-boundary regex
+    as the phrase oracles); final = qw*primary + rw*coalesce(sec, 0),
+    top-k inside the window."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    def _scored_cte(text: str, alias: str) -> str:
+        qtf = Counter(tokenize(text))
+        vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+        return f"""
+q_{alias}(term, qtf) AS (VALUES {vals}),
+dft_{alias} AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf
+  JOIN q_{alias} q USING (term) GROUP BY tf.term
+),
+{alias} AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q_{alias} q ON tf.term = q.term
+  JOIN dft_{alias} d ON tf.term = d.term CROSS JOIN g
+  GROUP BY tf.doc_id
+)"""
+
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),{_scored_cte(query_text, "prim")},{_scored_cte(phrase, "sec")},
+win AS (
+  SELECT doc_id, raw AS primary_raw FROM prim
+  ORDER BY raw DESC, doc_id ASC LIMIT {window_size}
+),
+members AS (
+  SELECT doc_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
+  WHERE regexp_matches(text, '(^|\s){phrase}(\s|$)')
+),
+fin AS (
+  SELECT w.doc_id,
+         {query_weight} * w.primary_raw
+           + {rescore_weight} * coalesce(s.raw, 0.0) AS f,
+         w.primary_raw, coalesce(s.raw, 0.0) AS sec_raw
+  FROM win w
+  LEFT JOIN (SELECT sec.doc_id, sec.raw FROM sec
+             JOIN members USING (doc_id)) s
+    ON w.doc_id = s.doc_id
+)
+SELECT doc_id, round(f, 6) AS score, round(primary_raw, 6) AS "primary",
+       round(sec_raw, 6) AS secondary
+FROM fin ORDER BY f DESC, doc_id ASC LIMIT {k}
 """
 
 

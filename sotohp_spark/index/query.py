@@ -1483,6 +1483,59 @@ class QueryEngine:
             .limit(k)
         )
 
+    def rescore(self, query_text: str, phrase: str, texts: DataFrame,
+                k: int = 10, window_size: int = 50,
+                query_weight: float = 1.0, rescore_weight: float = 1.0,
+                source=None) -> DataFrame:
+        """ES ``rescore``: take the top ``window_size`` docs of the
+        primary BM25 query, re-rank them with a phrase (proximity)
+        secondary query — final = query_weight * primary +
+        rescore_weight * secondary, where secondary is the BM25 score
+        over the PHRASE's terms for window docs containing the exact
+        phrase (raw-text word-boundary semantics via ``texts``) and 0
+        otherwise.  Only window docs are eligible (ES rescore reorders
+        within the window, never admits new docs).  Returns
+        DataFrame(doc_id, score, primary, secondary), final desc /
+        doc_id asc, k rows.
+
+        Scale shape: the window is k-small, so it BROADCASTS into
+        every later step — the phrase verify and the secondary scorer
+        are both left-semi restricted to window docs before any heavy
+        work, and the final combine is a broadcast left join over
+        <= window_size rows.  The phrase candidate scan itself costs
+        the phrase terms' postings (same class as phrase_search) —
+        the Lucene rescorer's cost model."""
+        if k > window_size:
+            raise ValueError("k must be <= window_size (rescore only "
+                             "reorders inside the window)")
+        wdf = self.top_k(
+            query_text, k=window_size, with_docs=False, source=source
+        ).select("doc_id", F.col("score").alias("primary"))
+        wids = wdf.select("doc_id")
+        members = self.phrase_search(
+            phrase, texts=texts, source=source
+        ).select("doc_id").join(F.broadcast(wids), "doc_id", "left_semi")
+        sec = (
+            self.scored_matches(phrase, source=source)
+            .join(F.broadcast(wids), "doc_id", "left_semi")
+            .join(F.broadcast(members), "doc_id", "left_semi")
+            .select("doc_id", F.col("score").alias("secondary"))
+        )
+        final = (
+            F.lit(float(query_weight)) * F.col("primary")
+            + F.lit(float(rescore_weight))
+            * F.coalesce(F.col("secondary"), F.lit(0.0))
+        )
+        return (
+            wdf.join(F.broadcast(sec), "doc_id", "left")
+            .select(
+                "doc_id", final.alias("score"), "primary",
+                F.coalesce(F.col("secondary"), F.lit(0.0)).alias("secondary"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def term_vectors(self, doc_id: int) -> DataFrame:
         """ES ``_termvectors``: the stored term vector of ONE doc —
         every term it contains with its tf, corpus df, Lucene idf, and

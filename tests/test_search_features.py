@@ -862,3 +862,67 @@ def test_top_k_decay_matches_brute(spark, tmp_path):
         engine.top_k_decay("error retry", origin=origin, half_life_days=0)
     with pytest.raises(ValueError):
         engine.top_k_decay("error retry", origin=None)
+
+
+def test_rescore_phrase_window(spark, tmp_path):
+    """ES rescore: the top-window primary docs re-ranked by
+    query_weight*primary + rescore_weight*phrase_BM25 (phrase matches
+    only, raw-text word-boundary semantics); docs outside the window
+    never enter."""
+    import re
+
+    import pytest
+
+    engine = _fixture(spark, tmp_path)
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    texts_by_doc = {
+        r["doc_id"]: conv_text[r["conv_id"]]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    texts = spark.createDataFrame(
+        [(d, t) for d, t in texts_by_doc.items()], "doc_id long, text string"
+    )
+    phrase, query, window = "error retry", "error retry redis", 5
+    prim = engine.top_k(query, k=window, with_docs=False).collect()
+    assert len(prim) == window
+    sec_scores = {
+        r["doc_id"]: r["score"]
+        for r in engine.scored_matches(phrase).collect()
+    }
+    pat = re.compile(r"(^|\s)error retry(\s|$)")
+    expect = sorted(
+        (
+            (
+                r["doc_id"],
+                r["score"] + 2.0 * (
+                    sec_scores.get(r["doc_id"], 0.0)
+                    if pat.search(texts_by_doc[r["doc_id"]]) else 0.0
+                ),
+            )
+            for r in prim
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.rescore(
+            query, phrase, texts, k=3, window_size=window,
+            rescore_weight=2.0,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, gs), (_, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-12
+    # the phrase boost must actually reorder vs the primary ranking
+    assert [d for d, _ in got] != [r["doc_id"] for r in prim][:3]
+    # zero rescore weight == primary ranking restricted to the window
+    got0 = [
+        (r["doc_id"], r["score"])
+        for r in engine.rescore(
+            query, phrase, texts, k=3, window_size=window,
+            rescore_weight=0.0,
+        ).collect()
+    ]
+    assert got0 == [(r["doc_id"], r["score"]) for r in prim[:3]]
+    with pytest.raises(ValueError):
+        engine.rescore(query, phrase, texts, k=10, window_size=5)
