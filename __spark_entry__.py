@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES rescore: phrase-proximity re-rank of the primary top window
     q["transcripts_rescore"] = _transcripts_rescore
+    # ES wildcard query: dictionary expansion, per-expansion idf
+    q["transcripts_wildcard_topk"] = _transcripts_wildcard_topk
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
@@ -860,6 +862,19 @@ def _transcripts_decay_topk(spark, sf_dir):
         half_life_days=30.0,
     ).select(
         "doc_id", "conv_id", F.round("score", 6).alias("score"), "doc_ts"
+    )
+
+
+def _transcripts_wildcard_topk(spark, sf_dir):
+    """ES wildcard query: the pattern expands against the term
+    dictionary in one prefix-pushdown job (StringStartsWith up to the
+    first wildcard, anchored rlike refine, df-desc cap — Lucene
+    maxExpansions) and each expansion scores with idf(its own df)
+    through the standard top_k machinery
+    (index/query.py top_k_wildcard)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_wildcard("tim*", k=10, max_expansions=50).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
     )
 
 
@@ -1747,6 +1762,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
+        "tim*", k=10, max_expansions=50
+    )
     o["transcripts_rescore"] = _transcripts_rescore_oracle_sql(
         "error retry timeout", _PHRASE, k=10, window_size=30,
         rescore_weight=2.0,
@@ -2278,6 +2296,52 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+def _transcripts_wildcard_oracle_sql(
+    pattern: str, k: int, max_expansions: int = 50,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Wildcard twin: dictionary terms matching the translated anchored
+    regex, highest df first (term asc ties) capped at max_expansions,
+    each scoring idf(its own df) * tfn — same per-expansion contract
+    as top_k_wildcard."""
+    import re
+
+    rx = (
+        "^"
+        + re.escape(pattern.strip().lower())
+        .replace(r"\*", ".*").replace(r"\?", ".")
+        + "$"
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+cand AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM tf WHERE regexp_matches(term, '{rx}')
+  GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(ln(1 + (g.n - cand.df + 0.5) / (cand.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN cand USING (term) CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

@@ -1263,6 +1263,70 @@ class QueryEngine:
             query_text, k=k, with_docs=with_docs, _weights=weights
         )
 
+    def wildcard_expand(self, pattern: str,
+                        max_expansions: int = 50) -> list:
+        """Dictionary terms matching an ES wildcard pattern (``*`` =
+        any run, ``?`` = exactly one char), as (term, df) pairs —
+        highest df first (term asc ties), capped at ``max_expansions``
+        (the Lucene multi-term rewrite cap, default 50).
+
+        Scale shape: ONE dictionary job over term_stats.  The literal
+        prefix before the first wildcard pushes down as
+        StringStartsWith (row-group pruning on the term-sorted scan);
+        the full pattern refines post-scan as an anchored rlike in
+        codegen.  A LEADING-wildcard pattern scans the whole
+        dictionary — same cost cliff ES documents for wildcard
+        queries; still never touches postings or docs."""
+        import re
+
+        pat = pattern.strip().lower()
+        if not pat or max_expansions < 1:
+            return []
+        prefix = re.split(r"[*?]", pat, 1)[0]
+        rx = (
+            "^"
+            + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
+            + "$"
+        )
+        dic = self._term_stats
+        if prefix:
+            dic = dic.where(F.col("term").startswith(prefix))
+        rows = (
+            dic.where(F.col("term").rlike(rx))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(int(max_expansions))
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def top_k_wildcard(self, pattern: str, k: int = 10,
+                       max_expansions: int = 50,
+                       with_docs: bool = True) -> DataFrame:
+        """Top-k BM25 for an ES ``wildcard``/``prefix`` query: the
+        pattern expands against the term dictionary (wildcard_expand)
+        and each expansion scores as a regular disjunctive term with
+        weight idf(its OWN df) — the same deterministic per-expansion
+        contract as top_k_fuzzy, exactly reproducible in SQL.  The
+        expansion cap keeps the scoring term set bounded (Lucene's
+        maxExpansions); expansions are chosen highest-df first.
+
+        Warm cost: 1 dictionary job + the standard top_k machinery
+        (_weights) — block-max pruning, the driver-local gate,
+        deletes, and pagination all apply unchanged."""
+        from sotohp_spark.operators import bm25 as _bm25
+
+        cand = self.wildcard_expand(pattern, max_expansions)
+        n = self.meta["n_docs"]
+        weights = {
+            t: _bm25.lucene_idf_scalar(n, df) for t, df in cand
+        }
+        if not weights:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        return self.top_k(
+            pattern, k=k, with_docs=with_docs, _weights=weights
+        )
+
     def explain(self, query_text: str, doc_id: int,
                 source=None) -> DataFrame:
         """Per-term score breakdown for one (query, doc) — the ES

@@ -926,3 +926,58 @@ def test_rescore_phrase_window(spark, tmp_path):
     assert got0 == [(r["doc_id"], r["score"]) for r in prim[:3]]
     with pytest.raises(ValueError):
         engine.rescore(query, phrase, texts, k=10, window_size=5)
+
+
+def test_wildcard_expand_and_topk(spark, tmp_path):
+    """ES wildcard/prefix query: dictionary expansion (df desc, term
+    asc, capped) with per-expansion idf weights; prefix pushes down."""
+    import re as _re
+
+    engine = _fixture(spark, tmp_path)
+    vocab = Counter()
+    for t in TEXTS:
+        for term in set(tokenize(t)):
+            vocab[term] += 1
+    # "re*" hits redis/retry/restart/regression/requested/...
+    rx = _re.compile(r"^re.*$")
+    expect_terms = sorted(
+        ((t, n) for t, n in vocab.items() if rx.match(t)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = engine.wildcard_expand("re*", max_expansions=50)
+    assert got == expect_terms
+    # cap keeps the highest-df expansions
+    assert engine.wildcard_expand("re*", max_expansions=2) == expect_terms[:2]
+    # ? = exactly one char
+    assert engine.wildcard_expand("r?try") == [("retry", vocab["retry"])]
+    # leading wildcard still works (full dictionary scan)
+    assert ("retry", vocab["retry"]) in engine.wildcard_expand("*etry")
+    # ranks equal brute BM25 with per-expansion idf weights
+    n = len(TEXTS)
+    weights = {
+        t: math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for t, df in expect_terms
+    }
+    brute = _brute_bm25(weights)
+    expect_rank = sorted(brute.items(), key=lambda x: (-x[1], x[0]))[:5]
+    conv_text = {f"c{i:03d}": t for i, t in enumerate(TEXTS)}
+    idx_of = {
+        r["doc_id"]: int(r["conv_id"][1:])
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    got_rank = [
+        (idx_of[r["doc_id"]], r["score"])
+        for r in engine.top_k_wildcard("re*", k=5, with_docs=False).collect()
+    ]
+    assert [i for i, _ in got_rank] == [i for i, _ in expect_rank]
+    for (_, gs), (_, es) in zip(got_rank, expect_rank):
+        assert abs(gs - es) < 1e-9
+    # absent pattern -> empty
+    assert engine.top_k_wildcard("zzq*", k=5).count() == 0
+    # prefix pushdown reaches the dictionary scan
+    plan = (
+        engine._term_stats.where(F.col("term").startswith("re"))
+        .where(F.col("term").rlike("^re.*$"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith" in plan
