@@ -293,6 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_rescore"] = _transcripts_rescore
     # ES wildcard query: dictionary expansion, per-expansion idf
     q["transcripts_wildcard_topk"] = _transcripts_wildcard_topk
+    # ES span_near / match_phrase slop: positional proximity match
+    q["transcripts_span_near"] = _transcripts_span_near
+    q["transcripts_span_near_unordered"] = (
+        lambda spark, sf_dir: _transcripts_span_near(
+            spark, sf_dir, in_order=False, slop=0
+        )
+    )
     # ES term suggester (did-you-mean): dictionary corrections
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
@@ -862,6 +869,57 @@ def _transcripts_decay_topk(spark, sf_dir):
         half_life_days=30.0,
     ).select(
         "doc_id", "conv_id", F.round("score", 6).alias("score"), "doc_ts"
+    )
+
+
+_TOKPOS_CACHE: dict = {}
+
+
+def _transcript_token_positions(spark, sf_dir) -> str:
+    """(doc_id, term, pos) side table for the span-near oracles,
+    written once per process per sf_dir: analyzed token positions
+    derived from the RAW text table via the tokenizer UDF — an
+    independent recompute, never the index's positional payload, so
+    the oracle genuinely checks the varbyte position round trip and
+    the span kernel."""
+    import os
+
+    from sotohp_spark.functions.tokenizer import make_term_positions_udf
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag in _TOKPOS_CACHE:
+        return _TOKPOS_CACHE[tag]
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    tp = make_term_positions_udf()
+    path = f"/tmp/sotohp_tok_pos_{tag}"
+    (
+        texts.select("doc_id", tp(F.col("text")).alias("m"))
+        .select("doc_id", F.explode("m").alias("term", "ps"))
+        .select("doc_id", "term", F.explode("ps").alias("pos"))
+        .write.mode("overwrite").parquet(path)
+    )
+    _TOKPOS_CACHE[tag] = path
+    return path
+
+
+def _transcripts_span_near(spark, sf_dir, in_order=True, slop=1):
+    """ES span_near / match_phrase-with-slop: docs whose analyzed
+    positions admit a selection of the 3 query terms spanning <=
+    n_terms + slop positions (ordered variant keeps query order) —
+    Lucene SpanNearQuery over the positional index
+    (index/query.py span_near_doc_ids, operators/postings.py
+    span_near_match).  The oracle recomputes positions from RAW text
+    via the tokenizer and runs the window predicate as a join chain."""
+    import os
+
+    from sotohp_spark.index import QueryEngine
+
+    _transcripts_phrase_positional(spark, sf_dir)  # ensure pos index
+    _transcript_token_positions(spark, sf_dir)     # ensure oracle table
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    return engine.span_near_doc_ids(
+        "error retry timeout", slop=slop, in_order=in_order
     )
 
 
@@ -1765,6 +1823,12 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
+    o["transcripts_span_near"] = _transcripts_span_near_oracle_sql(
+        "error retry timeout", slop=1, in_order=True
+    )
+    o["transcripts_span_near_unordered"] = _transcripts_span_near_oracle_sql(
+        "error retry timeout", slop=0, in_order=False
+    )
     o["transcripts_rescore"] = _transcripts_rescore_oracle_sql(
         "error retry timeout", _PHRASE, k=10, window_size=30,
         rescore_weight=2.0,
@@ -2296,6 +2360,50 @@ FROM tf JOIN q ON tf.term = q.term
 JOIN dft ON tf.term = dft.term CROSS JOIN g
 WHERE tf.doc_id = {doc_id}
 ORDER BY tf.term
+"""
+
+
+_ORACLE_TOK_POS = "/tmp/sotohp_tok_pos_sf0.01/*.parquet"
+
+
+def _transcripts_span_near_oracle_sql(
+    query_text: str, slop: int, in_order: bool = True,
+) -> str:
+    """Span-near twin: a join chain over the independently-recomputed
+    (doc_id, term, pos) table — one alias per span clause, the window
+    predicate max-min <= n_terms - 1 + slop, and pos-increasing join
+    conditions when ordered.  Existence via SELECT DISTINCT."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = tokenize(query_text)
+    window = len(terms) - 1 + slop
+    aliases = [f"s{i}" for i in range(len(terms))]
+    first = aliases[0]
+    joins = []
+    for prev, cur in zip(aliases, aliases[1:]):
+        order_cond = f" AND {cur}.pos > {prev}.pos" if in_order else ""
+        joins.append(
+            f"JOIN tok {cur} ON {cur}.doc_id = {first}.doc_id"
+            + order_cond
+        )
+    term_conds = " AND ".join(
+        f"{a}.term = '{t}'" for a, t in zip(aliases, terms)
+    )
+    if in_order:
+        span_cond = f"{aliases[-1]}.pos - {first}.pos <= {window}"
+    else:
+        pos_list = ", ".join(f"{a}.pos" for a in aliases)
+        span_cond = (
+            f"greatest({pos_list}) - least({pos_list}) <= {window}"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term, pos FROM read_parquet('{_ORACLE_TOK_POS}')
+)
+SELECT DISTINCT {first}.doc_id
+FROM tok {first}
+{chr(10).join(joins)}
+WHERE {term_conds} AND {span_cond}
 """
 
 

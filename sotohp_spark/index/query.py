@@ -2022,6 +2022,72 @@ class QueryEngine:
 
         return self._apply_per_range(shards, match_rows, schema)
 
+    def span_near_doc_ids(self, query_text: str, slop: int = 0,
+                          in_order: bool = True, source=None) -> DataFrame:
+        """ES ``span_near`` / ``match_phrase`` with ``slop``: docs
+        where the query's analyzed terms co-occur within a span of
+        n_terms + slop positions — optionally in query order — over
+        the POSITIONAL index (Lucene SpanNearQuery semantics on the
+        analyzed stream: slop=0 + in_order is exact analyzed
+        adjacency; camelCase splits and dropped-token gaps behave
+        exactly as in phrase_match_doc_ids).  Returns
+        DataFrame(doc_id long), unordered and distinct.
+
+        The analyzed terms must be DISTINCT (span clauses are one
+        position list per term); duplicates raise.
+
+        Scale shape: same one-job plan as phrase_match_doc_ids —
+        block-skipping conjunction prunes candidates, then each term's
+        position stream decodes ONCE per range and the span predicate
+        (vectorized greedy chain when ordered, a two-pointer minimal
+        window sweep otherwise) runs per candidate doc.  Requires
+        EngineConfig(store_positions=True)."""
+        from sotohp_spark.operators.postings import span_near_match
+
+        if not self.meta.get("positions"):
+            raise ValueError(
+                "span_near_doc_ids needs a positional index — build "
+                "with EngineConfig(store_positions=True)"
+            )
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        schema = "doc_id long"
+        empty = self.spark.createDataFrame([], schema)
+        terms = tokenize(query_text, self._query_rules(source))
+        if not terms:
+            return empty
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                f"span clauses must be distinct terms, got {terms}"
+            )
+        dfs = self._term_dfs(sorted(terms))
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return empty
+        n_terms = len(terms)
+        shards = self._postings.where(F.col("term").isin(terms))
+        if n_terms > 1:
+            ok = (
+                shards.groupBy("range_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .where(F.col("nt") == n_terms)
+                .select("range_id")
+            )
+            shards = shards.join(F.broadcast(ok), "range_id")
+
+        def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            if len({r["term"] for r in rows}) < n_terms:
+                return pd.DataFrame({"doc_id": []}).astype(
+                    {"doc_id": "int64"}
+                )
+            return pd.DataFrame(
+                {"doc_id": span_near_match(
+                    rows, terms, slop, in_order, deletes
+                )}
+            )
+
+        return self._apply_per_range(shards, match_rows, schema)
+
     def phrase_match_doc_ids_batch(self, phrases, source=None) -> DataFrame:
         """Positional phrase matches for MANY phrases in ONE
         distributed job — the positional analog of

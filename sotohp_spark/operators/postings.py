@@ -700,3 +700,128 @@ def conjunctive_match_batch(rows, phrase_terms, deletes=None):
             cand = cand[~np.isin(cand, deletes)]
         out.extend((qid, int(d)) for d in cand)
     return out
+
+
+def _decode_term_positions(rows_for_term: list, cand: np.ndarray):
+    """(docs_all, pos_all) for one term restricted to ``cand`` docs —
+    the decode pattern positional_phrase_match uses, factored for the
+    span matcher.  docs_all is ascending (blocks are doc-ordered) and
+    each doc's positions are contiguous."""
+    doc_parts, pos_parts = [], []
+    for row in rows_for_term:
+        if row.get("pos_payload") is None:
+            raise ValueError(
+                f"shard for term {row['term']!r} has no positional "
+                f"payload — index built without store_positions"
+            )
+        bf = np.asarray(row["block_first_doc"], dtype=np.int64)
+        bl = np.asarray(row["block_last_doc"], dtype=np.int64)
+        lo = np.searchsorted(cand, bf, side="left")
+        hi = np.searchsorted(cand, bl, side="right")
+        keep = np.nonzero(hi > lo)[0].tolist()
+        if not keep:
+            continue
+        dd, _, _ = decode_shard_blocks(
+            row["payload"], row["block_offsets"], keep
+        )
+        pl = decode_shard_positions(
+            row["pos_payload"], row["pos_offsets"], keep
+        )
+        sel = np.isin(dd, cand, assume_unique=True)
+        for di in np.nonzero(sel)[0].tolist():
+            p = pl[di]
+            if p.size:
+                doc_parts.append(np.full(p.size, dd[di], dtype=np.int64))
+                pos_parts.append(p)
+    if doc_parts:
+        return np.concatenate(doc_parts), np.concatenate(pos_parts)
+    return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+
+
+def _span_exists(plists: list, window: int, in_order: bool) -> bool:
+    """Does a selection of one position per list fit inside ``window``
+    (max - min <= window), optionally strictly increasing in list
+    order?  Lucene SpanNearQuery's match predicate."""
+    n = len(plists)
+    if n == 1:
+        return plists[0].size > 0
+    if in_order:
+        # greedy next-position chain, vectorized over every start:
+        # for a fixed p1 the minimal reachable pn comes from always
+        # taking the FIRST position after the previous term's — so
+        # existence over starts is exact
+        cur = plists[0]
+        last = plists[0]
+        for P in plists[1:]:
+            idx = np.searchsorted(P, last, side="right")
+            ok = idx < P.size
+            cur, idx = cur[ok], idx[ok]
+            if cur.size == 0:
+                return False
+            last = P[idx]
+        return bool(np.any(last - cur <= window))
+    # unordered: minimal window over the merged position stream
+    # containing every list at least once (two-pointer sweep)
+    merged = np.concatenate(plists)
+    which = np.concatenate(
+        [np.full(p.size, i, dtype=np.int64) for i, p in enumerate(plists)]
+    )
+    o = np.argsort(merged, kind="stable")
+    mp, mt = merged[o], which[o]
+    count = np.zeros(n, dtype=np.int64)
+    have = 0
+    lo = 0
+    for hi in range(mp.size):
+        c = mt[hi]
+        count[c] += 1
+        if count[c] == 1:
+            have += 1
+        while have == n:
+            if mp[hi] - mp[lo] <= window:
+                return True
+            c2 = mt[lo]
+            count[c2] -= 1
+            if count[c2] == 0:
+                have -= 1
+            lo += 1
+    return False
+
+
+def span_near_match(rows, terms: list, slop: int, in_order: bool,
+                    deletes=None) -> np.ndarray:
+    """Docs of ONE range containing the DISTINCT ``terms`` with some
+    occurrence selection spanning at most len(terms) - 1 + slop
+    positions (optionally in term order) — Lucene SpanNearQuery over
+    the analyzed position stream.
+
+    Candidates come from the block-skipping conjunction first (every
+    term must be present at all), then per-candidate position lists
+    decode exactly once per term and the span predicate runs per doc.
+    Returns a sorted int64 doc-id array.
+    """
+    if not rows or not terms:
+        return np.zeros(0, dtype=np.int64)
+    cand = conjunctive_match(rows, deletes)
+    if cand.size == 0:
+        return cand
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    term_data = {
+        t: _decode_term_positions(by_term.get(t, ()), cand) for t in terms
+    }
+    window = len(terms) - 1 + int(slop)
+    out = []
+    for doc in cand.tolist():
+        plists = []
+        for t in terms:
+            da, pa = term_data[t]
+            lo = np.searchsorted(da, doc, side="left")
+            hi = np.searchsorted(da, doc, side="right")
+            if hi == lo:
+                break
+            plists.append(np.sort(pa[lo:hi]))
+        else:
+            if _span_exists(plists, window, in_order):
+                out.append(doc)
+    return np.asarray(out, dtype=np.int64)

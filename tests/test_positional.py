@@ -396,3 +396,86 @@ def test_positional_kill_and_resume(spark, tmp_path):
     pa = sorted(r["doc_id"] for r in ea.phrase_match_doc_ids("error retry").collect())
     pb = sorted(r["doc_id"] for r in eb.phrase_match_doc_ids("error retry").collect())
     assert pa == pb and ea.meta.get("positions")
+
+
+# ---------------------------------------------------------------------------
+# span_near (sloppy phrase / SpanNearQuery)
+# ---------------------------------------------------------------------------
+def _brute_span_docs(texts, query, slop, in_order):
+    from itertools import product
+
+    terms = tokenize(query)
+    window = len(terms) - 1 + slop
+    out = []
+    for doc_id, text in texts:
+        tp = term_positions(text)
+        plists = [tp.get(t, []) for t in terms]
+        if any(not p for p in plists):
+            continue
+        hit = False
+        for sel in product(*plists):
+            if max(sel) - min(sel) > window:
+                continue
+            if in_order and not all(
+                b > a for a, b in zip(sel, sel[1:])
+            ):
+                continue
+            hit = True
+            break
+        if hit:
+            out.append(doc_id)
+    return sorted(out)
+
+
+def test_span_near_matches_brute(spark, pos_index):
+    """span_near_doc_ids == brute product-search over
+    tokenize_with_positions for every (query, slop, order) combo —
+    ordered greedy chain and unordered window sweep both exact."""
+    path, texts = pos_index
+    engine = QueryEngine(spark, path)
+    for query in ["error retry", "retry timeout", "error retry timeout",
+                  "error timeout loop"]:
+        for slop in (0, 1, 2, 5):
+            for in_order in (True, False):
+                got = sorted(
+                    r["doc_id"]
+                    for r in engine.span_near_doc_ids(
+                        query, slop=slop, in_order=in_order
+                    ).collect()
+                )
+                expect = _brute_span_docs(texts, query, slop, in_order)
+                assert got == expect, (query, slop, in_order)
+    # slop relaxations on the fixture's designed rows
+    s0 = {r["doc_id"] for r in
+          engine.span_near_doc_ids("error retry", slop=0).collect()}
+    s1 = {r["doc_id"] for r in
+          engine.span_near_doc_ids("error retry", slop=1).collect()}
+    u1 = {r["doc_id"] for r in
+          engine.span_near_doc_ids("error retry", slop=1,
+                                   in_order=False).collect()}
+    assert 2 not in s0 and 2 in s1        # number gap costs one slop
+    assert 1 not in s1 and 1 in u1        # wrong order needs unordered
+    assert s0 <= s1 <= u1
+    # absent term -> empty; duplicate clauses and negative slop raise
+    assert engine.span_near_doc_ids("error zzqabsent", slop=3).count() == 0
+    with pytest.raises(ValueError):
+        engine.span_near_doc_ids("do it do")
+    with pytest.raises(ValueError):
+        engine.span_near_doc_ids("error retry", slop=-1)
+
+
+def test_span_near_requires_positions(spark, pos_index, tmp_path):
+    path, texts = pos_index
+    cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
+                         shuffle_partitions=4)
+    pdf = pd.DataFrame(
+        [(f"c{i}", 0, pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=i),
+          "user", t, None) for i, t in texts],
+        columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+    )
+    p2 = str(tmp_path / "nopos")
+    IndexBuilder(spark, p2, cfg_n).build(
+        spark.createDataFrame(pdf), input_fingerprint="np"
+    )
+    with pytest.raises(ValueError):
+        QueryEngine(spark, p2).span_near_doc_ids("error retry")
