@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_rescore"] = _transcripts_rescore
     # ES wildcard query: dictionary expansion, per-expansion idf
     q["transcripts_wildcard_topk"] = _transcripts_wildcard_topk
+    # ES multi-index search: per-index stats, coordinator k-merge
+    q["transcripts_msearch"] = _transcripts_msearch
     # ES span_near / match_phrase slop: positional proximity match
     q["transcripts_span_near"] = _transcripts_span_near
     q["transcripts_span_near_unordered"] = (
@@ -920,6 +922,51 @@ def _transcripts_span_near(spark, sf_dir, in_order=True, slop=1):
     engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
     return engine.span_near_doc_ids(
         "error retry timeout", slop=slop, in_order=in_order
+    )
+
+
+_MSEARCH_CACHE: dict = {}
+
+
+def _transcript_msearch_engines(spark, sf_dir):
+    """Two independently-built indexes over a deterministic per-conv
+    split of the same corpus (the ES per-period index-pattern layout,
+    built once per process per sf_dir)."""
+    import os
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag not in _MSEARCH_CACHE:
+        sf = _SF_FROM_DIR.get(tag, 0.05)
+        turns = transcripts_df(spark, sf)
+        engines = []
+        for i, name in enumerate(("even", "odd")):
+            path = f"/tmp/sotohp_ms_{name}_{tag}"
+            split = turns.where(
+                F.abs(F.hash(F.col("conv_id"))) % 2 == i
+            )
+            IndexBuilder(spark, path, EngineConfig(**_T_CFG)).reindex_all(
+                split, input_fingerprint=f"ms-{name}-sf={sf}"
+            )
+            engines.append((name, QueryEngine(spark, path)))
+        _MSEARCH_CACHE[tag] = engines
+    return _MSEARCH_CACHE[tag]
+
+
+def _transcripts_msearch(spark, sf_dir):
+    """ES multi-index search: two independently built indexes (per-conv
+    split), each scoring with its OWN collection stats and returning
+    its local top-k; the coordinator merges by (score desc, idx,
+    doc_id) — the ES query_then_fetch contract
+    (index/query.py msearch)."""
+    from sotohp_spark.index import msearch
+
+    engines = _transcript_msearch_engines(spark, sf_dir)
+    return msearch(engines, "error retry timeout", k=10).select(
+        "idx", "doc_id", F.round("score", 6).alias("score")
     )
 
 
@@ -1823,6 +1870,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
+    o["transcripts_msearch"] = _transcripts_msearch_oracle_sql(
+        "error retry timeout", k=10
+    )
     o["transcripts_span_near"] = _transcripts_span_near_oracle_sql(
         "error retry timeout", slop=1, in_order=True
     )
@@ -2364,6 +2414,58 @@ ORDER BY tf.term
 
 
 _ORACLE_TOK_POS = "/tmp/sotohp_tok_pos_sf0.01/*.parquet"
+
+
+def _transcripts_msearch_oracle_sql(
+    query_text: str, k: int, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """msearch twin: one scored CTE per index glob with that index's
+    OWN n/avgdl/df, per-index top-k, union, coordinator merge by
+    (raw desc, idx asc, doc_id asc) — the query_then_fetch contract."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    blocks = []
+    tops = []
+    for name in ("even", "odd"):
+        glob = f"/tmp/sotohp_ms_{name}_sf0.01/docs/*/*.parquet"
+        blocks.append(f"""
+tf_{name} AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{glob}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g_{name} AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{glob}')
+),
+dft_{name} AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf_{name} tf
+  JOIN q USING (term) GROUP BY tf.term
+),
+scored_{name} AS (
+  SELECT '{name}' AS idx, tf.doc_id,
+         sum(q.qtf * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf_{name} tf JOIN q ON tf.term = q.term
+  JOIN dft_{name} d ON tf.term = d.term CROSS JOIN g_{name} g
+  GROUP BY tf.doc_id
+),
+top_{name} AS (
+  SELECT * FROM scored_{name} ORDER BY raw DESC, doc_id ASC LIMIT {k}
+)""")
+        tops.append(f"SELECT * FROM top_{name}")
+    return f"""
+WITH q(term, qtf) AS (VALUES {q_vals}),{",".join(blocks)}
+SELECT idx, doc_id, round(raw, 6) AS score
+FROM ({" UNION ALL ".join(tops)})
+ORDER BY raw DESC, idx ASC, doc_id ASC LIMIT {k}
+"""
 
 
 def _transcripts_span_near_oracle_sql(

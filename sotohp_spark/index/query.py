@@ -2450,3 +2450,44 @@ class QueryEngine:
         return texts.join(
             cands.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).where(F.col(text_col).rlike(pat))
+
+
+def msearch(indexes, query_text: str, k: int = 10,
+            conjunctive: bool = False) -> DataFrame:
+    """Federated top-k across independently built indexes — the ES
+    multi-index / index-pattern search shape (``GET idx-2025-*/
+    _search``, the classic per-period time-series layout).
+
+    ``indexes``: list of (name, QueryEngine).  Each index scores with
+    ITS OWN collection stats (df/N/avgdl local to the index — the ES
+    ``query_then_fetch`` default; cross-index idf blending would need
+    the dfs_query_then_fetch round this deliberately mirrors not
+    having), returns its local top-k, and the coordinator merges by
+    (score desc, index name asc, doc_id asc) to the global k.
+    Returns DataFrame(idx, doc_id, score).
+
+    Scale shape: per-index retrieval is the unchanged one-job top_k
+    (block-max pruning, driver-local gate, deletes all apply); the
+    merge is a unionByName of k-row frames + TakeOrderedAndProject —
+    coordinator cost is O(k * n_indexes), independent of corpus size.
+    """
+    if not indexes:
+        raise ValueError("msearch needs at least one (name, engine)")
+    names = [n for n, _ in indexes]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate index names: {names}")
+    parts = []
+    for name, eng in indexes:
+        parts.append(
+            eng.top_k(
+                query_text, k=k, with_docs=False, conjunctive=conjunctive
+            ).select(
+                F.lit(str(name)).alias("idx"), "doc_id", "score"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("score").desc(), F.col("idx").asc(), F.col("doc_id").asc()
+    ).limit(k)

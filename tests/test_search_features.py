@@ -981,3 +981,73 @@ def test_wildcard_expand_and_topk(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "StringStartsWith" in plan
+
+
+def test_msearch_merges_per_index_topk(spark, tmp_path):
+    """ES multi-index search: each index scores with its own
+    collection stats, the coordinator merges local top-ks by (score
+    desc, idx, doc_id)."""
+    import pytest
+
+    from sotohp_spark.index import IndexBuilder, msearch
+
+    cfg = EngineConfig(
+        range_size=4, block_size=2, ranges_per_batch=2, shuffle_partitions=4
+    )
+    engines = []
+    halves = {"a": TEXTS[:4], "b": TEXTS[4:]}
+    for name, texts in halves.items():
+        rows = [
+            (f"{name}{i:03d}", 0, TS + datetime.timedelta(days=i), t)
+            for i, t in enumerate(texts)
+        ]
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp, text string"
+        )
+        path = str(tmp_path / f"ms_{name}")
+        IndexBuilder(spark, path, cfg).build(turns, input_fingerprint=name)
+        engines.append((name, QueryEngine(spark, path)))
+    # brute: per-index local stats, local top-k, merged
+    expect = []
+    for name, texts in halves.items():
+        docs = [Counter(tokenize(t)) for t in texts]
+        avgdl = sum(sum(d.values()) for d in docs) / len(docs)
+        n = len(docs)
+        qtf = Counter(tokenize("error retry"))
+        scores = {}
+        for i, d in enumerate(docs):
+            s = 0.0
+            for term in sorted(qtf):
+                tf = d.get(term, 0)
+                if tf:
+                    df = sum(1 for dd in docs if term in dd)
+                    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                    dl = sum(d.values())
+                    s += qtf[term] * idf * tf * 2.2 / (
+                        tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                    )
+            if s > 0:
+                scores[i] = s
+        local = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:3]
+        eng = dict(engines)[name]
+        id_of = {
+            int(r["conv_id"][1:]): r["doc_id"]
+            for r in eng._docs.select("doc_id", "conv_id").collect()
+        }
+        expect.extend((name, id_of[i], s) for i, s in local)
+    expect.sort(key=lambda x: (-x[2], x[0], x[1]))
+    expect = expect[:3]
+    got = [
+        (r["idx"], r["doc_id"], r["score"])
+        for r in msearch(engines, "error retry", k=3).collect()
+    ]
+    assert [(i, d) for i, d, _ in got] == [(i, d) for i, d, _ in expect]
+    for (_, _, gs), (_, _, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-9
+    # both indexes must actually contribute somewhere in a deeper merge
+    deep = {r["idx"] for r in msearch(engines, "error retry", k=10).collect()}
+    assert deep == {"a", "b"}
+    with pytest.raises(ValueError):
+        msearch([], "error retry")
+    with pytest.raises(ValueError):
+        msearch([("a", engines[0][1]), ("a", engines[1][1])], "x")
