@@ -151,6 +151,34 @@ def main():
         engine.top_k_recent("error retry", 10).collect()
         record("sort_recent", time.time() - t1)
 
+    # round-6 session surfaces, warm: N-of-M count filter (inside the
+    # block-max scorer), field collapse + recency decay (full scored
+    # export + agg/top-k), wildcard (dictionary job + scoring),
+    # span_near (positional proximity) on the positional engine
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.top_k(
+            "error retry timeout deploy", 10, with_docs=False,
+            min_should_match=3,
+        ).collect()
+        record("topk_min_should_match", time.time() - t1)
+        t1 = time.time()
+        engine.top_k_collapse("error retry timeout", k=10, by="day").collect()
+        record("topk_collapse_day", time.time() - t1)
+        t1 = time.time()
+        engine.top_k_decay(
+            "error retry timeout", origin="2025-04-01 00:00:00", k=10
+        ).collect()
+        record("topk_decay", time.time() - t1)
+        t1 = time.time()
+        engine.top_k_wildcard("tim*", k=10, with_docs=False).collect()
+        record("wildcard_topk", time.time() - t1)
+        t1 = time.time()
+        pos_engine.span_near_doc_ids(
+            "error retry timeout", slop=2
+        ).count()
+        record("span_near", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",
