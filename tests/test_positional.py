@@ -427,11 +427,40 @@ def _brute_span_docs(texts, query, slop, in_order):
     return sorted(out)
 
 
-def test_span_near_matches_brute(spark, pos_index):
+@pytest.fixture(scope="module")
+def span_index(spark, tmp_path_factory):
+    """Private positional index for the span tests — pos_index is
+    MUTATED by test_append_preserves_positions (a doc is appended),
+    so a brute expectation over its original text list would go stale
+    depending on test order."""
+    texts = [
+        (0, "error retry timeout loop"),
+        (1, "retry error timeout"),
+        (2, "error 2024 retry"),
+        (3, "deep error retry chain error retry"),
+        (4, "nothing relevant here"),
+        (5, "errorRetry camel form"),
+        (6, "do it do again do it"),
+        (7, "error, retry via separator"),
+        (8, "timeout far error x y z retry end"),
+    ]
+    pdf = pd.DataFrame(
+        [(f"c{i}", 0, pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=i),
+          "user", t, None) for i, t in texts],
+        columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"],
+    )
+    path = str(tmp_path_factory.mktemp("spanidx"))
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="span"
+    )
+    return path, texts
+
+
+def test_span_near_matches_brute(spark, span_index):
     """span_near_doc_ids == brute product-search over
     tokenize_with_positions for every (query, slop, order) combo —
     ordered greedy chain and unordered window sweep both exact."""
-    path, texts = pos_index
+    path, texts = span_index
     engine = QueryEngine(spark, path)
     for query in ["error retry", "retry timeout", "error retry timeout",
                   "error timeout loop"]:
@@ -464,8 +493,8 @@ def test_span_near_matches_brute(spark, pos_index):
         engine.span_near_doc_ids("error retry", slop=-1)
 
 
-def test_span_near_requires_positions(spark, pos_index, tmp_path):
-    path, texts = pos_index
+def test_span_near_requires_positions(spark, span_index, tmp_path):
+    path, texts = span_index
     cfg_n = EngineConfig(range_size=16, block_size=4, ranges_per_batch=2,
                          shuffle_partitions=4)
     pdf = pd.DataFrame(
