@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_wildcard_topk"] = _transcripts_wildcard_topk
     # ES multi-index search: per-index stats, coordinator k-merge
     q["transcripts_msearch"] = _transcripts_msearch
+    # ES match_phrase_prefix: search-as-you-type positional completion
+    q["transcripts_match_phrase_prefix"] = _transcripts_match_phrase_prefix
     # ES span_near / match_phrase slop: positional proximity match
     q["transcripts_span_near"] = _transcripts_span_near
     q["transcripts_span_near_unordered"] = (
@@ -968,6 +970,25 @@ def _transcripts_msearch(spark, sf_dir):
     return msearch(engines, "error retry timeout", k=10).select(
         "idx", "doc_id", F.round("score", 6).alias("score")
     )
+
+
+def _transcripts_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix (search-as-you-type): head terms as an
+    exact positional phrase, the last term completed by any dictionary
+    term with that prefix (df-desc, capped 50) — one dictionary job +
+    ONE batch positional job for all completions
+    (index/query.py match_phrase_prefix_doc_ids).  Query-side
+    analyzed-adjacency semantics: the completion phrase is built from
+    the analyzed terms, consecutive positions."""
+    import os
+
+    from sotohp_spark.index import QueryEngine
+
+    _transcripts_phrase_positional(spark, sf_dir)  # ensure pos index
+    _transcript_token_positions(spark, sf_dir)     # ensure oracle table
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    return engine.match_phrase_prefix_doc_ids("retry tim", max_expansions=50)
 
 
 def _transcripts_wildcard_topk(spark, sf_dir):
@@ -1873,6 +1894,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_msearch"] = _transcripts_msearch_oracle_sql(
         "error retry timeout", k=10
     )
+    o["transcripts_match_phrase_prefix"] = (
+        _transcripts_match_phrase_prefix_oracle_sql(
+            "retry tim", max_expansions=50
+        )
+    )
     o["transcripts_span_near"] = _transcripts_span_near_oracle_sql(
         "error retry timeout", slop=1, in_order=True
     )
@@ -2465,6 +2491,58 @@ WITH q(term, qtf) AS (VALUES {q_vals}),{",".join(blocks)}
 SELECT idx, doc_id, round(raw, 6) AS score
 FROM ({" UNION ALL ".join(tops)})
 ORDER BY raw DESC, idx ASC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_match_phrase_prefix_oracle_sql(
+    phrase: str, max_expansions: int = 50,
+) -> str:
+    """match_phrase_prefix twin: completions = dictionary terms with
+    the last analyzed term's prefix (df desc, term asc, capped — the
+    wildcard contract), membership = head terms at consecutive
+    positions followed by any completion, over the independently
+    recomputed token-position table."""
+    import re
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = tokenize(phrase)
+    head, last = terms[:-1], terms[-1]
+    rx = "^" + re.escape(last) + ".*$"
+    aliases = [f"h{i}" for i in range(len(head))]
+    joins, conds = [], []
+    for i, (a, t) in enumerate(zip(aliases, head)):
+        if i:
+            joins.append(
+                f"JOIN tok {a} ON {a}.doc_id = h0.doc_id"
+                f" AND {a}.pos = h0.pos + {i}"
+            )
+        conds.append(f"{a}.term = '{t}'")
+    joins.append(
+        f"JOIN tok lc ON lc.doc_id = h0.doc_id"
+        f" AND lc.pos = h0.pos + {len(head)}"
+    )
+    joins.append("JOIN cand ON lc.term = cand.term")
+    return f"""
+WITH tf AS (
+  SELECT e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+cand AS (
+  SELECT term FROM (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE regexp_matches(term, '{rx}')
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT {max_expansions}
+  )
+),
+tok AS (
+  SELECT doc_id, term, pos FROM read_parquet('{_ORACLE_TOK_POS}')
+)
+SELECT DISTINCT h0.doc_id
+FROM tok h0
+{chr(10).join(joins)}
+WHERE {" AND ".join(conds)}
 """
 
 

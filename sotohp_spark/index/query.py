@@ -2101,6 +2101,40 @@ class QueryEngine:
 
         return self._apply_per_range(shards, match_rows, schema)
 
+    def match_phrase_prefix_doc_ids(self, phrase: str,
+                                    max_expansions: int = 50,
+                                    source=None) -> DataFrame:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the
+        analyzed terms before the last match as an exact positional
+        phrase, the LAST term matches as a PREFIX — any dictionary
+        term starting with it (highest-df first, capped at
+        ``max_expansions``, the ES cap) may complete the phrase.
+        Analyzed-adjacency semantics, like phrase_match_doc_ids.
+        Returns DataFrame(doc_id long), distinct.
+
+        Scale shape: one dictionary job expands the prefix
+        (StringStartsWith pushdown), then ALL completions run as ONE
+        batch positional job (phrase_match_doc_ids_batch — each shared
+        term's postings and positions decode once per range, which is
+        exactly the amortization a 50-way completion fan-out needs).
+        Requires EngineConfig(store_positions=True)."""
+        schema = "doc_id long"
+        empty = self.spark.createDataFrame([], schema)
+        terms = tokenize(phrase, self._query_rules(source))
+        if not terms:
+            return empty
+        head, last = terms[:-1], terms[-1]
+        exps = self.wildcard_expand(last + "*", max_expansions)
+        if not exps:
+            return empty
+        phrases = [
+            (f"mpp{i}", " ".join(head + [t])) for i, (t, _) in enumerate(exps)
+        ]
+        return (
+            self.phrase_match_doc_ids_batch(phrases, source=source)
+            .select("doc_id").distinct()
+        )
+
     def phrase_match_doc_ids_batch(self, phrases, source=None) -> DataFrame:
         """Positional phrase matches for MANY phrases in ONE
         distributed job — the positional analog of

@@ -508,3 +508,33 @@ def test_span_near_requires_positions(spark, span_index, tmp_path):
     )
     with pytest.raises(ValueError):
         QueryEngine(spark, p2).span_near_doc_ids("error retry")
+
+
+def test_match_phrase_prefix(spark, span_index):
+    """ES match_phrase_prefix: head terms exact-adjacent, last term
+    completed by any dictionary term with that prefix (analyzed
+    semantics) — equals the brute union over prefix completions."""
+    path, texts = span_index
+    engine = QueryEngine(spark, path)
+    vocab = set()
+    for _, t in texts:
+        vocab.update(tokenize(t))
+    for query in ["error re", "error retry", "retry t", "deep e"]:
+        toks = tokenize(query)
+        head, last = toks[:-1], toks[-1]
+        comps = [v for v in vocab if v.startswith(last)]
+        expect = set()
+        for c in comps:
+            expect.update(_brute_phrase_docs(texts, " ".join(head + [c])))
+        got = sorted(
+            r["doc_id"]
+            for r in engine.match_phrase_prefix_doc_ids(query).collect()
+        )
+        assert got == sorted(expect), query
+    # no completion -> empty; cap respected (1 expansion = best-df only)
+    assert engine.match_phrase_prefix_doc_ids("error zzq").count() == 0
+    one = engine.match_phrase_prefix_doc_ids("error re", max_expansions=1)
+    best = engine.wildcard_expand("re*", 1)[0][0]
+    assert sorted(r["doc_id"] for r in one.collect()) == _brute_phrase_docs(
+        texts, f"error {best}"
+    )
