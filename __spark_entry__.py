@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_term_vectors"] = _transcripts_term_vectors
     # ES field collapsing: best doc per time bucket, buckets ranked
     q["transcripts_collapse_day"] = _transcripts_collapse_day
+    q["transcripts_collapse_week"] = _transcripts_collapse_week
     # ES function_score: multiplicative exp recency decay over matches
     q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES rescore: phrase-proximity re-rank of the primary top window
@@ -1020,6 +1021,19 @@ def _transcripts_rescore(spark, sf_dir):
         "doc_id", F.round("score", 6).alias("score"),
         F.round("primary", 6).alias("primary"),
         F.round("secondary", 6).alias("secondary"),
+    )
+
+
+def _transcripts_collapse_week(spark, sf_dir):
+    """Week-bucket variant of the field collapse (Monday-start
+    date_trunc in both engines) — same plan shape as
+    transcripts_collapse_day."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_collapse(
+        "error retry timeout", k=10, by="week"
+    ).select(
+        "collapse_key", "doc_id", "conv_id",
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -1916,6 +1930,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_collapse_day"] = _transcripts_collapse_oracle_sql(
         "error retry timeout", k=10, by="day"
     )
+    o["transcripts_collapse_week"] = _transcripts_collapse_oracle_sql(
+        "error retry timeout", k=10, by="week"
+    )
     o["transcripts_term_vectors"] = _transcripts_term_vectors_oracle_sql(
         _MLT_DOC
     )
@@ -2764,7 +2781,16 @@ def _transcripts_collapse_oracle_sql(
 
     from sotohp_spark.functions.tokenizer import tokenize
 
-    fmt = {"day": "%Y-%m-%d", "month": "%Y-%m"}[by]
+    key_expr = {
+        "day": "strftime(any_value(tf.doc_ts), '%Y-%m-%d')",
+        "month": "strftime(any_value(tf.doc_ts), '%Y-%m')",
+        # Monday-start weeks in both engines (Spark date_trunc('week')
+        # and DuckDB date_trunc('week') agree)
+        "week": (
+            "strftime(date_trunc('week', any_value(tf.doc_ts)),"
+            " '%Y-%m-%d')"
+        ),
+    }[by]
     qtf = Counter(tokenize(query_text))
     q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
     return f"""
@@ -2784,7 +2810,7 @@ dft AS (
 ),
 scored AS (
   SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
-         strftime(any_value(tf.doc_ts), '{fmt}') AS collapse_key,
+         {key_expr} AS collapse_key,
          sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
              * tf.tf * ({k1} + 1.0)
              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))

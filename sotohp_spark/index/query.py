@@ -737,34 +737,14 @@ class QueryEngine:
                 self._local_gate.release()
             return self._attach_docs(out) if with_docs else out
         if conjunctive:
-            # ranges lacking any query term can't contribute: semi-filter
-            # on distinct POSITIVE-term count per range before the heavy
-            # decode (excluded-term shards must not inflate the count).
-            pos = shards
-            if excl_terms:
-                pos = pos.where(~F.col("term").isin(list(excl_terms)))
-            ok = (
-                pos.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") == n_terms)
-                .select("range_id")
-            )
-            shards = shards.join(F.broadcast(ok), "range_id")
-
+            # ranges lacking any query term can't contribute
+            shards = self._prefilter_ranges(shards, n_terms, excl_terms)
         if min_match is not None:
-            # N-of-M analog of the conjunctive range prefilter: a range
-            # holding fewer than min_match distinct POSITIVE terms
-            # cannot produce an eligible doc — drop it before decode
-            pos = shards
-            if excl_terms:
-                pos = pos.where(~F.col("term").isin(list(excl_terms)))
-            ok = (
-                pos.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") >= min_match)
-                .select("range_id")
+            # N-of-M analog: a range holding fewer than min_match
+            # distinct POSITIVE terms cannot produce an eligible doc
+            shards = self._prefilter_ranges(
+                shards, min_match, excl_terms, exact=False
             )
-            shards = shards.join(F.broadcast(ok), "range_id")
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -782,6 +762,30 @@ class QueryEngine:
         local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
+
+    def _prefilter_ranges(self, shards: DataFrame, n_required: int,
+                          excl_terms=frozenset(),
+                          exact: bool = True) -> DataFrame:
+        """Drop ranges that cannot satisfy the query's distinct-term
+        requirement BEFORE the heavy decode: per-range
+        countDistinct(term) over POSITIVE terms only (excluded terms
+        must not inflate the count), broadcast back as a semi-filter.
+        ``exact`` compares == n_required (conjunctions, phrases);
+        ``exact=False`` compares >= (minimum_should_match).  Worth its
+        one extra tiny job: it prunes whole ranges' Arrow
+        deserialization, measured faster than folding the check into
+        the kernel alone (BENCH/p95_es_surfaces_sf100.md)."""
+        pos = shards
+        if excl_terms:
+            pos = pos.where(~F.col("term").isin(list(excl_terms)))
+        nt = F.col("nt") == n_required if exact else F.col("nt") >= n_required
+        ok = (
+            pos.groupBy("range_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .where(nt)
+            .select("range_id")
+        )
+        return shards.join(F.broadcast(ok), "range_id")
 
     def _apply_per_range(self, shards: DataFrame, score_rows, schema) -> DataFrame:
         """Run a per-range scoring function over the candidate shards.
@@ -804,7 +808,12 @@ class QueryEngine:
         satisfies the groupBy's required distribution, so no second
         exchange appears.
         """
-        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # e.g. "auto" under managed auto-optimized shuffle — fall
+            # back to the cluster's default parallelism
+            n_part = self.spark.sparkContext.defaultParallelism
         shards = shards.repartition(n_part, "range_id")
         if self._deletes is not None:
             deletes = self._deletes
@@ -1431,18 +1440,11 @@ class QueryEngine:
         n_terms = len(terms)
         shards = self._scoring_shards(terms)
         if conjunctive:
-            ok = (
-                shards.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") == n_terms)
-                .select("range_id")
-            )
-            shards = shards.join(F.broadcast(ok), "range_id")
-        no_cut = (1 << 31) - 1
+            shards = self._prefilter_ranges(shards, n_terms)
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             docs, scores = wand.score_range(
-                pdf.to_dict("records"), weights, no_cut, avgdl,
+                pdf.to_dict("records"), weights, None, avgdl,
                 conjunctive=conjunctive, cfg=cfg, deletes=deletes,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
@@ -1585,9 +1587,22 @@ class QueryEngine:
         if k > window_size:
             raise ValueError("k must be <= window_size (rescore only "
                              "reorders inside the window)")
-        wdf = self.top_k(
+        # materialize the window ONCE: it is <= window_size rows by
+        # definition (ES holds the rescore window in memory too), and
+        # referencing the lazy top_k frame from three joins would
+        # re-execute the whole primary scoring subtree per reference
+        wrows = self.top_k(
             query_text, k=window_size, with_docs=False, source=source
-        ).select("doc_id", F.col("score").alias("primary"))
+        ).collect()
+        if not wrows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, primary double, "
+                    "secondary double"
+            )
+        wdf = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in wrows],
+            "doc_id long, primary double",
+        )
         wids = wdf.select("doc_id")
         members = self.phrase_search(
             phrase, texts=texts, source=source
@@ -1887,13 +1902,7 @@ class QueryEngine:
         shards = self._scoring_shards(terms)
         if n_terms > 1:
             # ranges lacking any query term can't contribute
-            ok = (
-                shards.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") == n_terms)
-                .select("range_id")
-            )
-            shards = shards.join(F.broadcast(ok), "range_id")
+            shards = self._prefilter_ranges(shards, n_terms)
 
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -2015,13 +2024,7 @@ class QueryEngine:
         # the one query path that reads the positional stream
         shards = self._postings.where(F.col("term").isin(terms))
         if n_terms > 1:
-            ok = (
-                shards.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") == n_terms)
-                .select("range_id")
-            )
-            shards = shards.join(F.broadcast(ok), "range_id")
+            shards = self._prefilter_ranges(shards, n_terms)
 
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -2079,13 +2082,7 @@ class QueryEngine:
         n_terms = len(terms)
         shards = self._postings.where(F.col("term").isin(terms))
         if n_terms > 1:
-            ok = (
-                shards.groupBy("range_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .where(F.col("nt") == n_terms)
-                .select("range_id")
-            )
-            shards = shards.join(F.broadcast(ok), "range_id")
+            shards = self._prefilter_ranges(shards, n_terms)
 
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -2414,13 +2411,7 @@ class QueryEngine:
                 n_terms = len(terms)
                 shards = self._postings.where(F.col("term").isin(terms))
                 if n_terms > 1:
-                    ok = (
-                        shards.groupBy("range_id")
-                        .agg(F.countDistinct("term").alias("nt"))
-                        .where(F.col("nt") == n_terms)
-                        .select("range_id")
-                    )
-                    shards = shards.join(F.broadcast(ok), "range_id")
+                    shards = self._prefilter_ranges(shards, n_terms)
 
                 def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
                     rows = pdf.to_dict("records")

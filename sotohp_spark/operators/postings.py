@@ -396,41 +396,9 @@ def positional_phrase_match(rows, phrase_offsets, deletes=None, stats=None):
     term_keys: dict = {}
     for term, off in phrase_offsets:
         if term not in term_keys:
-            doc_parts, pos_parts = [], []
-            for row in by_term.get(term, ()):
-                if row.get("pos_payload") is None:
-                    raise ValueError(
-                        f"shard for term {term!r} has no positional "
-                        f"payload — index built without store_positions"
-                    )
-                bf = np.asarray(row["block_first_doc"], dtype=np.int64)
-                bl = np.asarray(row["block_last_doc"], dtype=np.int64)
-                lo = np.searchsorted(cand, bf, side="left")
-                hi = np.searchsorted(cand, bl, side="right")
-                keep = np.nonzero(hi > lo)[0].tolist()
-                if not keep:
-                    continue
-                dd, _, _ = decode_shard_blocks(
-                    row["payload"], row["block_offsets"], keep
-                )
-                pl = decode_shard_positions(
-                    row["pos_payload"], row["pos_offsets"], keep
-                )
-                sel = np.isin(dd, cand, assume_unique=True)
-                for di in np.nonzero(sel)[0].tolist():
-                    p = pl[di]
-                    if p.size:
-                        doc_parts.append(
-                            np.full(p.size, dd[di], dtype=np.int64)
-                        )
-                        pos_parts.append(p)
-            if doc_parts:
-                docs_all = np.concatenate(doc_parts)
-                pos_all = np.concatenate(pos_parts)
-            else:
-                docs_all = np.zeros(0, dtype=np.int64)
-                pos_all = np.zeros(0, dtype=np.int64)
-            term_keys[term] = (docs_all, pos_all)
+            term_keys[term] = _decode_term_positions(
+                by_term.get(term, ()), cand
+            )
         docs_all, pos_all = term_keys[term]
         anchor = pos_all - off
         ok = (anchor >= 0) & (anchor < (1 << _POS_SHIFT))
@@ -813,8 +781,17 @@ def span_near_match(rows, terms: list, slop: int, in_order: bool,
         idx = np.searchsorted(kt, anchors, side="left")
         in_range = idx < kt.size
         cond = np.zeros(anchors.size, dtype=bool)
-        # same-doc is implied: a next-doc key is >= 2^_POS_SHIFT away
-        cond[in_range] = (kt[idx[in_range]] - anchors[in_range]) <= window
+        nxt = kt[idx[in_range]]
+        anc = anchors[in_range]
+        # explicit same-doc mask: an anchor position within `window`
+        # of 2^_POS_SHIFT would otherwise accept the NEXT doc's early
+        # position (2^_POS_SHIFT + p2 - p1 <= window is reachable when
+        # p1 is near the width limit) — the distance test alone is NOT
+        # doc-safe at the key-space edge
+        cond[in_range] = (
+            ((nxt >> _POS_SHIFT) == (anc >> _POS_SHIFT))
+            & ((nxt - anc) <= window)
+        )
         ok &= cond
         if not ok.any():
             return np.zeros(0, dtype=np.int64)

@@ -87,6 +87,9 @@ def score_range(
     not just that it is rank-equivalent (tests/test_wand_skip.py).
 
     Returns (doc_ids int64[], scores float64[]) of the local top-k.
+    ``k=None`` is the no-cut scored-export mode: every match returns
+    with its exact score, unordered, and the running-threshold upkeep
+    (which could never trigger) is skipped entirely.
     """
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
@@ -204,7 +207,7 @@ def score_range(
     # grouped with a stable sort, so each doc's contributions still sum
     # in ascending-term order (bit-identical to the oracle).
     for ii in order:
-        if total_done >= k and U[ii] < theta:
+        if k is not None and total_done >= k and U[ii] < theta:
             break
         lo, hi = bounds[ii], bounds[ii + 1] - 1
         hit = np.flatnonzero((starts <= hi) & (ends >= lo))
@@ -274,6 +277,11 @@ def score_range(
         done_docs.append(dd)
         done_scores.append(ss)
         total_done += dd.size
+        if k is None:
+            # no-cut mode (scored export): theta can never trigger, so
+            # maintaining the running top-k would just re-copy every
+            # scored doc per interval — O(docs * intervals) for nothing
+            continue
         # running exact top-k threshold, O(interval + k)
         cand = np.concatenate([topk_scores, ss])
         if cand.size > k:
@@ -293,6 +301,9 @@ def score_range(
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     docs = np.concatenate(done_docs)
     scs = np.concatenate(done_scores)
+    if k is None:
+        # scored export: every match, no order contract, no cut
+        return docs, scs
     # top-k with (score desc, doc asc) tie-break
     sel = np.lexsort((docs, -scs))[:k]
     return docs[sel], scs[sel]

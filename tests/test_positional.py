@@ -538,3 +538,44 @@ def test_match_phrase_prefix(spark, span_index):
     assert sorted(r["doc_id"] for r in one.collect()) == _brute_phrase_docs(
         texts, f"error {best}"
     )
+
+
+def test_span_near_unordered_key_space_edge():
+    """Regression: the unordered anchor-window test must carry an
+    explicit same-doc mask — an anchor position within `window` of
+    2^_POS_SHIFT would otherwise accept the NEXT doc's early position
+    (packed-key distance 2^24 + p2 - p1 can be <= window when p1 is
+    near the width limit)."""
+    from sotohp_spark.operators.postings import (
+        _POS_SHIFT,
+        encode_shard,
+        span_near_match,
+    )
+
+    lim = (1 << _POS_SHIFT) - 2
+    # doc 0: A near the position-width limit, B far away (no window)
+    # doc 1: B then A adjacent (a true match)
+    per_term = {
+        "a": ([0, 1], [[lim], [1]]),
+        "b": ([0, 1], [[5], [0]]),
+    }
+    rows = []
+    for term, (docs, plists) in per_term.items():
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray([len(p) for p in plists], dtype=np.int64)
+        dls = np.full(docs.size, 10, dtype=np.int64)
+        (n, first, last, offs, bf, bl, _mt, _md, payload, p_off, p_pay) = (
+            encode_shard(docs, tfs, dls, avgdl=10.0, cfg=CFG,
+                         positions=[np.asarray(p) for p in plists])
+        )
+        rows.append({
+            "term": term, "n_docs": n, "first_doc": first, "last_doc": last,
+            "block_offsets": offs, "block_first_doc": bf,
+            "block_last_doc": bl, "payload": payload,
+            "pos_offsets": p_off, "pos_payload": p_pay,
+        })
+    got = span_near_match(rows, ["a", "b"], slop=1, in_order=False)
+    assert got.tolist() == [1]  # doc 0 would be the false positive
+    # ordered path on the same fixture (same-doc mask already present)
+    got_o = span_near_match(rows, ["b", "a"], slop=1, in_order=True)
+    assert got_o.tolist() == [1]

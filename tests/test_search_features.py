@@ -1051,3 +1051,36 @@ def test_msearch_merges_per_index_topk(spark, tmp_path):
         msearch([], "error retry")
     with pytest.raises(ValueError):
         msearch([("a", engines[0][1]), ("a", engines[1][1])], "x")
+
+
+def test_collapse_week_bucketing(spark, tmp_path):
+    """by='week' buckets on Monday-start date_trunc — brute-checked
+    (the day/month variants are oracle-checked; week needs its own
+    pin so a week-start convention bug can't ship silently)."""
+    engine = _fixture(spark, tmp_path)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in engine.scored_matches("error retry").collect()
+    }
+    meta = {
+        r["doc_id"]: r["doc_ts"]
+        for r in engine._docs.select("doc_id", "doc_ts").collect()
+    }
+    best: dict = {}
+    for d, s in base.items():
+        dt = meta[d]
+        monday = (dt - datetime.timedelta(days=dt.weekday())).strftime(
+            "%Y-%m-%d"
+        )
+        cur = best.get(monday)
+        if cur is None or (s, -d) > (cur[1], -cur[0]):
+            best[monday] = (d, s)
+    expect = sorted(
+        ((w, d, s) for w, (d, s) in best.items()),
+        key=lambda x: (-x[2], x[1]),
+    )
+    got = [
+        (r["collapse_key"], r["doc_id"], r["score"])
+        for r in engine.top_k_collapse("error retry", k=10, by="week").collect()
+    ]
+    assert got == expect
