@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES field collapsing: best doc per time bucket, buckets ranked
     q["transcripts_collapse_day"] = _transcripts_collapse_day
     q["transcripts_collapse_week"] = _transcripts_collapse_week
+    # ES significant_terms: matched-set vs corpus term lift (JLH)
+    q["transcripts_significant_terms"] = _transcripts_significant_terms
     # ES function_score: multiplicative exp recency decay over matches
     q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES rescore: phrase-proximity re-rank of the primary top window
@@ -1022,6 +1024,16 @@ def _transcripts_rescore(spark, sf_dir):
         F.round("primary", 6).alias("primary"),
         F.round("secondary", 6).alias("secondary"),
     )
+
+
+def _transcripts_significant_terms(spark, sf_dir):
+    """ES significant_terms: terms overrepresented in the matched set
+    vs the corpus (JLH lift x difference), the root-cause-mining agg.
+    Matched ids from the filter-context conjunction, one stored-tf-key
+    explode with map-side partials, background df from the term_stats
+    dictionary (index/query.py significant_terms)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.significant_terms("t0040", k=15, min_doc_count=3)
 
 
 def _transcripts_collapse_week(spark, sf_dir):
@@ -1930,6 +1942,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_collapse_day"] = _transcripts_collapse_oracle_sql(
         "error retry timeout", k=10, by="day"
     )
+    o["transcripts_significant_terms"] = (
+        _transcripts_significant_terms_oracle_sql(
+            "t0040", k=15, min_doc_count=3
+        )
+    )
     o["transcripts_collapse_week"] = _transcripts_collapse_oracle_sql(
         "error retry timeout", k=10, by="week"
     )
@@ -2766,6 +2783,50 @@ decayed AS (
 )
 SELECT doc_id, conv_id, round(fin, 6) AS score, doc_ts
 FROM decayed ORDER BY fin DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_significant_terms_oracle_sql(
+    query_text: str, k: int, min_doc_count: int = 3,
+) -> str:
+    """significant_terms twin: members = docs containing ALL query
+    terms, fg df = per-term doc counts inside the matched set (a doc's
+    tf map holds each term once), bg df over the corpus, JLH =
+    (fg% - bg%) * (fg% / bg%), ordered by the ROUNDED score (the
+    engine rounds before its TakeOrdered too), term asc."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query_text)))
+    q_vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term) AS (VALUES {q_vals}),
+members AS (
+  SELECT doc_id FROM tf JOIN q USING (term)
+  GROUP BY doc_id HAVING count(DISTINCT tf.term) = {len(terms)}
+),
+nm AS (SELECT count(*)::BIGINT AS n_matched FROM members),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_count
+  FROM tf JOIN members USING (doc_id)
+  GROUP BY term HAVING count(*) >= {min_doc_count}
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM tf GROUP BY term)
+SELECT fg.term, fg.fg_count, bg.bg_count,
+       round(((fg.fg_count::DOUBLE / nm.n_matched)
+              - (bg.bg_count::DOUBLE / g.n))
+             * ((fg.fg_count::DOUBLE / nm.n_matched)
+                / (bg.bg_count::DOUBLE / g.n)), 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nm CROSS JOIN g
+ORDER BY score DESC, fg.term ASC LIMIT {k}
 """
 
 

@@ -1806,6 +1806,59 @@ class QueryEngine:
             .orderBy("facet")
         )
 
+    def significant_terms(self, query_text: str, k: int = 10,
+                          min_doc_count: int = 3,
+                          source=None) -> DataFrame:
+        """ES ``significant_terms`` aggregation: terms OVERREPRESENTED
+        in the query's matched set relative to the whole corpus —
+        the root-cause-mining shape ("which terms are significant in
+        conversations matching 'timeout'").  Scored with JLH, the ES
+        default-ish blend: (fg% - bg%) * (fg% / bg%) where fg% =
+        df_in_matched / n_matched and bg% = df / N.  Returns
+        DataFrame(term, fg_count, bg_count, score), score desc / term
+        asc, k rows; terms with fg_count < min_doc_count drop (the ES
+        min_doc_count guard against one-doc flukes).
+
+        Scale shape: matched ids stream from the per-range conjunction
+        (filter context, no scores), join the docs table with the
+        derived-bucket pruning _attach_docs uses, ONE explode of
+        stored tf KEYS (a doc's map holds each term once, so
+        count(*) per term IS the distinct-doc foreground df) into a
+        groupBy(term) with map-side partials; n_matched rides the same
+        plan as a broadcast one-row aggregate; background df joins
+        from the term_stats dictionary.  Nothing is collected; the
+        final frame is TakeOrderedAndProject(k)."""
+        ids = self.matching_doc_ids(query_text, source=source)
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        keyed = ids.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        fg = (
+            self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
+            .select(F.explode(F.map_keys("tfs")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_count"))
+            .where(F.col("fg_count") >= int(min_doc_count))
+        )
+        n_m = ids.agg(F.count(F.lit(1)).alias("n_matched"))
+        n_docs = float(self.meta["n_docs"])
+        fg_pct = F.col("fg_count") / F.col("n_matched")
+        bg_pct = F.col("bg_count") / F.lit(n_docs)
+        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        return (
+            fg.crossJoin(F.broadcast(n_m))
+            .join(
+                self._term_stats.select(
+                    "term", F.col("df").cast("long").alias("bg_count")
+                ),
+                "term",
+            )
+            .select("term", "fg_count", "bg_count",
+                    F.round(jlh, 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("term").asc())
+            .limit(k)
+        )
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10, source=None) -> DataFrame:
         """Similar-document retrieval (the ES more_like_this shape):

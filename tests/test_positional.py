@@ -579,3 +579,69 @@ def test_span_near_unordered_key_space_edge():
     # ordered path on the same fixture (same-doc mask already present)
     got_o = span_near_match(rows, ["b", "a"], slop=1, in_order=True)
     assert got_o.tolist() == [1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_span_predicate_matches_product_brute(data):
+    """Property: the packed-key span predicate (greedy chain ordered /
+    anchor sweep unordered) equals an itertools.product brute over
+    random per-term position sets, including positions near the
+    2^_POS_SHIFT key-space edge."""
+    from itertools import product
+
+    from sotohp_spark.operators.postings import _POS_SHIFT, encode_shard
+    from sotohp_spark.operators.postings import span_near_match
+
+    n_terms = data.draw(st.integers(2, 3))
+    n_docs = data.draw(st.integers(1, 4))
+    slop = data.draw(st.integers(0, 3))
+    in_order = data.draw(st.booleans())
+    lim = (1 << _POS_SHIFT) - 1
+    pos_pool = st.one_of(
+        st.integers(0, 12), st.integers(lim - 6, lim - 1)
+    )
+    # per (doc, term): a possibly-empty position set
+    grid = {
+        (d, t): sorted(data.draw(
+            st.sets(pos_pool, min_size=0, max_size=4)
+        ))
+        for d in range(n_docs) for t in range(n_terms)
+    }
+    terms = [f"t{i}" for i in range(n_terms)]
+    rows = []
+    for ti, term in enumerate(terms):
+        docs = [d for d in range(n_docs) if grid[(d, ti)]]
+        if not docs:
+            return  # absent term: engine empties earlier in the API
+        plists = [np.asarray(grid[(d, ti)], dtype=np.int64) for d in docs]
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray([p.size for p in plists], dtype=np.int64)
+        dls = np.full(docs.size, 10, dtype=np.int64)
+        (n, first, last, offs, bf, bl, _mt, _md, payload, p_off, p_pay) = (
+            encode_shard(docs, tfs, dls, avgdl=10.0, cfg=CFG,
+                         positions=plists)
+        )
+        rows.append({
+            "term": term, "n_docs": n, "first_doc": first,
+            "last_doc": last, "block_offsets": offs,
+            "block_first_doc": bf, "block_last_doc": bl,
+            "payload": payload, "pos_offsets": p_off,
+            "pos_payload": p_pay,
+        })
+    window = n_terms - 1 + slop
+    expect = []
+    for d in range(n_docs):
+        plists = [grid[(d, ti)] for ti in range(n_terms)]
+        if any(not p for p in plists):
+            continue
+        hit = any(
+            max(sel) - min(sel) <= window
+            and (not in_order
+                 or all(b > a for a, b in zip(sel, sel[1:])))
+            for sel in product(*plists)
+        )
+        if hit:
+            expect.append(d)
+    got = span_near_match(rows, terms, slop, in_order).tolist()
+    assert got == expect, (grid, slop, in_order)

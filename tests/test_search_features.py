@@ -1084,3 +1084,45 @@ def test_collapse_week_bucketing(spark, tmp_path):
         for r in engine.top_k_collapse("error retry", k=10, by="week").collect()
     ]
     assert got == expect
+
+
+def test_significant_terms_matches_brute(spark, tmp_path):
+    """ES significant_terms: JLH = (fg% - bg%) * (fg% / bg%) over the
+    matched set's term document frequencies vs corpus background."""
+    engine = _fixture(spark, tmp_path)
+    query = "error"
+    matched = [t for t in TEXTS if "error" in tokenize(t)]
+    n_m, n = len(matched), len(TEXTS)
+    fg = Counter()
+    for t in matched:
+        for term in set(tokenize(t)):
+            fg[term] += 1
+    bg = Counter()
+    for t in TEXTS:
+        for term in set(tokenize(t)):
+            bg[term] += 1
+    expect = []
+    for term, f in fg.items():
+        if f < 2:
+            continue
+        fgp, bgp = f / n_m, bg[term] / n
+        expect.append((term, f, bg[term],
+                       round((fgp - bgp) * (fgp / bgp), 6)))
+    expect.sort(key=lambda x: (-x[3], x[0]))
+    got = [
+        (r["term"], r["fg_count"], r["bg_count"], r["score"])
+        for r in engine.significant_terms(
+            query, k=50, min_doc_count=2
+        ).collect()
+    ]
+    assert got == expect[:50]
+    # the query term itself tops the list (fg% == 1, maximal lift)
+    assert got[0][0] == "error"
+    # min_doc_count guards one-doc flukes
+    assert all(
+        r["fg_count"] >= 4
+        for r in engine.significant_terms(query, k=50,
+                                          min_doc_count=4).collect()
+    )
+    # no matches -> empty
+    assert engine.significant_terms("zzqabsent", k=5).count() == 0
