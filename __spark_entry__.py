@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_collapse_week"] = _transcripts_collapse_week
     # ES significant_terms: matched-set vs corpus term lift (JLH)
     q["transcripts_significant_terms"] = _transcripts_significant_terms
+    # ES _stats: one-row operational index facts
+    q["transcripts_index_stats"] = _transcripts_index_stats
     # ES function_score: multiplicative exp recency decay over matches
     q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES rescore: phrase-proximity re-rank of the primary top window
@@ -1024,6 +1026,15 @@ def _transcripts_rescore(spark, sf_dir):
         F.round("primary", 6).alias("primary"),
         F.round("secondary", 6).alias("secondary"),
     )
+
+
+def _transcripts_index_stats(spark, sf_dir):
+    """ES _stats / _cat/indices: one row of operational index facts
+    (docs, avgdl, vocabulary, postings, segments, positions) — meta
+    constants + ONE columnar aggregate over the term_stats dictionary
+    (index/query.py index_stats)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.index_stats()
 
 
 def _transcripts_significant_terms(spark, sf_dir):
@@ -1942,6 +1953,22 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_collapse_day"] = _transcripts_collapse_oracle_sql(
         "error retry timeout", k=10, by="day"
     )
+    o["transcripts_index_stats"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+)
+SELECT (SELECT count(*)::BIGINT FROM read_parquet('{_ORACLE_INDEX_DOCS}'))
+         AS n_docs,
+       (SELECT round(avg(doc_len), 6)
+        FROM read_parquet('{_ORACLE_INDEX_DOCS}')) AS avgdl,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_postings,
+       1 AS n_segments,
+       false AS positions
+FROM tf
+"""
     o["transcripts_significant_terms"] = (
         _transcripts_significant_terms_oracle_sql(
             "t0040", k=15, min_doc_count=3

@@ -1023,6 +1023,30 @@ class QueryEngine:
             F.count(F.lit(1)).alias("n_matches")
         )
 
+    def index_stats(self) -> DataFrame:
+        """ES ``_stats`` / ``_cat/indices`` shape: one row of
+        operational index facts — committed doc count, average doc
+        length, distinct-term (vocabulary) count, total postings
+        (sum of dictionary dfs), live segment count, and whether the
+        index stores positions.  Returns a one-row DataFrame.
+
+        Scale shape: n_docs/avgdl/segments/positions come from the
+        (tiny, driver-resident) meta; vocabulary and posting counts
+        are ONE columnar aggregate over the term_stats dictionary —
+        never the postings or the docs."""
+        dict_agg = self._term_stats.agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("df").cast("long")).alias("n_postings"),
+        )
+        return dict_agg.select(
+            F.lit(int(self.meta["n_docs"])).alias("n_docs"),
+            F.round(F.lit(float(self.meta["avgdl"])), 6).alias("avgdl"),
+            "n_terms",
+            "n_postings",
+            F.lit(len(self.meta.get("segment_ts", []))).alias("n_segments"),
+            F.lit(bool(self.meta.get("positions", False))).alias("positions"),
+        )
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion over the term dictionary, ranked by
         document frequency (the ES `completion`/`terms` suggest shape:

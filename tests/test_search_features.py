@@ -1126,3 +1126,17 @@ def test_significant_terms_matches_brute(spark, tmp_path):
     )
     # no matches -> empty
     assert engine.significant_terms("zzqabsent", k=5).count() == 0
+
+
+def test_index_stats_one_row(spark, tmp_path):
+    """_stats: one row of operational facts matching a brute recompute
+    from the fixture corpus."""
+    engine = _fixture(spark, tmp_path)
+    docs = [Counter(tokenize(t)) for t in TEXTS]
+    vocab = set().union(*docs)
+    r = engine.index_stats().collect()[0]
+    assert r["n_docs"] == len(TEXTS)
+    assert abs(r["avgdl"] - sum(sum(d.values()) for d in docs) / len(docs)) < 1e-6
+    assert r["n_terms"] == len(vocab)
+    assert r["n_postings"] == sum(len(d) for d in docs)
+    assert r["n_segments"] == 1 and r["positions"] is False
