@@ -763,6 +763,16 @@ class QueryEngine:
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
 
+    def _bucket_keyed(self, ids: DataFrame) -> DataFrame:
+        """Attach the derived range_bucket join key to a doc-id frame
+        — the _attach_docs idiom: joining the docs table on
+        (range_bucket, doc_id) lets dynamic partition pruning read
+        only the hive partitions holding those docs."""
+        span = self.cfg.range_size * self.cfg.ranges_per_batch
+        return ids.withColumn(
+            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
+        )
+
     def _prefilter_ranges(self, shards: DataFrame, n_required: int,
                           excl_terms=frozenset(),
                           exact: bool = True) -> DataFrame:
@@ -994,10 +1004,7 @@ class QueryEngine:
         old hint was silently ignored).  The derived range_bucket join
         key triggers dynamic partition pruning on the docs scan: only
         the hive partitions holding the k result docs are read."""
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = topk.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        keyed = self._bucket_keyed(topk)
         return (
             self._docs.join(F.broadcast(keyed), ["range_bucket", "doc_id"])
             .select("doc_id", "conv_id", "score", "doc_ts", "n_turns", "doc_len")
@@ -1036,7 +1043,9 @@ class QueryEngine:
         never the postings or the docs."""
         dict_agg = self._term_stats.agg(
             F.count(F.lit(1)).alias("n_terms"),
-            F.sum(F.col("df").cast("long")).alias("n_postings"),
+            F.coalesce(
+                F.sum(F.col("df").cast("long")), F.lit(0)
+            ).alias("n_postings"),
         )
         return dict_agg.select(
             F.lit(int(self.meta["n_docs"])).alias("n_docs"),
@@ -1505,10 +1514,7 @@ class QueryEngine:
             raise ValueError(f"unknown collapse key {by!r} "
                              "(expected day | week | month)")
         scored = self.scored_matches(query_text, conjunctive, source)
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = scored.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        keyed = self._bucket_keyed(scored)
         best = (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
             .groupBy(key.alias("collapse_key"))
@@ -1562,10 +1568,7 @@ class QueryEngine:
         if origin_dt is None:
             raise ValueError("origin is required (a deterministic now)")
         scored = self.scored_matches(query_text, conjunctive, source)
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = scored.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        keyed = self._bucket_keyed(scored)
         age_days = (
             F.abs(
                 F.unix_timestamp(F.lit(origin_dt))
@@ -1735,10 +1738,7 @@ class QueryEngine:
             .where(F.col("rn") <= k)
             .select("doc_id")
         )
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = survivors.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        keyed = self._bucket_keyed(survivors)
         return (
             self._docs.join(F.broadcast(keyed), ["range_bucket", "doc_id"])
             .select("doc_id", "conv_id", "doc_ts")
@@ -1816,10 +1816,7 @@ class QueryEngine:
             raise ValueError(f"unknown facet key {by!r} "
                              "(expected month | week | n_turns)")
         ids = self.matching_doc_ids(query_text, source=source)
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = ids.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        keyed = self._bucket_keyed(ids)
         return (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
             .groupBy(key.alias("facet"))
@@ -1851,12 +1848,12 @@ class QueryEngine:
         groupBy(term) with map-side partials; n_matched rides the same
         plan as a broadcast one-row aggregate; background df joins
         from the term_stats dictionary.  Nothing is collected; the
-        final frame is TakeOrderedAndProject(k)."""
-        ids = self.matching_doc_ids(query_text, source=source)
-        span = self.cfg.range_size * self.cfg.ranges_per_batch
-        keyed = ids.withColumn(
-            "range_bucket", (F.col("doc_id") / F.lit(span)).cast("int")
-        )
+        final frame is TakeOrderedAndProject(k).  The matched-id
+        frame is localCheckpoint-ed so the conjunction decode runs
+        ONCE even though two subtrees (the fg join and the n_matched
+        aggregate) consume it."""
+        ids = self.matching_doc_ids(query_text, source=source).localCheckpoint()
+        keyed = self._bucket_keyed(ids)
         fg = (
             self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
             .select(F.explode(F.map_keys("tfs")).alias("term"))

@@ -727,8 +727,11 @@ def span_near_match(rows, terms: list, slop: int, in_order: bool,
     - unordered: every occurrence of every term is an anchor (a valid
       selection's minimum position is one), and a selection within the
       window exists iff every term's first packed key >= the anchor is
-      within ``window`` of it — cross-doc keys differ by >= 2**_POS_SHIFT
-      > window, so the same-doc check is implied by the distance test.
+      within ``window`` of it AND in the same doc — the same-doc mask
+      is NOT implied by the distance test: near the key-space edge,
+      2**_POS_SHIFT + p2 - p1 can be <= window when p1 approaches the
+      position-width limit (pinned by
+      test_span_near_unordered_key_space_edge).
 
     The position-width invariant (positions < 2**_POS_SHIFT, enforced
     at encode) is what makes packed-key arithmetic carry both the doc

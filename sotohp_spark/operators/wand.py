@@ -395,5 +395,8 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
         common, total = common[keep], total[keep]
         if common.size == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    if k is None:
+        # no-cut scored export: unordered contract, skip the lexsort
+        return common, total
     sel = np.lexsort((common, -total))[:k]
     return common[sel], total[sel]
