@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_significant_terms"] = _transcripts_significant_terms
     # ES _stats: one-row operational index facts
     q["transcripts_index_stats"] = _transcripts_index_stats
+    # ES cardinality agg: distinct buckets over the matched set
+    q["transcripts_cardinality_day"] = _transcripts_cardinality_day
     # ES function_score: multiplicative exp recency decay over matches
     q["transcripts_decay_topk"] = _transcripts_decay_topk
     # ES rescore: phrase-proximity re-rank of the primary top window
@@ -1026,6 +1028,16 @@ def _transcripts_rescore(spark, sf_dir):
         F.round("primary", 6).alias("primary"),
         F.round("secondary", 6).alias("secondary"),
     )
+
+
+def _transcripts_cardinality_day(spark, sf_dir):
+    """ES cardinality agg (exact leg): distinct active days over the
+    matched set — filter-context conjunction + bucket-pruned docs join
+    + countDistinct.  The approx (HLL++) leg is pytest-covered; sketch
+    estimates are implementation-specific, so the oracle pins the
+    exact contract (index/query.py cardinality)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.cardinality("error retry", by="day", approx=False)
 
 
 def _transcripts_index_stats(spark, sf_dir):
@@ -1953,6 +1965,20 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_collapse_day"] = _transcripts_collapse_oracle_sql(
         "error retry timeout", k=10, by="day"
     )
+    o["transcripts_cardinality_day"] = f"""
+WITH tf AS (
+  SELECT doc_id, doc_ts, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id, any_value(doc_ts) AS doc_ts
+  FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT count(DISTINCT strftime(doc_ts, '%Y-%m-%d'))::BIGINT AS n_distinct
+FROM members
+"""
     o["transcripts_index_stats"] = f"""
 WITH tf AS (
   SELECT doc_id, e.key AS term

@@ -1880,6 +1880,44 @@ class QueryEngine:
             .limit(k)
         )
 
+    def cardinality(self, query_text: str, by: str = "day",
+                    approx: bool = True, rsd: float = 0.05,
+                    source=None) -> DataFrame:
+        """ES ``cardinality`` aggregation: distinct count of a bucket
+        field over the query's matched set — approximate by default
+        (Spark's HyperLogLog++ ``approx_count_distinct``, the same
+        sketch family ES uses; ``rsd`` = relative standard deviation),
+        exact with ``approx=False`` (countDistinct — a full shuffle of
+        the distinct values, the cost HLL exists to avoid).  Returns a
+        one-row DataFrame(n_distinct long).
+
+        ``by``: "day" | "week" | "month" (a derived doc_ts bucket —
+        the doc metadata this index stores; any keyword field would
+        count the same way).
+
+        Scale shape: matched ids stream from the filter-context
+        conjunction, the docs join is bucket-pruned (_bucket_keyed),
+        and HLL++ partial sketches merge map-side — one job, no
+        distinct-value shuffle on the approx path."""
+        if by == "day":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        else:
+            raise ValueError(f"unknown cardinality key {by!r} "
+                             "(expected day | week | month)")
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        joined = self._docs.join(keyed, ["range_bucket", "doc_id"])
+        agg = (
+            F.approx_count_distinct(key, rsd) if approx
+            else F.countDistinct(key)
+        )
+        return joined.agg(agg.cast("long").alias("n_distinct"))
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10, source=None) -> DataFrame:
         """Similar-document retrieval (the ES more_like_this shape):

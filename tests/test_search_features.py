@@ -1140,3 +1140,25 @@ def test_index_stats_one_row(spark, tmp_path):
     assert r["n_terms"] == len(vocab)
     assert r["n_postings"] == sum(len(d) for d in docs)
     assert r["n_segments"] == 1 and r["positions"] is False
+
+
+def test_cardinality_exact_and_approx(spark, tmp_path):
+    """ES cardinality agg: exact equals brute distinct-bucket count;
+    the HLL++ approx path is within the configured rsd on the fixture
+    (tiny cardinalities are exact in HLL++ sparse mode)."""
+    import pytest
+
+    engine = _fixture(spark, tmp_path)
+    match = [i for i, t in enumerate(TEXTS) if "error" in tokenize(t)]
+    expect = len({
+        (TS + datetime.timedelta(days=31 * (i % 3))).strftime("%Y-%m")
+        for i in match
+    })
+    exact = engine.cardinality("error", by="month", approx=False).collect()
+    assert exact[0]["n_distinct"] == expect
+    approx = engine.cardinality("error", by="month").collect()
+    assert approx[0]["n_distinct"] == expect  # sparse-mode exact
+    assert engine.cardinality("zzqabsent", by="day").collect()[0][
+        "n_distinct"] == 0
+    with pytest.raises(ValueError):
+        engine.cardinality("error", by="n_turns")
