@@ -205,6 +205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_travel_distance"] = lambda s, d: a2.user_travel_distance(
         _t(s, d, "events")
     )
+    # geo-encoded secondary index (round 7): ES geo_distance /
+    # geo_bounding_box filters over a grid-partitioned parquet index —
+    # covering-tile partition pruning + exact haversine refine
+    # (operators/geoindex.py; reference originalIdByLocation,
+    # MediaServiceLive.scala:1811)
+    q["events_geo_distance"] = _events_geo_distance
+    q["events_geo_bbox"] = _events_geo_bbox
     q["knn_consensus"] = lambda s, d: a2.knn_consensus_classify(
         _t(s, d, "embeddings"), k=2
     )
@@ -315,6 +322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
     q["transcripts_percolate"] = _transcripts_percolate
+    # percolator with a PERSISTED (indexed-once) query registry
+    q["transcripts_percolate_registered"] = (
+        _transcripts_percolate_registered
+    )
+    # ES composable bool query: must + boosted should + must_not +
+    # minimum_should_match in ONE object, one job (round 7)
+    q["transcripts_bool_composed"] = _transcripts_bool_composed
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -798,6 +812,35 @@ def _transcripts_bool_must_not(spark, sf_dir):
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _bool_composed_query():
+    """The one composable bool object both the engine call and the
+    DuckDB oracle are built from — must + boosted should + must_not +
+    minimum_should_match exercised together (the full ES dashboard
+    shape, ElasticOperations.scala:32-76)."""
+    from sotohp_spark.index import Bool
+
+    return Bool(
+        must=["error retry"],
+        should=[("timeout", 2.0), ("search query", 0.5)],
+        must_not=["t0040"],
+        minimum_should_match=1,
+    )
+
+
+def _transcripts_bool_composed(spark, sf_dir):
+    """ES composable bool query (QueryEngine.top_k_bool): every clause
+    ingredient in ONE object compiled onto the single-job top_k
+    machinery — per-clause boosts merge into the term weights (scaled
+    idf), clause membership compiles to a per-doc group bitmask inside
+    the per-range scorer (operators/wand.BoolSpec), must_not rides the
+    tombstone mask, minimum_should_match counts matched SHOULD CLAUSES
+    (clause groups, not terms)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_bool(_bool_composed_query(), k=10).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
+    )
+
+
 def _transcripts_min_should_match(spark, sf_dir):
     """ES bool-query minimum_should_match (N-of-M): docs containing at
     least 3 of the 4 query terms, ranked by their disjunctive BM25
@@ -1109,11 +1152,86 @@ def _transcripts_percolate(spark, sf_dir):
     return engine.percolate(_PERCOLATE_QUERIES)
 
 
+def _transcripts_percolate_registered(spark, sf_dir):
+    """Percolator with a PERSISTED registry (the ES model — percolator
+    queries are indexed once at registration): the analyzed
+    (query_id, term, n_terms) table is written to storage by
+    register_percolator_queries and every later percolate call
+    broadcast-joins it with ZERO per-call driver tokenization
+    (index/query.py percolate_registered).  Same result contract as
+    transcripts_percolate, same oracle shape."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    engine.register_percolator_queries(_PERCOLATE_QUERIES, name="gate")
+    return engine.percolate_registered(name="gate")
+
+
 def _transcripts_phrase_batch(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     texts = spark.read.parquet(_transcript_text(spark, sf_dir))
     return engine.phrase_search_batch(_PHRASE_BATCH, texts).select(
         "query_id", "doc_id", "conv_id"
+    )
+
+
+_GEO_IDX_CACHE: dict = {}
+# geo query constants: the center sits ON the synthetic position curve
+# (lat = e%180-90 + u%10/10, lon = e%360-180 + u%7/7 — the same
+# deterministic walk geo_travel_distance uses), radius 300 km
+_GEO_CENTER = (10.3, -79.5)
+_GEO_RADIUS_M = 300_000.0
+_GEO_BBOX = (9.5, 11.5, -81.0, -78.5)  # lat_min, lat_max, lon_min, lon_max
+
+
+def _geo_index_path(spark, sf_dir) -> str:
+    """Build (once per sf) the grid-partitioned geo index over the
+    events table's deterministic synthetic positions."""
+    from sotohp_spark.operators import geoindex
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = f"/tmp/sotohp_geo_idx_{tag}"
+    if tag not in _GEO_IDX_CACHE:
+        events = _t(spark, sf_dir, "events")
+        pos = events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ((F.col("event_id") % 180) - 90
+             + (F.col("user_id") % 10) / 10.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180
+             + (F.col("user_id") % 7) / 7.0).alias("lon"),
+        )
+        geoindex.build_geo_index(pos, path)
+        _GEO_IDX_CACHE[tag] = path
+    return path
+
+
+def _events_geo_distance(spark, sf_dir):
+    """ES geo_distance filter through the geo-encoded index: covering
+    tiles of the radius' bounding box partition-prune the scan, the
+    lat/lon band pushes down to parquet stats, the exact haversine
+    refines in codegen (operators/geoindex.geo_distance)."""
+    from sotohp_spark.operators import geoindex
+
+    path = _geo_index_path(spark, sf_dir)
+    lat, lon = _GEO_CENTER
+    return geoindex.geo_distance(spark, path, lat, lon, _GEO_RADIUS_M).select(
+        "event_id", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
+def _events_geo_bbox(spark, sf_dir):
+    """ES geo_bounding_box filter through the same index — membership
+    only, partition-pruned to the covering tiles."""
+    from sotohp_spark.operators import geoindex
+
+    path = _geo_index_path(spark, sf_dir)
+    lat_min, lat_max, lon_min, lon_max = _GEO_BBOX
+    return geoindex.geo_bbox(
+        spark, path, lat_min, lat_max, lon_min, lon_max
+    ).select(
+        "event_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
     )
 
 
@@ -1777,6 +1895,40 @@ SELECT user_id, round(sum(hop_m) / 1000.0, 3) AS travel_km
 FROM hops WHERE hop_m IS NOT NULL GROUP BY user_id ORDER BY user_id
 """
 
+    lat_c, lon_c = _GEO_CENTER
+    o["events_geo_distance"] = f"""
+WITH pos AS (
+  SELECT event_id,
+    ((event_id % 180) - 90 + (user_id % 10) / 10.0) AS lat,
+    ((event_id % 360) - 180 + (user_id % 7) / 7.0) AS lon
+  FROM events
+), d AS (
+  SELECT event_id,
+    2.0 * 6371000.0 * asin(sqrt(
+      sin(radians(lat - {lat_c}) / 2) ^ 2
+      + cos(radians({lat_c})) * cos(radians(lat))
+        * sin(radians(lon - {lon_c}) / 2) ^ 2
+    )) AS dist_m
+  FROM pos
+)
+SELECT event_id, round(dist_m, 3) AS dist_m
+FROM d WHERE dist_m <= {_GEO_RADIUS_M}
+"""
+
+    _g_lat0, _g_lat1, _g_lon0, _g_lon1 = _GEO_BBOX
+    o["events_geo_bbox"] = f"""
+WITH pos AS (
+  SELECT event_id,
+    ((event_id % 180) - 90 + (user_id % 10) / 10.0) AS lat,
+    ((event_id % 360) - 180 + (user_id % 7) / 7.0) AS lon
+  FROM events
+)
+SELECT event_id, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM pos
+WHERE lat BETWEEN {_g_lat0} AND {_g_lat1}
+  AND lon BETWEEN {_g_lon0} AND {_g_lon1}
+"""
+
     o["knn_consensus"] = """
 WITH pairs AS (
   SELECT a.vec_id AS vid, b.vec_id AS nbr, b.label AS nbr_label,
@@ -1937,6 +2089,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_must_not"] = _transcripts_bm25_oracle_sql(
         "error retry timeout", k=10, must_not="t0040"
     )
+    o["transcripts_bool_composed"] = _transcripts_bool_oracle_sql(
+        _bool_composed_query(), k=10
+    )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
@@ -2025,6 +2180,9 @@ FROM tf
     )
     o["transcripts_percolate"] = _transcripts_percolate_oracle_sql(
         _PERCOLATE_QUERIES
+    )
+    o["transcripts_percolate_registered"] = (
+        _transcripts_percolate_oracle_sql(_PERCOLATE_QUERIES)
     )
     o["transcripts_sort_recent"] = f"""
 SELECT doc_id, conv_id, doc_ts FROM read_parquet('{_ORACLE_INDEX_DOCS}')
@@ -2380,6 +2538,98 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
+def _transcripts_bool_oracle_sql(
+    q, k: int = 10, k1: float = 1.2, b: float = 0.75,
+    docs_glob: str | None = None,
+) -> str:
+    """Composable-bool twin: clause table (kind, clause id, term, qtf,
+    boost) joined against the stored tf maps.  Score = sum over
+    (clause, term) matches of boost * qtf * idf * tfn (a term in two
+    clauses contributes once per clause — exactly the engine's merged
+    weight map); membership = every must CLAUSE matched (>= 1 of its
+    terms), >= minimum_should_match should clauses matched, and no
+    must_not term present.  Independent recomputation: the clause
+    semantics live in SQL aggregates, not in any engine code."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    docs_glob = docs_glob or _ORACLE_INDEX_DOCS
+
+    def clauses(lst):
+        out = []
+        for c in lst:
+            text, boost = (c, 1.0) if isinstance(c, str) else c
+            out.append((tokenize(text), float(boost)))
+        return out
+
+    vals, cid, n_must = [], 0, 0
+    for toks, boost in clauses(q.must):
+        for t, n in sorted(Counter(toks).items()):
+            vals.append(f"('m', {cid}, '{t}', {n}, {boost!r})")
+        cid += 1
+        n_must += 1
+    n_should = 0
+    for toks, boost in clauses(q.should):
+        for t, n in sorted(Counter(toks).items()):
+            vals.append(f"('s', {cid}, '{t}', {n}, {boost!r})")
+        cid += 1
+        n_should += 1
+    msm = q.minimum_should_match
+    if msm is None:
+        msm = 0 if n_must else 1
+    msm = int(msm)
+    excl = sorted(
+        {t for toks, _ in clauses(q.must_not) for t in toks}
+    )
+    excl_where = ""
+    if excl:
+        in_list = ", ".join(f"'{t}'" for t in excl)
+        excl_where = (
+            "WHERE tf.doc_id NOT IN "
+            f"(SELECT doc_id FROM tf WHERE term IN ({in_list}))"
+        )
+    having = [f"count(DISTINCT CASE WHEN q.kind = 'm' THEN q.cid END)"
+              f" = {n_must}"]
+    if msm > 0:
+        having.append(
+            f"count(DISTINCT CASE WHEN q.kind = 's' THEN q.cid END)"
+            f" >= {msm}"
+        )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{docs_glob}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{docs_glob}')
+),
+q(kind, cid, term, qtf, boost) AS (VALUES {", ".join(vals)}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(q.boost * q.qtf
+             * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  {excl_where}
+  GROUP BY tf.doc_id
+  HAVING {" AND ".join(having)}
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _transcripts_fuzzy_oracle_sql(
     query_text: str, k: int, max_edits: int = 1, prefix_length: int = 1,
     k1: float = 1.2, b: float = 0.75,
@@ -2585,10 +2835,10 @@ def _transcripts_match_phrase_prefix_oracle_sql(
     phrase: str, max_expansions: int = 50,
 ) -> str:
     """match_phrase_prefix twin: completions = dictionary terms with
-    the last analyzed term's prefix (df desc, term asc, capped — the
-    wildcard contract), membership = head terms at consecutive
-    positions followed by any completion, over the independently
-    recomputed token-position table."""
+    the last analyzed term's prefix (TERM order, capped — the Lucene
+    match_phrase_prefix expansion contract), membership = head terms
+    at consecutive positions followed by any completion, over the
+    independently recomputed token-position table."""
     import re
 
     from sotohp_spark.functions.tokenizer import tokenize
@@ -2618,9 +2868,9 @@ WITH tf AS (
 ),
 cand AS (
   SELECT term FROM (
-    SELECT term, count(*)::BIGINT AS df FROM tf
+    SELECT DISTINCT term FROM tf
     WHERE regexp_matches(term, '{rx}')
-    GROUP BY term ORDER BY df DESC, term ASC LIMIT {max_expansions}
+    ORDER BY term ASC LIMIT {max_expansions}
   )
 ),
 tok AS (

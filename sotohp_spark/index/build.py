@@ -41,8 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataclasses import replace as _cfg_replace
+
 from sotohp_spark import fsio
-from sotohp_spark.config import EngineConfig, DEFAULT
+from sotohp_spark.config import EngineConfig, DEFAULT, derive_range_size
 from sotohp_spark.functions.tokenizer import (
     KeywordRules,
     KeywordRulesRouter,
@@ -594,7 +596,32 @@ class IndexBuilder:
                     missing_ok=True,
                 )
             t_stage = time.time()
-            docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
+            docs, n_docs_in = build_documents(
+                turns, num_ranges=cfg.shuffle_partitions, with_count=True
+            )
+            # GEOMETRY IS DECIDED HERE, before any write: the doc count
+            # comes free from the id-assignment pass, and cfg.range_size
+            # = None (the default) derives a corpus-sized layout so a
+            # mid-size corpus is never ONE serial doc-id range (the
+            # measured sf100 span_near artifact).  The chosen value is
+            # fixed in meta; opens/appends/compactions adopt it from
+            # meta, never from a caller cfg.
+            if cfg.range_size is None:
+                cfg = _cfg_replace(
+                    cfg,
+                    range_size=derive_range_size(
+                        n_docs_in,
+                        self.spark.sparkContext.defaultParallelism,
+                    ),
+                )
+                range_size_source = "auto"
+                log.info(
+                    "derived range_size=%d for %d docs",
+                    cfg.range_size, n_docs_in,
+                )
+            else:
+                range_size_source = "explicit"
+            self.cfg = cfg
             # exchange FIRST, tokenize after: the pandas UDF (the
             # dominant compute) must run at full task width, not on
             # whatever partition count the id-assignment join left
@@ -637,6 +664,7 @@ class IndexBuilder:
                 "k1": cfg.k1,
                 "b": cfg.b,
                 "range_size": cfg.range_size,
+                "range_size_source": range_size_source,
                 "block_size": cfg.block_size,
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
@@ -655,6 +683,18 @@ class IndexBuilder:
             }
             self._write_meta(meta)
             log.info("stage1 stats: %.1fs", time.time() - t_stage)
+        else:
+            # RESUME on an existing index: geometry was fixed in meta at
+            # first build — adopt it, so a caller cfg with different (or
+            # auto) geometry can never re-bucket the remaining stage-2
+            # work against a mismatched on-disk layout
+            cfg = _cfg_replace(
+                cfg,
+                range_size=int(meta["range_size"]),
+                block_size=int(meta["block_size"]),
+                ranges_per_batch=int(meta.get("ranges_per_batch", 8)),
+            )
+            self.cfg = cfg
 
         # ---- stage 2: postings for ALL unbuilt range buckets in O(1)
         # Spark jobs (one partitionBy("range_bucket") write with dynamic

@@ -202,6 +202,22 @@ class CatalogIndexBuilder:
         self.cfg = cfg
         self.rules = rules
 
+    def _adopt_geometry(self, meta: dict) -> EngineConfig:
+        """Replace this builder's cfg geometry with the index's —
+        range layout is fixed in meta at first build; any mutation of
+        an EXISTING index (resume, append, compact) must bucket
+        against the on-disk geometry, never a caller cfg's (whose
+        default is now auto/None)."""
+        from dataclasses import replace as _cfg_replace
+
+        self.cfg = _cfg_replace(
+            self.cfg,
+            range_size=int(meta["range_size"]),
+            block_size=int(meta["block_size"]),
+            ranges_per_batch=int(meta.get("ranges_per_batch", 8)),
+        )
+        return self.cfg
+
     # ------------------------------------------------------------------
     def build(
         self,
@@ -261,7 +277,30 @@ class CatalogIndexBuilder:
                 store.clear_deletes()
             # ---- stage 1: docs + tokenize + stats in ONE pass ----
             t_stage = time.time()
-            docs = build_documents(turns, num_ranges=cfg.shuffle_partitions)
+            docs, n_docs_in = build_documents(
+                turns, num_ranges=cfg.shuffle_partitions, with_count=True
+            )
+            # geometry decided before any write, exactly like the
+            # parquet leg (index/build.py): auto range_size derives
+            # from the corpus size and is then FIXED in meta
+            if cfg.range_size is None:
+                from dataclasses import replace as _cfg_replace
+
+                from sotohp_spark.config import derive_range_size
+
+                cfg = _cfg_replace(
+                    cfg,
+                    range_size=derive_range_size(
+                        n_docs_in,
+                        self.spark.sparkContext.defaultParallelism,
+                    ),
+                )
+                range_size_source = "auto"
+                log.info("derived range_size=%d for %d docs",
+                         cfg.range_size, n_docs_in)
+            else:
+                range_size_source = "explicit"
+            self.cfg = cfg
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
             docs = apply_term_freqs(
                 docs, self.rules, with_positions=cfg.store_positions
@@ -291,6 +330,7 @@ class CatalogIndexBuilder:
                 "k1": cfg.k1,
                 "b": cfg.b,
                 "range_size": cfg.range_size,
+                "range_size_source": range_size_source,
                 "block_size": cfg.block_size,
                 "ranges_per_batch": cfg.ranges_per_batch,
                 "fingerprint": fingerprint,
@@ -302,6 +342,9 @@ class CatalogIndexBuilder:
                 "postings_done": False,
             }
             store.write_meta(meta)
+        else:
+            # RESUME: geometry fixed in meta at first build — adopt it
+            cfg = self._adopt_geometry(meta)
 
         # ---- stage 2: postings for all unbuilt buckets, O(1) commits
         # per chunk (one overwritePartitions snapshot); per-bucket
@@ -423,6 +466,8 @@ class CatalogIndexBuilder:
                 f"v{meta.get('schema_version', 1)}, appends write "
                 f"v{SCHEMA_VERSION}; run index.migrate_index first"
             )
+        # appended shards must bucket against the INDEX's geometry
+        cfg = self._adopt_geometry(meta)
         fresh_turns = new_turns.join(
             self._live_conv_ids(), "conv_id", "left_anti"
         )
@@ -515,8 +560,22 @@ class CatalogIndexBuilder:
             .localCheckpoint()  # breaks lineage to the table being replaced
         )
         store.write_term_stats(merged)
+        meta["appends_since_merge"] = int(
+            meta.get("appends_since_merge", 0)
+        ) + 1
         store.write_meta(meta)
         store.clear_pending("append", batch_id)
+        # ---- background-merge policy (on by default): the parquet
+        # leg's fragmentation probe is a cheap file glob it can run per
+        # append; the catalog leg's signal (duplicate (term, range_id)
+        # shard rows) is a postings-table aggregate, so amortize it —
+        # run the full merge_segments pass once per `threshold`
+        # appends, tracked by a meta counter.  None = off.
+        thresh = getattr(self.cfg, "auto_merge_segments", None)
+        if thresh is not None and meta["appends_since_merge"] >= int(thresh):
+            meta = self.merge_segments(physical=True)
+            meta["appends_since_merge"] = 0
+            store.write_meta(meta)
         return meta
 
     # ------------------------------------------------------------------
@@ -731,6 +790,7 @@ class CatalogIndexBuilder:
         meta = store.read_meta()
         if meta is None:
             raise ValueError(f"no catalog index at prefix {store.prefix}")
+        cfg = self._adopt_geometry(meta)
         if not store.has_deletes():
             return meta
         doomed = store.read_deletes().select("doc_id").distinct()

@@ -47,6 +47,64 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class Bool:
+    """A composable ES ``bool`` query (the single object the
+    reference's dashboards send to Elasticsearch,
+    ElasticOperations.scala:32-76) — every clause list holds match
+    clauses over the analyzed text stream:
+
+      * a clause is ``"error retry"`` (boost 1.0) or
+        ``("error retry", 2.0)`` — a MATCH clause: it matches a doc
+        iff ANY of its analyzed terms match, and contributes the
+        boosted BM25 sum of its matched terms (ES match semantics);
+      * ``must``: every clause must match (AND across clauses, OR
+        within a clause); all contribute to the score;
+      * ``should``: optional clauses; matching ones add score;
+        ``minimum_should_match`` (default: 1 when there are no must
+        clauses, else 0 — the ES default) requires that many should
+        clauses to match;
+      * ``must_not``: clauses that EXCLUDE matching docs (membership
+        only — boosts ignored, like ES);
+      * ``ts_min``/``ts_max``: the filter context (membership window,
+        scores keep global collection stats).
+
+    Execute with ``QueryEngine.top_k_bool``.
+    """
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    ts_min: object = None
+    ts_max: object = None
+    minimum_should_match: int | None = None
+
+    def __post_init__(self):
+        # accept lists/tuples interchangeably; freeze to tuples
+        for name in ("must", "should", "must_not"):
+            v = getattr(self, name)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, name, tuple(v))
+
+
+def _bool_clauses(clauses) -> list:
+    """Normalize a Bool clause list to [(text, boost), ...]."""
+    out = []
+    for c in clauses:
+        if isinstance(c, str):
+            out.append((c, 1.0))
+        else:
+            text, boost = c
+            boost = float(boost)
+            if boost <= 0.0:
+                raise ValueError(f"clause boost must be > 0, got {boost}")
+            out.append((str(text), boost))
+    return out
+
+
 def _edit_distance(a: str, b: str, cap: int) -> int:
     """Plain Levenshtein distance, early-exited past ``cap`` (returns
     cap+1 then).  Driver-side attribution twin of the JVM
@@ -604,6 +662,8 @@ class QueryEngine:
         must_not: str | None = None,
         min_should_match: int | None = None,
         _weights: dict | None = None,
+        _bool_spec=None,
+        _excl_terms: frozenset | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
 
@@ -700,6 +760,13 @@ class QueryEngine:
                 min_match = None  # plain disjunction
 
         excl_terms: frozenset = frozenset()
+        if _excl_terms:
+            # internal (top_k_bool): pre-analyzed excluded terms, all
+            # known present in the corpus
+            excl_terms = frozenset(_excl_terms)
+            n_candidates += sum(
+                self._term_dfs(sorted(excl_terms)).values()
+            )
         if must_not:
             cand = sorted(
                 set(tokenize(must_not, self._query_rules(source)))
@@ -731,7 +798,7 @@ class QueryEngine:
                 out = self._top_k_local(
                     shards, weights, k, avgdl, conjunctive, doc_bounds,
                     cursor=search_after, excl_terms=excl_terms,
-                    min_match=min_match,
+                    min_match=min_match, bool_spec=_bool_spec,
                 )
             finally:
                 self._local_gate.release()
@@ -746,6 +813,8 @@ class QueryEngine:
                 shards, min_match, excl_terms, exact=False
             )
 
+        bool_spec = _bool_spec
+
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
             if excl_terms:
@@ -755,13 +824,158 @@ class QueryEngine:
             docs, scores = wand.score_range(
                 rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
                 deletes=deletes, doc_bounds=doc_bounds, cursor=search_after,
-                min_match=min_match,
+                min_match=min_match, bool_spec=bool_spec,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
+
+    def top_k_bool(self, q: Bool, k: int = 10, with_docs: bool = True,
+                   source=None, search_after: tuple | None = None,
+                   ) -> DataFrame:
+        """Top-k BM25 for a composable ES ``bool`` query (see Bool) —
+        must + should + must_not + filter + minimum_should_match +
+        per-clause boosts in ONE object, compiled onto the single-job
+        top_k machinery.
+
+        Compilation: every clause's analyzed terms pre-merge into one
+        (term -> sum of qtf * idf * boost) weight map on the driver
+        (a boosted weight is just scaled idf — same contract as
+        wildcard's expanded weights), and clause MEMBERSHIP compiles
+        to a wand.BoolSpec: one bit per clause group, each term
+        carrying the OR of its groups' bits, evaluated per doc inside
+        the per-range scorer.  Block-max pruning stays valid (the
+        min_match argument — see BoolSpec).  Scale shape is top_k's:
+        one pruned term-IN shard scan, one job warm, driver-local fast
+        path when the candidate volume is tiny.
+
+        ES parity notes: minimum_should_match defaults to 1 with no
+        must clauses and 0 otherwise; a must clause none of whose
+        terms exist in the corpus empties the result; an unmatchable
+        should clause just can't count toward minimum_should_match;
+        must_not boosts are ignored (exclusion is membership).
+        Reference: the bool queries the dashboards issue
+        (ElasticOperations.scala:32-76)."""
+        must = _bool_clauses(q.must)
+        should = _bool_clauses(q.should)
+        must_not = _bool_clauses(q.must_not)
+        if not must and not should:
+            raise ValueError(
+                "Bool needs at least one must or should clause "
+                "(must_not/filter alone is unranked membership — use "
+                "matching_doc_ids or a docs-table filter)"
+            )
+        spark = self.spark
+
+        def _empty():
+            out = spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+
+        rules = self._query_rules(source)
+
+        def _analyze(clauses):
+            out = []
+            for text, boost in clauses:
+                qtf: dict[str, int] = {}
+                for t in tokenize(text, rules):
+                    qtf[t] = qtf.get(t, 0) + 1
+                out.append((qtf, boost))
+            return out
+
+        must_a = _analyze(must)
+        should_a = _analyze(should)
+        all_terms = sorted(
+            {t for qtf, _ in must_a + should_a for t in qtf}
+        )
+        dfs = self._term_dfs(all_terms)
+
+        must_groups = []
+        for qtf, boost in must_a:
+            present = {t: c for t, c in qtf.items() if dfs.get(t)}
+            if not present:
+                # a required clause with no corpus term matches nothing
+                return _empty()
+            must_groups.append((present, boost))
+
+        msm = q.minimum_should_match
+        if msm is None:
+            msm = 0 if must_groups else 1
+        msm = int(msm)
+        should_groups = []
+        for qtf, boost in should_a:
+            present = {t: c for t, c in qtf.items() if dfs.get(t)}
+            if present:
+                should_groups.append((present, boost))
+        if msm > 0 and len(should_groups) < msm:
+            return _empty()
+        if not must_groups and not should_groups:
+            return _empty()
+
+        n = self.meta["n_docs"]
+        weights: dict[str, float] = {}
+        for present, boost in must_groups + should_groups:
+            for t, c in present.items():
+                weights[t] = weights.get(t, 0.0) + (
+                    c * boost * bm25.lucene_idf_scalar(n, dfs[t])
+                )
+
+        # membership spec, only when plain disjunction can't express it
+        # (a scored doc always matched >= 1 term, so ONE must group
+        # covering every scoring term — or no must and msm <= 1 over
+        # one should group — needs no per-doc group test)
+        spec = None
+        n_groups = len(must_groups) + (len(should_groups) if msm > 0 else 0)
+        must_terms = set().union(*(g.keys() for g, _ in must_groups)) \
+            if must_groups else set()
+        needs_spec = (
+            len(must_groups) >= 2
+            or (len(must_groups) == 1
+                and any(t not in must_terms for t in weights))
+            or (bool(must_groups) and msm > 0)
+            or msm > 1
+        )
+        if needs_spec:
+            if n_groups > 62:
+                raise ValueError(
+                    f"too many bool clause groups ({n_groups} > 62)"
+                )
+            term_bits: dict[str, int] = {}
+            bit = 1
+            must_mask = 0
+            for present, _ in must_groups:
+                for t in present:
+                    term_bits[t] = term_bits.get(t, 0) | bit
+                must_mask |= bit
+                bit <<= 1
+            should_bits = []
+            if msm > 0:
+                for present, _ in should_groups:
+                    for t in present:
+                        term_bits[t] = term_bits.get(t, 0) | bit
+                    should_bits.append(bit)
+                    bit <<= 1
+            spec = wand.BoolSpec(
+                term_bits=term_bits,
+                must_mask=must_mask,
+                should_bits=tuple(should_bits),
+                min_should=msm if msm > 0 else 0,
+            )
+
+        excl: set = set()
+        for qtf, _boost in _analyze(must_not):
+            excl.update(qtf)
+        excl_dfs = self._term_dfs(sorted(excl)) if excl else {}
+        excl_terms = frozenset(t for t in excl if excl_dfs.get(t))
+
+        return self.top_k(
+            None, k=k, with_docs=with_docs,
+            ts_min=q.ts_min, ts_max=q.ts_max,
+            search_after=search_after,
+            _weights=weights, _bool_spec=spec,
+            _excl_terms=excl_terms,
+        )
 
     def _bucket_keyed(self, ids: DataFrame) -> DataFrame:
         """Attach the derived range_bucket join key to a doc-id frame
@@ -957,7 +1171,8 @@ class QueryEngine:
     def _top_k_local(self, shards: DataFrame, weights, k, avgdl, conjunctive,
                      doc_bounds=None, cursor=None,
                      excl_terms: frozenset = frozenset(),
-                     min_match: int | None = None):
+                     min_match: int | None = None,
+                     bool_spec=None):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
@@ -981,6 +1196,7 @@ class QueryEngine:
                 rrows, weights, k, avgdl, conjunctive=conjunctive,
                 cfg=self.cfg, deletes=dels, doc_bounds=doc_bounds,
                 stats=stats, cursor=cursor, min_match=min_match,
+                bool_spec=bool_spec,
             )
             all_docs.append(d)
             all_scores.append(s)
@@ -1208,6 +1424,85 @@ class QueryEngine:
             )
         return out.select("doc_id", "query_id")
 
+    def register_percolator_queries(self, queries: list, name: str = "default",
+                                    source=None,
+                                    registry_path: str | None = None) -> int:
+        """Persist an analyzed percolator registry as a table — the ES
+        model (percolator queries are INDEXED documents, analyzed once
+        at registration, reused by every later percolate call).
+
+        ``queries``: [(query_id, query_text)] — analyzed HERE, once;
+        the stored rows are (query_id, term, n_terms).  Re-registering
+        a name overwrites it.  Returns the number of queries that
+        registered (queries whose analysis drops every token match
+        nothing and are not stored — same contract as percolate()).
+
+        Scale shape: the registry is written once and percolation cost
+        becomes batch x matched terms with ZERO per-call driver
+        tokenization — at alerting scale (10^5 registered queries,
+        one percolate per micro-batch) the per-call driver loop is the
+        serial bottleneck this removes."""
+        if registry_path is None:
+            if self.path is None:
+                raise ValueError(
+                    "catalog-backed engine: pass registry_path explicitly"
+                )
+            registry_path = f"{self.path}/percolator/{name}"
+        rules = self._query_rules(source)
+        rows: list = []
+        n_q = 0
+        for qid, text in queries:
+            terms = sorted(set(tokenize(text, rules)))
+            if not terms:
+                continue
+            n_q += 1
+            rows += [(str(qid), t, len(terms)) for t in terms]
+        (
+            self.spark.createDataFrame(
+                rows, "query_id string, term string, n_terms int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(registry_path)
+        )
+        return n_q
+
+    def percolate_registered(self, docs: DataFrame | None = None,
+                             name: str = "default",
+                             registry_path: str | None = None) -> DataFrame:
+        """Percolate against a PERSISTED registry (see
+        register_percolator_queries) — identical semantics to
+        percolate(), but the analyzed query table is read from storage:
+        no per-call driver tokenization, no per-call literal plan
+        growth, and any session (not just the registering one) can
+        percolate the same registry.
+
+        Scale shape: one scan of the doc batch — explode stored tf map
+        keys, broadcast-join the registry table (tiny: terms of the
+        registered queries), partial-aggregated distinct-term count per
+        (doc, query) compared against the rode-along n_terms column.
+        Cost tracks batch x matched terms, never registry x corpus."""
+        if registry_path is None:
+            if self.path is None:
+                raise ValueError(
+                    "catalog-backed engine: pass registry_path explicitly"
+                )
+            registry_path = f"{self.path}/percolator/{name}"
+        qdf = self.spark.read.parquet(registry_path)
+        docs = self._docs_raw if docs is None else docs
+        return (
+            docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
+            .join(F.broadcast(qdf), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.max("n_terms").alias("n_terms"),
+            )
+            .where(F.col("nt") == F.col("n_terms"))
+            .select("doc_id", "query_id")
+        )
+
     def suggest_corrections(self, text: str, k: int = 5,
                             max_edits: int = 1, prefix_length: int = 1,
                             source=None) -> DataFrame:
@@ -1319,11 +1614,18 @@ class QueryEngine:
         )
 
     def wildcard_expand(self, pattern: str,
-                        max_expansions: int = 50) -> list:
+                        max_expansions: int = 50,
+                        order: str = "df") -> list:
         """Dictionary terms matching an ES wildcard pattern (``*`` =
         any run, ``?`` = exactly one char), as (term, df) pairs —
         highest df first (term asc ties), capped at ``max_expansions``
         (the Lucene multi-term rewrite cap, default 50).
+
+        ``order``: which ``max_expansions`` survive when the pattern
+        matches more terms than the cap — ``"df"`` (default, Lucene's
+        top-terms scoring rewrite, what wildcard/prefix queries use)
+        or ``"term"`` (index/term order, what Lucene's
+        match_phrase_prefix expansion uses).
 
         Scale shape: ONE dictionary job over term_stats.  The literal
         prefix before the first wildcard pushes down as
@@ -1337,18 +1639,25 @@ class QueryEngine:
         pat = pattern.strip().lower()
         if not pat or max_expansions < 1:
             return []
-        prefix = re.split(r"[*?]", pat, 1)[0]
+        prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
         rx = (
             "^"
             + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
             + "$"
         )
+        if order not in ("df", "term"):
+            raise ValueError(f"order must be 'df' or 'term', got {order!r}")
         dic = self._term_stats
         if prefix:
             dic = dic.where(F.col("term").startswith(prefix))
+        sort_cols = (
+            [F.col("df").desc(), F.col("term").asc()]
+            if order == "df"
+            else [F.col("term").asc()]
+        )
         rows = (
             dic.where(F.col("term").rlike(rx))
-            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .orderBy(*sort_cols)
             .limit(int(max_expansions))
             .collect()
         )
@@ -1670,18 +1979,31 @@ class QueryEngine:
         distinct-term count plus a columnar dictionary scan, never the
         postings or the corpus.  df counts committed docs as of the
         last stats write (Lucene semantics: tombstones decay df at
-        merge, not per delete)."""
+        merge, not per delete).  A TOMBSTONED doc returns an EMPTY
+        frame (ES _termvectors reports a deleted doc as found=false;
+        its stored row must not leak back out through this API)."""
         n = self.meta["n_docs"]
         avgdl = float(self.meta["avgdl"])
         k1, b = self.cfg.k1, self.cfg.b
         span = self.cfg.range_size * self.cfg.ranges_per_batch
-        doc = (
-            self._docs_raw.where(
-                (F.col("range_bucket") == int(doc_id) // span)
-                & (F.col("doc_id") == int(doc_id))
-            )
-            .select("doc_len", F.explode("tfs").alias("term", "tf"))
+        schema = ("term string, tf long, df long, "
+                  "idf double, weight double")
+        if self._deletes is not None:
+            if int(doc_id) in self._deletes:
+                return self.spark.createDataFrame([], schema)
+        row = self._docs_raw.where(
+            (F.col("range_bucket") == int(doc_id) // span)
+            & (F.col("doc_id") == int(doc_id))
         )
+        if self._deletes is None and self._deletes_df is not None:
+            # delete set too large for the driver: mask the one-row
+            # lookup with a doc-id-pruned anti join instead
+            row = row.join(
+                self._deletes_df.where(F.col("doc_id") == int(doc_id)),
+                "doc_id",
+                "left_anti",
+            )
+        doc = row.select("doc_len", F.explode("tfs").alias("term", "tf"))
         idf = F.log(
             1.0
             + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1851,34 +2173,46 @@ class QueryEngine:
         final frame is TakeOrderedAndProject(k).  The matched-id
         frame is localCheckpoint-ed so the conjunction decode runs
         ONCE even though two subtrees (the fg join and the n_matched
-        aggregate) consume it."""
-        ids = self.matching_doc_ids(query_text, source=source).localCheckpoint()
-        keyed = self._bucket_keyed(ids)
-        fg = (
-            self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
-            .select(F.explode(F.map_keys("tfs")).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("fg_count"))
-            .where(F.col("fg_count") >= int(min_doc_count))
-        )
-        n_m = ids.agg(F.count(F.lit(1)).alias("n_matched"))
-        n_docs = float(self.meta["n_docs"])
-        fg_pct = F.col("fg_count") / F.col("n_matched")
-        bg_pct = F.col("bg_count") / F.lit(n_docs)
-        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
-        return (
-            fg.crossJoin(F.broadcast(n_m))
-            .join(
-                self._term_stats.select(
-                    "term", F.col("df").cast("long").alias("bg_count")
-                ),
-                "term",
+        aggregate) consume it, and the pinned blocks are released
+        deterministically once the k-row result materializes (repeated
+        calls must not accumulate executor storage for the session
+        lifetime)."""
+        ids = self.matching_doc_ids(query_text, source=source).persist()
+        try:
+            keyed = self._bucket_keyed(ids)
+            fg = (
+                self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
+                .select(F.explode(F.map_keys("tfs")).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("fg_count"))
+                .where(F.col("fg_count") >= int(min_doc_count))
             )
-            .select("term", "fg_count", "bg_count",
-                    F.round(jlh, 6).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("term").asc())
-            .limit(k)
-        )
+            n_m = ids.agg(F.count(F.lit(1)).alias("n_matched"))
+            n_docs = float(self.meta["n_docs"])
+            fg_pct = F.col("fg_count") / F.col("n_matched")
+            bg_pct = F.col("bg_count") / F.lit(n_docs)
+            jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+            out = (
+                fg.crossJoin(F.broadcast(n_m))
+                .join(
+                    self._term_stats.select(
+                        "term", F.col("df").cast("long").alias("bg_count")
+                    ),
+                    "term",
+                )
+                .select("term", "fg_count", "bg_count",
+                        F.round(jlh, 6).alias("score"))
+                .orderBy(F.col("score").desc(), F.col("term").asc())
+                .limit(k)
+            )
+            # materialize the <= k survivors NOW: the expensive shared
+            # subtree (conjunction decode) runs once against the cached
+            # relation, and the cache can then be dropped immediately
+            # instead of leaking until session teardown
+            rows = out.collect()
+            return self.spark.createDataFrame(rows, out.schema)
+        finally:
+            ids.unpersist()
 
     def cardinality(self, query_text: str, by: str = "day",
                     approx: bool = True, rsd: float = 0.05,
@@ -2188,6 +2522,17 @@ class QueryEngine:
             raise ValueError(
                 f"span clauses must be distinct terms, got {terms}"
             )
+        # validate the span window DRIVER-side so an oversized slop is
+        # a clean ValueError, not a Py4J task failure from the executor
+        # kernel (which keeps the same check as a backstop)
+        from sotohp_spark.operators.postings import _POS_SHIFT
+
+        window = len(terms) - 1 + int(slop)
+        if window >= (1 << _POS_SHIFT):
+            raise ValueError(
+                f"slop window {window} exceeds the positional key "
+                f"width 2^{_POS_SHIFT}"
+            )
         dfs = self._term_dfs(sorted(terms))
         if any(dfs.get(t, 0) == 0 for t in terms):
             return empty
@@ -2216,10 +2561,12 @@ class QueryEngine:
         """ES ``match_phrase_prefix`` (search-as-you-type): the
         analyzed terms before the last match as an exact positional
         phrase, the LAST term matches as a PREFIX — any dictionary
-        term starting with it (highest-df first, capped at
-        ``max_expansions``, the ES cap) may complete the phrase.
-        Analyzed-adjacency semantics, like phrase_match_doc_ids.
-        Returns DataFrame(doc_id long), distinct.
+        term starting with it (selected in TERM/index order, capped at
+        ``max_expansions`` — the Lucene match_phrase_prefix expansion
+        contract, unlike wildcard's df-ordered top-terms rewrite) may
+        complete the phrase.  Analyzed-adjacency semantics, like
+        phrase_match_doc_ids.  Returns DataFrame(doc_id long),
+        distinct.
 
         Scale shape: one dictionary job expands the prefix
         (StringStartsWith pushdown), then ALL completions run as ONE
@@ -2233,7 +2580,7 @@ class QueryEngine:
         if not terms:
             return empty
         head, last = terms[:-1], terms[-1]
-        exps = self.wildcard_expand(last + "*", max_expansions)
+        exps = self.wildcard_expand(last + "*", max_expansions, order="term")
         if not exps:
             return empty
         phrases = [

@@ -148,13 +148,20 @@ def quarantined_conversations(
     )
 
 
-def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
+def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
+                   with_count: bool = False):
     """Add a dense 0-based ``doc_id`` ordered by (doc_ts, conv_id).
 
     Distributed dense rank: repartitionByRange on the ordering key,
     row_number within each range partition, plus an exclusive prefix
-    sum of partition sizes (computed on a tiny per-partition count
-    table, broadcast back).  No global single-partition window.
+    sum of partition sizes.  The per-partition counts (<= num_ranges
+    rows) are collected to the driver — the prefix sum and the offset
+    table are built locally and broadcast back, so the count job that
+    materializes the checkpoint also yields the EXACT corpus size for
+    free (the build uses it to derive the range geometry before any
+    write).  No global single-partition window.
+
+    ``with_count=True`` returns ``(df, n_docs)``.
     """
     spark = docs.sparkSession
     ranged = docs.repartitionByRange(num_ranges, "doc_ts", "conv_id").withColumn(
@@ -162,29 +169,43 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32) -> DataFrame:
     )
     ranged = ranged.localCheckpoint(eager=False)
 
-    counts = ranged.groupBy("_pid").count()
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("count").over(w), F.lit(0)).alias("_offset")
+    counts = sorted(
+        ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    n_docs, rows = 0, []
+    for r in counts:
+        rows.append((int(r["_pid"]), n_docs))
+        n_docs += int(r["count"])
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], "_pid int, _offset long"
     )
 
     win = Window.partitionBy("_pid").orderBy("doc_ts", "conv_id")
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(win) - 1)
         .join(F.broadcast(offsets), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+    return (out, n_docs) if with_count else out
 
 
 def build_documents(turns: DataFrame, num_ranges: int = 32,
-                    max_turns: int | None = None) -> DataFrame:
+                    max_turns: int | None = None,
+                    with_count: bool = False):
     """Full docs table: doc_id, conv_id, doc_text, doc_ts, n_turns
     (+ source when the turns carry one — used for per-source rules).
     ``max_turns`` quarantines runaway conversations (see
-    materialize_documents)."""
-    docs = assign_doc_ids(materialize_documents(turns, max_turns), num_ranges)
+    materialize_documents).  ``with_count=True`` returns
+    ``(df, n_docs)`` — the exact doc count the id-assignment pass
+    computes anyway (used to derive range geometry before any
+    write)."""
+    docs, n_docs = assign_doc_ids(
+        materialize_documents(turns, max_turns), num_ranges,
+        with_count=True,
+    )
     cols = ["doc_id", "conv_id", "doc_text", "doc_ts", "n_turns"]
     if "source" in docs.columns:
         cols.append("source")
-    return docs.select(*cols)
+    out = docs.select(*cols)
+    return (out, n_docs) if with_count else out

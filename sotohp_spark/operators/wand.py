@@ -26,11 +26,51 @@ Equivalence to the exhaustive scorer is pytest-enforced
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 from sotohp_spark.config import EngineConfig, DEFAULT
 from sotohp_spark.operators import bm25
 from sotohp_spark.operators.postings import decode_shard_blocks
+
+
+@dataclass(frozen=True)
+class BoolSpec:
+    """Compiled eligibility of an ES ``bool`` query for the per-range
+    scorer: clause GROUPS as bit positions.
+
+    A match clause ("error retry") matches a doc iff the doc contains
+    ANY of its analyzed terms, so per doc the scorer needs the set of
+    matched CLAUSES, not just the matched-term count.  Each clause
+    group gets one bit; a term carries the OR of the bits of every
+    group that contains it (a term may appear in several clauses).
+    Eligibility: all ``must_mask`` bits present, and at least
+    ``min_should`` of the ``should_bits`` present.  Scoring (the
+    boosted weight sum) is orthogonal — weights are pre-merged per
+    term on the driver; this spec only gates membership.
+
+    Pruning validity is the min_match argument again: the all-blocks
+    interval bound U also bounds any eligible doc's exact score, and
+    theta builds only from eligible docs, so a pruned interval cannot
+    hide an eligible doc outscoring theta.
+    """
+
+    term_bits: dict        # term -> int bitmask of its clause groups
+    must_mask: int = 0     # doc eligible iff (mask & must_mask) == must_mask
+    should_bits: tuple = ()  # bit values of the should groups
+    min_should: int = 0    # required count of matched should groups
+
+
+def _bool_eligible(masks: np.ndarray, spec: BoolSpec) -> np.ndarray:
+    """Vectorized BoolSpec eligibility over per-doc group masks."""
+    ok = (masks & spec.must_mask) == spec.must_mask
+    if spec.min_should > 0 and spec.should_bits:
+        cnt = np.zeros(masks.shape, dtype=np.int64)
+        for b in spec.should_bits:
+            cnt += (masks & b) != 0
+        ok &= cnt >= spec.min_should
+    return ok
 
 
 def score_range(
@@ -45,6 +85,7 @@ def score_range(
     stats: dict | None = None,
     cursor: tuple | None = None,
     min_match: int | None = None,
+    bool_spec: BoolSpec | None = None,
 ):
     """Score one doc-id range.
 
@@ -86,11 +127,21 @@ def score_range(
     — the proof that the machinery actually skips on Zipf-head terms,
     not just that it is rank-equivalent (tests/test_wand_skip.py).
 
+    ``bool_spec``: compiled ES ``bool`` eligibility (clause groups as
+    bits — see BoolSpec).  Disjunctive path only; mutually exclusive
+    with ``conjunctive`` and ``min_match`` (a bool query compiles its
+    own AND/N-of-M semantics into groups).
+
     Returns (doc_ids int64[], scores float64[]) of the local top-k.
     ``k=None`` is the no-cut scored-export mode: every match returns
     with its exact score, unordered, and the running-threshold upkeep
     (which could never trigger) is skipped entirely.
     """
+    if bool_spec is not None and (conjunctive or min_match is not None):
+        raise ValueError(
+            "bool_spec compiles its own conjunction/N-of-M semantics; "
+            "do not combine with conjunctive/min_match"
+        )
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     cur_mask = None
@@ -211,7 +262,7 @@ def score_range(
             break
         lo, hi = bounds[ii], bounds[ii + 1] - 1
         hit = np.flatnonzero((starts <= hi) & (ends >= lo))
-        piece_d, piece_s = [], []
+        piece_d, piece_s, piece_g = [], [], []
         for j in hit:
             key = (int(sidx[j]), int(bidx[j]))
             if key not in block_cache:
@@ -226,20 +277,47 @@ def score_range(
             if z > a:
                 piece_d.append(d[a:z])
                 piece_s.append(sc[a:z])
+                if bool_spec is not None:
+                    piece_g.append(
+                        bool_spec.term_bits.get(
+                            shards[sidx[j]]["term"], 0
+                        )
+                    )
         if not piece_d:
             continue
+        if bool_spec is not None and len(piece_d) == 1:
+            # one covering piece == one matched clause-group set; the
+            # scalar eligibility test covers every doc in the piece
+            if not bool(
+                _bool_eligible(
+                    np.array([piece_g[0]], dtype=np.int64), bool_spec
+                )[0]
+            ):
+                continue
         dd = np.concatenate(piece_d)
         ss = np.concatenate(piece_s)
+        gg = (
+            np.concatenate(
+                [
+                    np.full(p.size, g, dtype=np.int64)
+                    for p, g in zip(piece_d, piece_g)
+                ]
+            )
+            if bool_spec is not None and len(piece_d) > 1
+            else None
+        )
         if bounds_mask is not None:
             keep = bounds_mask(dd)
             if not keep.all():
                 dd, ss = dd[keep], ss[keep]
+                gg = gg[keep] if gg is not None else None
             if dd.size == 0:
                 continue
         if deletes is not None and deletes.size:
             keep = ~_is_deleted(dd, deletes)
             if not keep.all():
                 dd, ss = dd[keep], ss[keep]
+                gg = gg[keep] if gg is not None else None
             if dd.size == 0:
                 continue
         if len(piece_d) > 1:
@@ -258,6 +336,17 @@ def score_range(
                 # blocks decoded at the doc's own interval)
                 cnt = np.bincount(grp, minlength=out_d.size)
                 keep = cnt >= min_match
+                out_d, out_s = out_d[keep], out_s[keep]
+                if out_d.size == 0:
+                    continue
+            if gg is not None:
+                # per-doc clause-group mask = OR of its contributions'
+                # bits (same completeness argument as min_match: ALL
+                # covering blocks decode at the doc's own interval)
+                gg = gg[o]
+                out_g = np.zeros(out_d.size, dtype=np.int64)
+                np.bitwise_or.at(out_g, grp, gg)
+                keep = _bool_eligible(out_g, bool_spec)
                 out_d, out_s = out_d[keep], out_s[keep]
                 if out_d.size == 0:
                     continue

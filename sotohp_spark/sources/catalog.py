@@ -446,7 +446,11 @@ class IcebergIndexStore:
         if meta is not None:
             span = meta["range_size"] * meta.get("ranges_per_batch", 8)
         else:
-            span = self.cfg.range_size * self.cfg.ranges_per_batch
+            from sotohp_spark.config import RANGE_SIZE_MAX
+
+            span = (
+                self.cfg.range_size or RANGE_SIZE_MAX
+            ) * self.cfg.ranges_per_batch
         doomed = ids.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),

@@ -478,6 +478,18 @@ def append_conversations(
             f"v{meta.get('schema_version', 1)}, appends write "
             f"v{SCHEMA_VERSION}; run index.migrate_index first"
         )
+    # appended shards must bucket against the INDEX's geometry — fixed
+    # in meta at first build (the compact_buckets rule; a caller cfg's
+    # default is now auto/None and must never re-bucket an append)
+    from dataclasses import replace as _cfg_replace
+
+    cfg = _cfg_replace(
+        cfg,
+        range_size=int(meta["range_size"]),
+        block_size=int(meta["block_size"]),
+        ranges_per_batch=int(meta.get("ranges_per_batch", 8)),
+    )
+    builder.cfg = cfg
     _recover_pending_bucket_compact(spark, builder)
     _recover_pending_append(spark, builder)
 
@@ -588,6 +600,23 @@ def append_conversations(
     )
     fsio.remove(spark, marker_path)
     fsio.rmtree(spark, f"{builder.path}/_staging")
+    # ---- background-merge policy (on by default): the append is fully
+    # committed above, so the physical consolidation below is plain
+    # maintenance — a crash mid-merge is recovered by the
+    # compact_buckets marker protocol, never by replaying the append.
+    # Buckets fragmented past the threshold (each append adds its own
+    # file set) are rewritten bucket-locally; amortized, a bucket is
+    # rewritten about once per `threshold` appends that touch it, which
+    # is what keeps the streaming steady state's warm p95 flat instead
+    # of degrading ~4.8x over 100 small appends
+    # (BENCH/segments_sf0.1.md).  cfg.auto_merge_segments=None = off.
+    thresh = getattr(cfg, "auto_merge_segments", None)
+    if thresh is not None:
+        frag = fragmented_buckets(spark, builder, int(thresh))
+        if frag:
+            meta = compact_buckets(
+                spark, index_path, cfg, rules, buckets=frag
+            )
     return meta
 
 
@@ -627,7 +656,11 @@ def append_tombstones(
     if meta is not None:
         span = meta["range_size"] * meta.get("ranges_per_batch", 8)
     else:
-        span = builder.cfg.range_size * builder.cfg.ranges_per_batch
+        from sotohp_spark.config import RANGE_SIZE_MAX
+
+        span = (
+            builder.cfg.range_size or RANGE_SIZE_MAX
+        ) * builder.cfg.ranges_per_batch
     doomed = doc_ids.select(
         "doc_id",
         (F.col("doc_id") / F.lit(span)).cast("int").alias("range_bucket"),
@@ -774,6 +807,17 @@ def compact_index(
         doomed = spark.read.parquet(deletes_path).select("doc_id").distinct()
     except Exception:
         return meta  # nothing to compact
+    # the staged rewrite must bucket against the index's geometry
+    # (meta), not a caller cfg's (default auto/None)
+    from dataclasses import replace as _cfg_replace
+
+    if meta is not None:
+        cfg = _cfg_replace(
+            cfg,
+            range_size=int(meta["range_size"]),
+            block_size=int(meta["block_size"]),
+            ranges_per_batch=int(meta.get("ranges_per_batch", 8)),
+        )
 
     docs = spark.read.parquet(builder.docs_path)
     survivors = docs.join(doomed, "doc_id", "left_anti").drop("doc_id")

@@ -531,10 +531,13 @@ def test_match_phrase_prefix(spark, span_index):
             for r in engine.match_phrase_prefix_doc_ids(query).collect()
         )
         assert got == sorted(expect), query
-    # no completion -> empty; cap respected (1 expansion = best-df only)
+    # no completion -> empty; cap respected (1 expansion = FIRST term
+    # in index/term order — the Lucene match_phrase_prefix contract,
+    # not wildcard's df-ordered top-terms rewrite)
     assert engine.match_phrase_prefix_doc_ids("error zzq").count() == 0
     one = engine.match_phrase_prefix_doc_ids("error re", max_expansions=1)
-    best = engine.wildcard_expand("re*", 1)[0][0]
+    best = engine.wildcard_expand("re*", 1, order="term")[0][0]
+    assert best == min(v for v in vocab if v.startswith("re"))
     assert sorted(r["doc_id"] for r in one.collect()) == _brute_phrase_docs(
         texts, f"error {best}"
     )

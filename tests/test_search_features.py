@@ -644,6 +644,59 @@ def test_percolate_matches_brute(spark, tmp_path):
     assert got_b == {(d, q) for d, q in expect if d == id_of[0]}
 
 
+def test_percolate_registered_matches_per_call(spark, tmp_path):
+    """Persisted-registry percolation (the ES indexed-percolator
+    model): identical (doc, query) pairs to the per-call variant, the
+    registry survives as a table a FRESH engine can percolate without
+    ever seeing the query list, and batch restriction still works."""
+    engine = _fixture(spark, tmp_path)
+    queries = [
+        ("q_err_retry", "error retry"),
+        ("q_redis", "redis"),
+        ("q_restart_loop", "restart loop"),
+        ("q_absent", "zzqabsent"),
+        ("q_dropped", "2024"),
+    ]
+    n = engine.register_percolator_queries(queries, name="alerts")
+    assert n == 4  # the all-dropped-token query is not stored
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate(queries).collect()
+    }
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate_registered(name="alerts").collect()
+    }
+    assert got == want and got
+    # a fresh engine (no query list in scope) percolates the same
+    # registry from storage — zero driver-side re-tokenization
+    fresh = QueryEngine(spark, engine.path)
+    got2 = {
+        (r["doc_id"], r["query_id"])
+        for r in fresh.percolate_registered(name="alerts").collect()
+    }
+    assert got2 == want
+    # batch restriction
+    some_doc = sorted(d for d, _ in want)[0]
+    batch = engine._docs_raw.where(F.col("doc_id") == some_doc)
+    got_b = {
+        (r["doc_id"], r["query_id"])
+        for r in engine.percolate_registered(
+            docs=batch, name="alerts"
+        ).collect()
+    }
+    assert got_b == {(d, q) for d, q in want if d == some_doc}
+    # re-registration overwrites
+    engine.register_percolator_queries(
+        [("only", "error retry")], name="alerts"
+    )
+    got3 = {
+        r["query_id"]
+        for r in engine.percolate_registered(name="alerts").collect()
+    }
+    assert got3 == {"only"}
+
+
 def test_percolate_large_registry_path(spark, tmp_path):
     """Past 1000 registered queries percolate switches from the literal
     count map to a broadcast counts join — results must be identical."""
