@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES composable bool query: must + boosted should + must_not +
     # minimum_should_match in ONE object, one job (round 7)
     q["transcripts_bool_composed"] = _transcripts_bool_composed
+    # ES multi_match best_fields over (text, tool^2): field-tagged
+    # postings, per-field BM25 normalization, dis_max combine (round 7)
+    q["transcripts_multi_match"] = _transcripts_multi_match
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -738,6 +741,43 @@ def _transcripts_phrase_ranked(spark, sf_dir):
     return engine.phrase_ranked(_PHRASE, k=10, texts=texts).select(
         "doc_id", F.round("score", 6).alias("score")
     )
+
+
+_MF_INDEX_CACHE: dict = {}
+_MF_FIELDS = [("text", 1.0), ("tool", 2.0)]
+# the multi-field oracle reads the fields index's own docs table (it
+# stores tfs_tool / doc_len_tool alongside the text tf maps)
+_ORACLE_MF_DOCS = "/tmp/sotohp_mf_index_sf0.01/docs/*/*.parquet"
+
+
+def _transcripts_multi_match(spark, sf_dir):
+    """ES multi_match best_fields over (text, tool^2): field-tagged
+    postings in the same layout (term key "<field>\\x1f<term>"), each
+    field tf-normalized with ITS OWN doc length (stored in its posting
+    stream) and avgdl (meta), per-field boost scaling idf, dis_max
+    combine (QueryEngine.top_k_multi_match).  idf uses the global doc
+    count N (documented simplification; the oracle mirrors it).  The
+    oracle recomputes BOTH fields' stats independently from the stored
+    per-field tf maps."""
+    import os
+
+    from sotohp_spark.config import EngineConfig
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.index import IndexBuilder, QueryEngine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    sf = _SF_FROM_DIR.get(tag, 0.05)
+    if tag not in _MF_INDEX_CACHE:
+        path = f"/tmp/sotohp_mf_index_{tag}"
+        cfg = EngineConfig(**_T_CFG, extra_fields=("tool",))
+        IndexBuilder(spark, path, cfg).reindex_all(
+            transcripts_df(spark, sf), input_fingerprint=f"sf={sf}+mf"
+        )
+        _MF_INDEX_CACHE[tag] = path
+    engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
+    return engine.top_k_multi_match(
+        "search python", _MF_FIELDS, k=10, with_docs=False
+    ).select("doc_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2092,6 +2132,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_composed"] = _transcripts_bool_oracle_sql(
         _bool_composed_query(), k=10
     )
+    o["transcripts_multi_match"] = _transcripts_multi_match_oracle_sql(
+        "search python", k=10
+    )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
@@ -2627,6 +2670,84 @@ scored AS (
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_multi_match_oracle_sql(
+    query_text: str, k: int = 10, text_boost: float = 1.0,
+    tool_boost: float = 2.0, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """multi_match best_fields twin over the fields index's stored
+    per-field tf maps: each field's df / doc length / avgdl recomputed
+    independently in SQL (avgdl over docs with a nonzero field
+    length), per-field boost scaling idf, dis_max combine via
+    UNION ALL + max().  idf uses the global doc count N — the same
+    documented simplification the engine applies."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH docs AS (SELECT * FROM read_parquet('{_ORACLE_MF_DOCS}')),
+g AS (
+  SELECT count(*)::BIGINT AS n,
+         avg(doc_len) AS avgdl_text,
+         sum(doc_len_tool) * 1.0
+           / nullif(count(CASE WHEN doc_len_tool > 0 THEN 1 END), 0)
+           AS avgdl_tool
+  FROM docs
+),
+q(term, qtf) AS (VALUES {q_vals}),
+ttf AS (
+  SELECT doc_id, doc_len AS dl, e.key AS term, e.value AS tf
+  FROM docs,
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+ftf AS (
+  SELECT doc_id, doc_len_tool AS dl, e.key AS term, e.value AS tf
+  FROM docs,
+  LATERAL (SELECT unnest(map_entries(tfs_tool), recursive := true)) e(key, value)
+),
+dft AS (
+  SELECT ttf.term, count(*)::BIGINT AS df FROM ttf JOIN q USING (term)
+  GROUP BY ttf.term
+),
+dff AS (
+  SELECT ftf.term, count(*)::BIGINT AS df FROM ftf JOIN q USING (term)
+  GROUP BY ftf.term
+),
+s_text AS (
+  SELECT ttf.doc_id,
+         sum({text_boost} * q.qtf
+             * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * ttf.tf * ({k1} + 1.0)
+             / (ttf.tf + {k1} * (1.0 - {b} + {b} * ttf.dl / g.avgdl_text))
+         ) AS s
+  FROM ttf JOIN q ON ttf.term = q.term
+  JOIN dft ON ttf.term = dft.term CROSS JOIN g
+  GROUP BY ttf.doc_id
+),
+s_tool AS (
+  SELECT ftf.doc_id,
+         sum({tool_boost} * q.qtf
+             * ln(1 + (g.n - dff.df + 0.5) / (dff.df + 0.5))
+             * ftf.tf * ({k1} + 1.0)
+             / (ftf.tf + {k1} * (1.0 - {b} + {b} * ftf.dl / g.avgdl_tool))
+         ) AS s
+  FROM ftf JOIN q ON ftf.term = q.term
+  JOIN dff ON ftf.term = dff.term CROSS JOIN g
+  GROUP BY ftf.doc_id
+),
+comb AS (
+  SELECT doc_id, max(s) AS raw FROM (
+    SELECT doc_id, s FROM s_text
+    UNION ALL SELECT doc_id, s FROM s_tool
+  ) GROUP BY doc_id
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM comb ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

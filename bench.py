@@ -131,6 +131,55 @@ def main():
         pos_engine.phrase_ranked("retry timeout", k=10).collect()
         record("phrase_ranked", time.time() - t1)
 
+    # round-7: multi-field index (extra_fields=("tool",)) — one
+    # build-tax sample, then (a) the SAME single-field query on the
+    # fields index vs the plain index (the single-field path must be
+    # unaffected: its term IN-list contains no tagged keys), and (b)
+    # multi_match best_fields itself
+    mf_path = f"/tmp/bench_mf_index_{tag}"
+    shutil.rmtree(mf_path, ignore_errors=True)
+    cfg_mf = EngineConfig(
+        shuffle_partitions=CPUS, ranges_per_batch=64,
+        extra_fields=("tool",),
+    )
+    t1 = time.time()
+    IndexBuilder(spark, mf_path, cfg_mf).build(
+        turns, input_fingerprint=f"bench-{tsf}-mf"
+    )
+    record("index_build_fields", time.time() - t1)
+    mf_engine = QueryEngine(spark, mf_path)
+    mf_engine.preload_term_stats()
+    for _ in range(REPS):
+        t1 = time.time()
+        mf_engine.top_k(
+            "error retry timeout", 10, with_docs=False
+        ).collect()
+        record("topk_single_field_on_mf_index", time.time() - t1)
+        t1 = time.time()
+        mf_engine.top_k_multi_match(
+            "search python", [("text", 1.0), ("tool", 2.0)],
+            k=10, with_docs=False,
+        ).collect()
+        record("multi_match_best_fields", time.time() - t1)
+        t1 = time.time()
+        engine.top_k(
+            "error retry timeout", 10, with_docs=False
+        ).collect()
+        record("topk_single_field_plain_index", time.time() - t1)
+
+    # round-7: composable bool query (must + boosted should + must_not
+    # + minimum_should_match in one object, one job warm)
+    from sotohp_spark.index import Bool
+
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.top_k_bool(
+            Bool(must=["error retry"], should=[("timeout", 2.0)],
+                 must_not=["spark shuffle"], minimum_should_match=1),
+            k=10, with_docs=False,
+        ).collect()
+        record("bool_composed", time.time() - t1)
+
     # round-6 ES-tier surfaces, warm on the main engine: bool
     # exclusion (excluded postings ride the scoring scan), fuzzy
     # (one dictionary job + scoring), recency sort (WindowGroupLimit

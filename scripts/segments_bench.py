@@ -104,6 +104,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--segments", type=int, nargs="+",
                     default=[1, 32, 256])
+    ap.add_argument("--no-auto-merge", action="store_true",
+                    help="disable the default background-merge policy "
+                         "(auto_merge_segments=None) to reproduce the "
+                         "raw fragmentation cliff")
     args = ap.parse_args()
 
     from sotohp_spark.config import EngineConfig
@@ -114,11 +118,15 @@ def main():
     spark = get_spark("segments-bench", master=f"local[{args.cpus}]",
                       shuffle_partitions=args.cpus)
     pdf = generate_transcripts_pdf(args.sf)
-    cfg = EngineConfig(shuffle_partitions=args.cpus)
+    cfg = EngineConfig(
+        shuffle_partitions=args.cpus,
+        auto_merge_segments=None if args.no_auto_merge else 8,
+    )
+    mode = "noauto" if args.no_auto_merge else "auto"
     rows = {}
     worst_path = None
     for n in args.segments:
-        path = f"/tmp/segbench_{args.sf}_{n}"
+        path = f"/tmp/segbench_{mode}_{args.sf}_{n}"
         if not os.path.exists(f"{path}/_meta/meta.json"):
             import shutil
 
@@ -146,6 +154,7 @@ def main():
         "sf": args.sf,
         "cpus": args.cpus,
         "reps": args.reps,
+        "auto_merge": None if args.no_auto_merge else 8,
         "by_segments": rows,
         "merged": merged,
         "merge_sec": round(merge_sec, 1),
@@ -156,9 +165,11 @@ def main():
         f"{r['p95_plain_ms']} | {r['postings_files']} |"
         for n, r in sorted(rows.items())
     )
-    with open(f"{REPO}/BENCH/segments_sf{args.sf}.md", "w") as f:
+    suffix = "_noauto" if args.no_auto_merge else "_auto"
+    with open(f"{REPO}/BENCH/segments_sf{args.sf}{suffix}.md", "w") as f:
         f.write(f"""# Segment-count degradation — sf={args.sf}, \
-local[{args.cpus}], {args.reps} reps
+local[{args.cpus}], {args.reps} reps, auto_merge_segments=\
+{out['auto_merge']}
 
 Same corpus, built as 1 append vs many in-order appends (the
 streaming steady state).  "planning" = _doc_bounds_for_ts wall time

@@ -83,6 +83,21 @@ class EngineConfig:
     # (both halves become explicit merge_segments maintenance calls).
     auto_merge_segments: int | None = 8
 
+    # Additional analyzed, SCORABLE text fields (multi-field BM25 —
+    # the reference's SaoMedia multi-field search doc,
+    # SaoMedia.scala:17-47, scored by ES multi_match).  Each name is a
+    # turns column (e.g. "tool", "role"); its per-conversation stream
+    # is analyzed with the same chain and indexed as FIELD-TAGGED
+    # postings: term key = "<field>\\x1f<term>" in the SAME postings
+    # layout/dictionary (a tagged term is just another term — layout,
+    # not a new engine), with the FIELD's doc length in the posting
+    # stream and the field's avgdl in meta, so per-field BM25
+    # normalization is exact.  The default "text" stream stays
+    # UNTAGGED: single-field queries scan only their own terms (term
+    # IN pushdown) and are unaffected.  Query with
+    # QueryEngine.top_k_multi_match.  () (default) = single-field.
+    extra_fields: tuple = ()
+
     # Optional Iceberg catalog table prefix (e.g. "local.db.myindex").
     # When set AND the Iceberg runtime is on the classpath,
     # sources/catalog.resolve_store yields IcebergIndexStore and the

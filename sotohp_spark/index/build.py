@@ -56,8 +56,16 @@ from sotohp_spark.operators.postings import build_postings_df
 
 
 def apply_term_freqs(docs: DataFrame, rules,
-                     with_positions: bool = False) -> DataFrame:
+                     with_positions: bool = False,
+                     extra_fields: tuple = ()) -> DataFrame:
     """tfs + doc_len columns via the Arrow-batched tokenizer UDF.
+
+    ``extra_fields``: each named field's ``doc_field_<f>`` stream gets
+    its own ``tfs_<f>`` map and ``doc_len_<f>`` through the SAME
+    analysis chain — the multi-field search-doc shape.  Field streams
+    are positionless (field phrase search is not a surface; the field
+    postings carry tf + the FIELD's doc length, which is all per-field
+    BM25 needs).
 
     ``rules`` may be a single KeywordRules (one chain for the whole
     corpus) or a KeywordRulesRouter (per-source resolution, reference
@@ -98,13 +106,35 @@ def apply_term_freqs(docs: DataFrame, rules,
         else:
             tfs = make_term_freq_udf(rules)(F.col("doc_text"))
         docs = docs.withColumn("tfs", tfs)
-    return docs.withColumn(
+    docs = docs.withColumn(
         "doc_len",
         F.coalesce(
             F.aggregate(F.map_values("tfs"), F.lit(0), lambda a, x: a + x),
             F.lit(0),
         ),
     )
+    for f in extra_fields:
+        if routed:
+            ftfs = make_term_freq_udf_routed(rules)(
+                F.col(f"doc_field_{f}"), src
+            )
+        else:
+            ftfs = make_term_freq_udf(rules)(F.col(f"doc_field_{f}"))
+        docs = (
+            docs.withColumn(f"tfs_{f}", ftfs)
+            .withColumn(
+                f"doc_len_{f}",
+                F.coalesce(
+                    F.aggregate(
+                        F.map_values(f"tfs_{f}"), F.lit(0),
+                        lambda a, x: a + x,
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop(f"doc_field_{f}")
+        )
+    return docs
 
 PARTITION_STATE_SCHEMA = T.StructType(
     [
@@ -423,8 +453,9 @@ SCHEMA_VERSION = 3
 
 def docs_output(df: DataFrame) -> DataFrame:
     """Canonical docs-table column projection (+ the positional map
-    when the build stores positions — compaction rebuilds postings
-    from the docs table, so positions must survive the round trip)."""
+    when the build stores positions, + per-field tf maps on a
+    multi-field index — compaction rebuilds postings from the docs
+    table, so both must survive the round trip)."""
     src = (
         F.col("source")
         if "source" in df.columns
@@ -436,22 +467,61 @@ def docs_output(df: DataFrame) -> DataFrame:
     ]
     if "poss" in df.columns:
         cols.append("poss")
+    for c in df.columns:
+        if c.startswith("tfs_") or c.startswith("doc_len_"):
+            cols.append(c)
     return df.select(*cols)
 
 
-def explode_doc_terms(docs_df: DataFrame, positions: bool) -> DataFrame:
+# field-tagged term key separator: the analysis chain lowercases and
+# strips control chars, so no document term can ever contain it —
+# "<field>\x1f<term>" rows live in the SAME postings layout and
+# dictionary as plain terms (multi-field as layout, not a new engine)
+FIELD_SEP = "\x1f"
+
+
+def explode_doc_terms(docs_df: DataFrame, positions: bool,
+                      fields: tuple = ()) -> DataFrame:
     """docs -> (doc_id, doc_len, term, tf[, positions]) for the
     postings build.  With positions, tf derives from the positions
     array (len == tf by construction) so only ONE map column is
-    exploded."""
+    exploded.
+
+    ``fields``: multi-field index — each field's tfs_<f> map explodes
+    with the FIELD-TAGGED term key and, crucially, the FIELD's doc
+    length in the doc_len slot, so the posting stream's stored dl is
+    what per-field BM25 tf-normalization needs.  Field rows carry no
+    positions (empty arrays on a positional index — field phrase
+    search is not a surface)."""
     if positions:
-        return docs_df.select(
+        base = docs_df.select(
             "doc_id", "doc_len",
             F.explode("poss").alias("term", "positions"),
         ).withColumn("tf", F.size("positions"))
-    return docs_df.select(
-        "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
-    )
+    else:
+        base = docs_df.select(
+            "doc_id", "doc_len", F.explode("tfs").alias("term", "tf")
+        )
+    for f in fields:
+        fe = docs_df.select(
+            "doc_id",
+            F.col(f"doc_len_{f}").alias("doc_len"),
+            F.explode(f"tfs_{f}").alias("term", "tf"),
+        ).withColumn(
+            "term", F.concat(F.lit(f + FIELD_SEP), F.col("term"))
+        )
+        if positions:
+            fe = fe.withColumn(
+                "positions", F.array().cast("array<int>")
+            ).select("doc_id", "doc_len", "term", "positions", "tf")
+            base = base.select(
+                "doc_id", "doc_len", "term", "positions", "tf"
+            )
+        else:
+            fe = fe.select("doc_id", "doc_len", "term", "tf")
+            base = base.select("doc_id", "doc_len", "term", "tf")
+        base = base.unionByName(fe)
+    return base
 
 
 def docs_bucket_col(cfg: EngineConfig):
@@ -597,7 +667,8 @@ class IndexBuilder:
                 )
             t_stage = time.time()
             docs, n_docs_in = build_documents(
-                turns, num_ranges=cfg.shuffle_partitions, with_count=True
+                turns, num_ranges=cfg.shuffle_partitions, with_count=True,
+                extra_fields=tuple(cfg.extra_fields),
             )
             # GEOMETRY IS DECIDED HERE, before any write: the doc count
             # comes free from the id-assignment pass, and cfg.range_size
@@ -628,7 +699,8 @@ class IndexBuilder:
             # behind; the write needs this range layout anyway.
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
             docs = apply_term_freqs(
-                docs, self.rules, with_positions=cfg.store_positions
+                docs, self.rules, with_positions=cfg.store_positions,
+                extra_fields=tuple(cfg.extra_fields),
             )
             # single write: the docs table keeps the tf maps (used by the
             # postings stage); readers that want only doc metadata get
@@ -639,6 +711,16 @@ class IndexBuilder:
             from pyspark.sql import Observation
 
             obs = Observation("docs_stats")
+            field_obs = []
+            for f in cfg.extra_fields:
+                # per-field collection stats for multi-field BM25:
+                # avgdl over docs that HAVE the field (nonzero length)
+                field_obs += [
+                    F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+                    F.count(
+                        F.when(F.col(f"doc_len_{f}") > 0, 1)
+                    ).alias(f"dl_n_{f}"),
+                ]
             (
                 docs_output(docs)
                 .withColumn("range_bucket", docs_bucket_col(cfg))
@@ -649,6 +731,7 @@ class IndexBuilder:
                     F.max("doc_id").alias("max_doc"),
                     F.min("doc_ts").alias("ts_lo"),
                     F.max("doc_ts").alias("ts_hi"),
+                    *field_obs,
                 )
                 .write.mode("overwrite")
                 .partitionBy("range_bucket")
@@ -657,6 +740,13 @@ class IndexBuilder:
             log.info("stage1 docs+tokenize+write: %.1fs", time.time() - t_stage)
             t_stage = time.time()
             stats = obs.get
+            field_avgdl = {
+                f: (
+                    float(stats[f"dl_sum_{f}"]) / int(stats[f"dl_n_{f}"])
+                    if int(stats[f"dl_n_{f}"] or 0) else 0.0
+                )
+                for f in cfg.extra_fields
+            }
             meta = {
                 "n_docs": int(stats["n"]),
                 "avgdl": float(stats["avgdl"]),
@@ -670,6 +760,15 @@ class IndexBuilder:
                 "fingerprint": fingerprint,
                 "schema_version": SCHEMA_VERSION,
                 "positions": bool(cfg.store_positions),
+                "fields": list(cfg.extra_fields),
+                "field_avgdl": field_avgdl,
+                "field_dl_stats": {
+                    f: [
+                        float(stats[f"dl_sum_{f}"] or 0),
+                        int(stats[f"dl_n_{f}"] or 0),
+                    ]
+                    for f in cfg.extra_fields
+                },
                 # doc ids are (doc_ts, conv_id)-ordered WITHIN a
                 # segment; appends add segments (Lucene-style).  Time-
                 # windowed search resolves a ts range to one doc-id
@@ -730,7 +829,10 @@ class IndexBuilder:
                 part = part.where(
                     F.col("range_bucket").isin([int(b) for b in chunk])
                 )
-            part = explode_doc_terms(part, bool(meta.get("positions")))
+            part = explode_doc_terms(
+                part, bool(meta.get("positions")),
+                fields=tuple(meta.get("fields") or ()),
+            )
             shards = build_postings_df(part, meta["avgdl"], cfg)
             shards = shards.withColumn(
                 "range_bucket",

@@ -146,15 +146,32 @@ def _refresh_derived_state(
     tables — the crash-recovery path (the happy append path uses the
     O(batch + vocabulary) arithmetic update, as on the parquet leg)."""
     meta = store.read_meta()
+    idx_fields = tuple(meta.get("fields") or ())
+    field_aggs = []
+    for f in idx_fields:
+        field_aggs += [
+            F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+            F.count(F.when(F.col(f"doc_len_{f}") > 0, 1)).alias(f"dl_n_{f}"),
+        ]
     stats = store.read_docs().agg(
         F.count("*").alias("n"),
         F.avg("doc_len").alias("avgdl"),
         F.max("doc_id").alias("max_doc"),
+        *field_aggs,
     ).collect()[0]
     meta.update(
         n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]),
         max_doc=int(stats["max_doc"]),
     )
+    if idx_fields:
+        fstats = {
+            f: [float(stats[f"dl_sum_{f}"] or 0), int(stats[f"dl_n_{f}"] or 0)]
+            for f in idx_fields
+        }
+        meta["field_dl_stats"] = fstats
+        meta["field_avgdl"] = {
+            f: (s / n if n else 0.0) for f, (s, n) in fstats.items()
+        }
     if new_segment is not None:
         _extend_segments(meta, new_segment, new_segment_ts)
     ts = (
@@ -278,7 +295,8 @@ class CatalogIndexBuilder:
             # ---- stage 1: docs + tokenize + stats in ONE pass ----
             t_stage = time.time()
             docs, n_docs_in = build_documents(
-                turns, num_ranges=cfg.shuffle_partitions, with_count=True
+                turns, num_ranges=cfg.shuffle_partitions, with_count=True,
+                extra_fields=tuple(cfg.extra_fields),
             )
             # geometry decided before any write, exactly like the
             # parquet leg (index/build.py): auto range_size derives
@@ -303,9 +321,18 @@ class CatalogIndexBuilder:
             self.cfg = cfg
             docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
             docs = apply_term_freqs(
-                docs, self.rules, with_positions=cfg.store_positions
+                docs, self.rules, with_positions=cfg.store_positions,
+                extra_fields=tuple(cfg.extra_fields),
             )
             obs = Observation()
+            field_obs = []
+            for f in cfg.extra_fields:
+                field_obs += [
+                    F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+                    F.count(
+                        F.when(F.col(f"doc_len_{f}") > 0, 1)
+                    ).alias(f"dl_n_{f}"),
+                ]
             out = (
                 docs_output(docs)
                 .withColumn("range_bucket", docs_bucket_col(cfg))
@@ -316,6 +343,7 @@ class CatalogIndexBuilder:
                     F.max("doc_id").alias("max_doc"),
                     F.min("doc_ts").alias("ts_lo"),
                     F.max("doc_ts").alias("ts_hi"),
+                    *field_obs,
                 )
             )
             store.replace_table(store.docs_table, out,
@@ -323,6 +351,13 @@ class CatalogIndexBuilder:
             log.info("stage1 docs+tokenize+write: %.1fs",
                      time.time() - t_stage)
             stats = obs.get
+            fstats = {
+                f: [
+                    float(stats[f"dl_sum_{f}"] or 0),
+                    int(stats[f"dl_n_{f}"] or 0),
+                ]
+                for f in cfg.extra_fields
+            }
             meta = {
                 "n_docs": int(stats["n"]),
                 "avgdl": float(stats["avgdl"]),
@@ -336,6 +371,12 @@ class CatalogIndexBuilder:
                 "fingerprint": fingerprint,
                 "schema_version": SCHEMA_VERSION,
                 "positions": bool(cfg.store_positions),
+                "fields": list(cfg.extra_fields),
+                "field_avgdl": {
+                    f: (s / n if n else 0.0)
+                    for f, (s, n) in fstats.items()
+                },
+                "field_dl_stats": fstats,
                 "segments": [[0, int(stats["max_doc"])]],
                 "segment_ts": [[str(stats["ts_lo"]), str(stats["ts_hi"])]],
                 "docs_done": True,
@@ -370,7 +411,10 @@ class CatalogIndexBuilder:
                 part = part.where(
                     F.col("range_bucket").isin([int(b) for b in chunk])
                 )
-            part = explode_doc_terms(part, bool(meta.get("positions")))
+            part = explode_doc_terms(
+                part, bool(meta.get("positions")),
+                fields=tuple(meta.get("fields") or ()),
+            )
             shards = build_postings_df(part, meta["avgdl"], cfg)
             shards = shards.withColumn(
                 "range_bucket",
@@ -476,14 +520,24 @@ class CatalogIndexBuilder:
         ).collect()[0][0]
         pre_max_doc = -1 if pre_max_doc is None else int(pre_max_doc)
 
-        docs = materialize_documents(fresh_turns)
+        idx_fields = tuple(meta.get("fields") or ())
+        docs = materialize_documents(fresh_turns, extra_fields=idx_fields)
         docs = assign_doc_ids(
             docs, num_ranges=cfg.shuffle_partitions
         ).withColumn("doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1))
         docs = apply_term_freqs(
-            docs, self.rules, with_positions=bool(meta.get("positions"))
+            docs, self.rules, with_positions=bool(meta.get("positions")),
+            extra_fields=idx_fields,
         )
         docs = docs.localCheckpoint()
+        field_aggs = []
+        for f in idx_fields:
+            field_aggs += [
+                F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+                F.count(
+                    F.when(F.col(f"doc_len_{f}") > 0, 1)
+                ).alias(f"dl_n_{f}"),
+            ]
         agg = docs.agg(
             F.count("*").alias("n"),
             F.sum(F.crc32(F.col("conv_id"))).alias("digest"),
@@ -492,6 +546,7 @@ class CatalogIndexBuilder:
             F.min("doc_ts").alias("ts_lo"),
             F.max("doc_ts").alias("ts_hi"),
             F.sum("doc_len").alias("dl_sum"),
+            *field_aggs,
         ).collect()[0]
         n_new = int(agg["n"])
         if n_new == 0:
@@ -502,7 +557,8 @@ class CatalogIndexBuilder:
 
         from sotohp_spark.index.build import explode_doc_terms
 
-        doc_tf = explode_doc_terms(docs, bool(meta.get("positions")))
+        doc_tf = explode_doc_terms(docs, bool(meta.get("positions")),
+                               fields=tuple(meta.get("fields") or ()))
         shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
         bucket_span = cfg.range_size * cfg.ranges_per_batch
         shards = shards.withColumn(
@@ -538,6 +594,17 @@ class CatalogIndexBuilder:
             / (old_n + n_new),
             max_doc=pre_max_doc + n_new,
         )
+        if idx_fields:
+            fstats = dict(meta.get("field_dl_stats") or {})
+            favg = dict(meta.get("field_avgdl") or {})
+            for f in idx_fields:
+                s0, n0 = fstats.get(f, [0.0, 0])
+                s1 = float(s0) + float(agg[f"dl_sum_{f}"] or 0)
+                n1 = int(n0) + int(agg[f"dl_n_{f}"] or 0)
+                fstats[f] = [s1, n1]
+                favg[f] = (s1 / n1) if n1 else 0.0
+            meta["field_dl_stats"] = fstats
+            meta["field_avgdl"] = favg
         _extend_segments(
             meta, (pre_max_doc + 1, pre_max_doc + n_new),
             (agg["ts_lo"], agg["ts_hi"]),
@@ -702,7 +769,8 @@ class CatalogIndexBuilder:
         # 2. postings rebuilt from the survivors' stored tf maps;
         # avgdl passed UNCHANGED (stored block-max metadata is
         # avgdl-free and scores must keep pre-compaction stats)
-        doc_tf = explode_doc_terms(surv, bool(meta.get("positions")))
+        doc_tf = explode_doc_terms(surv, bool(meta.get("positions")),
+                                 fields=tuple(meta.get("fields") or ()))
         shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
         shards = shards.withColumn(
             "range_bucket",
@@ -802,12 +870,22 @@ class CatalogIndexBuilder:
         survivors = assign_doc_ids(
             survivors, num_ranges=cfg.shuffle_partitions
         ).localCheckpoint()
+        idx_fields = tuple(meta.get("fields") or ())
+        field_aggs = []
+        for f in idx_fields:
+            field_aggs += [
+                F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+                F.count(
+                    F.when(F.col(f"doc_len_{f}") > 0, 1)
+                ).alias(f"dl_n_{f}"),
+            ]
         stats = survivors.agg(
             F.count("*").alias("n"),
             F.avg("doc_len").alias("avgdl"),
             F.max("doc_id").alias("max_doc"),
             F.min("doc_ts").alias("ts_lo"),
             F.max("doc_ts").alias("ts_hi"),
+            *field_aggs,
         ).collect()[0]
         new_fp = meta["fingerprint"] + "+compact"
         batch_id = hashlib.md5(new_fp.encode()).hexdigest()[:16]
@@ -837,7 +915,8 @@ class CatalogIndexBuilder:
         if _fail_after == "docs":
             raise RuntimeError("test kill-switch: crash after docs replace")
         doc_tf = explode_doc_terms(
-            store.read_docs(), bool(meta.get("positions"))
+            store.read_docs(), bool(meta.get("positions")),
+            fields=tuple(meta.get("fields") or ()),
         )
         avgdl = float(stats["avgdl"])
         shards = build_postings_df(doc_tf, avgdl, cfg)
@@ -885,6 +964,18 @@ class CatalogIndexBuilder:
             schema_version=SCHEMA_VERSION,
             postings_done=True,
         )
+        if idx_fields:
+            fstats = {
+                f: [
+                    float(stats[f"dl_sum_{f}"] or 0),
+                    int(stats[f"dl_n_{f}"] or 0),
+                ]
+                for f in idx_fields
+            }
+            new_meta["field_dl_stats"] = fstats
+            new_meta["field_avgdl"] = {
+                f: (s / n if n else 0.0) for f, (s, n) in fstats.items()
+            }
         store.write_meta(new_meta)  # <- the commit point
         if _fail_after == "meta":
             raise RuntimeError("test kill-switch: crash after meta commit")

@@ -977,6 +977,156 @@ class QueryEngine:
             _excl_terms=excl_terms,
         )
 
+    def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,
+                          match_type: str = "best_fields",
+                          with_docs: bool = True, source=None) -> DataFrame:
+        """ES ``multi_match``: the query scored against SEVERAL
+        analyzed fields with per-field boosts — the reference's
+        multi-field search doc (keywords / description /
+        classifications..., SaoMedia.scala:17-47) as ES scores it.
+
+        ``fields``: list of field names or (field, boost) pairs;
+        ``"text"`` is the default stream, other names must have been
+        indexed at build time (EngineConfig.extra_fields — meta
+        records them).  ``match_type``: ``"best_fields"`` (ES default
+        — a doc's score is its BEST single field's score, dis_max) or
+        ``"most_fields"`` (fields' scores add).
+
+        Scoring contract: per field, standard BM25 with the FIELD's
+        stats — df of the field-tagged dictionary entry, the field's
+        own doc lengths (stored in its postings) and avgdl (meta),
+        scaled by the field boost; idf uses the global doc count N
+        (one deliberate simplification vs Lucene's per-field docCount,
+        stated here because the oracle mirrors it).
+
+        Scale shape: field-tagged terms are ordinary dictionary terms,
+        so this is ONE pruned term-IN shard scan (all fields' keys in
+        one IN list, same parquet pushdown as top_k) into one
+        per-range kernel; the kernel is full-decode (no block-max cut
+        — the cross-field max/sum needs every field's exact partial
+        per doc; cost tracks the query terms' posting volume, the same
+        contract as function_score).  Single-field queries never see
+        any of this: their scan's IN-list contains no tagged keys."""
+        if not fields:
+            fields = ["text"]
+        norm: list = []
+        for f in fields:
+            if isinstance(f, str):
+                norm.append((f, 1.0))
+            else:
+                name, boost = f
+                if float(boost) <= 0.0:
+                    raise ValueError(f"field boost must be > 0: {f}")
+                norm.append((str(name), float(boost)))
+        indexed = set(self.meta.get("fields") or ())
+        for name, _ in norm:
+            if name != "text" and name not in indexed:
+                raise ValueError(
+                    f"field {name!r} is not indexed (index fields: "
+                    f"{sorted(indexed)}); build with "
+                    f"EngineConfig(extra_fields=...)"
+                )
+        from sotohp_spark.index.build import FIELD_SEP
+
+        spark = self.spark
+        toks = tokenize(query_text, self._query_rules(source))
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        if not qtf:
+            out = spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+
+        field_avgdl: list = []
+        keys: list = []
+        key_field: dict = {}
+        key_qtf: dict = {}
+        key_boost: dict = {}
+        for fi, (name, boost) in enumerate(norm):
+            field_avgdl.append(
+                float(self.meta["avgdl"]) if name == "text"
+                else float((self.meta.get("field_avgdl") or {}).get(name, 0.0))
+            )
+            for t, c in qtf.items():
+                key = t if name == "text" else name + FIELD_SEP + t
+                keys.append(key)
+                key_field[key] = fi
+                key_qtf[key] = c
+                key_boost[key] = boost
+        dfs = self._term_dfs(sorted(keys))
+        n = self.meta["n_docs"]
+        weights = {
+            key: key_qtf[key] * key_boost[key]
+            * bm25.lucene_idf_scalar(n, d)
+            for key, d in dfs.items() if d
+        }
+        if not weights:
+            out = spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        combine = {"best_fields": "best", "most_fields": "sum"}.get(
+            match_type
+        )
+        if combine is None:
+            raise ValueError(
+                f"match_type must be best_fields|most_fields, "
+                f"got {match_type!r}"
+            )
+        term_field = {key: key_field[key] for key in weights}
+        shards = self._scoring_shards(sorted(weights))
+        cfg = self.cfg
+        n_candidates = sum(dfs[key] for key in weights)
+
+        if (
+            self._deletes is not None
+            and n_candidates <= self.LOCAL_PATH_MAX_POSTINGS
+            and self._local_gate.acquire(blocking=False)
+        ):
+            try:
+                import numpy as np
+
+                rows = shards.collect()
+                by_range: dict[int, list] = {}
+                for r in rows:
+                    by_range.setdefault(r["range_id"], []).append(r.asDict())
+                all_d, all_s = [], []
+                for rid in sorted(by_range):
+                    d, s = wand.score_range_multi(
+                        by_range[rid], weights, term_field, field_avgdl,
+                        k, cfg=cfg, deletes=self._deletes, combine=combine,
+                    )
+                    all_d.append(d)
+                    all_s.append(s)
+                docs = (
+                    np.concatenate(all_d) if all_d
+                    else np.zeros(0, dtype=np.int64)
+                )
+                if docs.size == 0:
+                    out = spark.createDataFrame([], TOPK_SCHEMA)
+                    return self._attach_docs(out) if with_docs else out
+                scores = np.concatenate(all_s)
+                sel = np.lexsort((docs, -scores))[:k]
+                pdf = pd.DataFrame(
+                    {"doc_id": docs[sel].astype("int64"),
+                     "score": scores[sel]}
+                )
+                out = spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
+                return self._attach_docs(out) if with_docs else out
+            finally:
+                self._local_gate.release()
+
+        def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
+            d, s = wand.score_range_multi(
+                pdf.to_dict("records"), weights, term_field, field_avgdl,
+                k, cfg=cfg, deletes=deletes, combine=combine,
+            )
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
+        out = local.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+        return self._attach_docs(out) if with_docs else out
+
     def _bucket_keyed(self, ids: DataFrame) -> DataFrame:
         """Attach the derived range_bucket join key to a doc-id frame
         — the _attach_docs idiom: joining the docs table on

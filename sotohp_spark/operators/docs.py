@@ -29,8 +29,17 @@ def materialize_documents(
     turns: DataFrame,
     max_turns: int | None = None,
     turn_chunk: int = 1024,
+    extra_fields: tuple = (),
 ) -> DataFrame:
     """turns -> (conv_id, doc_text, doc_ts, n_turns).
+
+    ``extra_fields``: additional turns columns (e.g. "tool", "role")
+    whose per-conversation streams materialize as ``doc_field_<name>``
+    columns alongside doc_text — the multi-field search-doc shape
+    (SaoMedia.scala:17-47).  They ride the SAME chunked two-stage
+    aggregation (the per-chunk struct already carries every column),
+    so the bounded-memory argument below is unchanged; with no extra
+    fields the plan is byte-identical to the single-field one.
 
     doc_ts = min(ts) over the conversation (orders the doc-id space by
     time, the reference's range-scannable key trick).
@@ -66,14 +75,17 @@ def materialize_documents(
     chunked = turns.withColumn(
         "_chunk", F.floor(F.col("turn_idx") / F.lit(turn_chunk)).cast("long")
     )
+    extra_fields = tuple(extra_fields)
     a_aggs = [
         F.sort_array(
-            F.collect_list(F.struct("turn_idx", "text"))
+            F.collect_list(F.struct("turn_idx", "text", *extra_fields))
         ).alias("_ts_sorted"),
         F.count("text").alias("_n_nonnull"),
         F.count("*").alias("_cnt"),
         F.min("ts").alias("_ts_min"),
     ]
+    for f in extra_fields:
+        a_aggs.append(F.count(f).alias(f"_n_{f}"))
     if "source" in turns.columns:
         # a conversation belongs to one store; min() is a deterministic
         # pick that doubles as a guard if the invariant is violated
@@ -90,6 +102,13 @@ def materialize_documents(
                 F.col("_n_nonnull") > 0,
                 F.concat_ws(" ", F.col("_ts_sorted.text")),
             ).alias("_part"),
+            *[
+                F.when(
+                    F.col(f"_n_{f}") > 0,
+                    F.concat_ws(" ", F.col(f"_ts_sorted.{f}")),
+                ).alias(f"_part_{f}")
+                for f in extra_fields
+            ],
             "_cnt",
             "_ts_min",
             *(["_src"] if "source" in turns.columns else []),
@@ -112,7 +131,12 @@ def materialize_documents(
 
     b_aggs = [
         F.sort_array(
-            F.collect_list(F.struct("_chunk", "_part"))
+            F.collect_list(
+                F.struct(
+                    "_chunk", "_part",
+                    *[f"_part_{f}" for f in extra_fields],
+                )
+            )
         ).alias("_parts_sorted"),
         F.min("_ts_min").alias("doc_ts"),
         F.sum("_cnt").alias("n_turns"),
@@ -125,6 +149,16 @@ def materialize_documents(
                 F.col("_parts_sorted._part"), lambda x: x.isNotNull()
             ),
         ).alias("doc_text"),
+        *[
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col(f"_parts_sorted._part_{f}"),
+                    lambda x: x.isNotNull(),
+                ),
+            ).alias(f"doc_field_{f}")
+            for f in extra_fields
+        ],
         "doc_ts",
         "n_turns",
     ]
@@ -192,19 +226,23 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
 
 def build_documents(turns: DataFrame, num_ranges: int = 32,
                     max_turns: int | None = None,
-                    with_count: bool = False):
+                    with_count: bool = False,
+                    extra_fields: tuple = ()):
     """Full docs table: doc_id, conv_id, doc_text, doc_ts, n_turns
-    (+ source when the turns carry one — used for per-source rules).
+    (+ source when the turns carry one — used for per-source rules;
+    + doc_field_<name> per extra field — multi-field search docs).
     ``max_turns`` quarantines runaway conversations (see
     materialize_documents).  ``with_count=True`` returns
     ``(df, n_docs)`` — the exact doc count the id-assignment pass
     computes anyway (used to derive range geometry before any
     write)."""
     docs, n_docs = assign_doc_ids(
-        materialize_documents(turns, max_turns), num_ranges,
+        materialize_documents(turns, max_turns, extra_fields=extra_fields),
+        num_ranges,
         with_count=True,
     )
     cols = ["doc_id", "conv_id", "doc_text", "doc_ts", "n_turns"]
+    cols += [f"doc_field_{f}" for f in extra_fields]
     if "source" in docs.columns:
         cols.append("source")
     out = docs.select(*cols)

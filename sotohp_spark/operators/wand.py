@@ -398,6 +398,89 @@ def score_range(
     return docs[sel], scs[sel]
 
 
+def score_range_multi(
+    shards: list,
+    term_weights: dict,
+    term_field: dict,
+    field_avgdl: list,
+    k: int | None,
+    cfg: EngineConfig = DEFAULT,
+    deletes: np.ndarray | None = None,
+    combine: str = "best",
+):
+    """Multi-field BM25 for one doc-id range (ES ``multi_match``).
+
+    ``shards``: rows whose terms are FIELD-TAGGED keys (the plain term
+    for the default field).  ``term_weights``: key -> qtf * idf *
+    boost.  ``term_field``: key -> field index into ``field_avgdl``
+    (each field normalizes tf with ITS OWN avgdl — the per-field
+    (k1, b) normalization ES applies).  ``combine``: "best" =
+    dis_max over fields (ES best_fields, the default), "sum" = ES
+    most_fields.
+
+    Full-decode path, no block-max cut: the cross-field combine needs
+    every field's exact partial per doc before max/sum, so a per-field
+    early exit cannot bound the combined score (same
+    score-the-matched-set contract as function_score/collapse).  Cost
+    tracks the query terms' posting volume.  Returns the local top-k
+    (or every match when k is None)."""
+    if combine not in ("best", "sum"):
+        raise ValueError(f"combine must be 'best' or 'sum', got {combine}")
+    if not shards:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    shards = sorted(shards, key=lambda s: (s["term"], s.get("first_doc", 0)))
+    n_fields = len(field_avgdl)
+    d_l, s_l, f_l = [], [], []
+    for s in shards:
+        d, tf, dl = decode_shard_blocks(s["payload"], s["block_offsets"])
+        if d.size == 0:
+            continue
+        fi = term_field[s["term"]]
+        w = term_weights[s["term"]]
+        d_l.append(d)
+        s_l.append(
+            w * bm25.tf_norm(tf, dl, field_avgdl[fi], cfg.k1, cfg.b)
+        )
+        f_l.append(np.full(d.size, fi, dtype=np.int64))
+    if not d_l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    dd = np.concatenate(d_l)
+    ss = np.concatenate(s_l)
+    ff = np.concatenate(f_l)
+    if deletes is not None and deletes.size:
+        keep = ~_is_deleted(dd, deletes)
+        dd, ss, ff = dd[keep], ss[keep], ff[keep]
+        if dd.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    # per-(doc, field) partial sums, contributions in term order (the
+    # stable sort preserves the concatenation order within a key)
+    key = dd * n_fields + ff
+    o = np.argsort(key, kind="stable")
+    key, ss = key[o], ss[o]
+    uniq = np.empty(key.size, dtype=bool)
+    uniq[0] = True
+    np.not_equal(key[1:], key[:-1], out=uniq[1:])
+    grp = np.cumsum(uniq) - 1
+    pf_key = key[uniq]
+    pf_sum = np.zeros(pf_key.size, dtype=np.float64)
+    np.add.at(pf_sum, grp, ss)
+    # combine fields per doc
+    docs2 = pf_key // n_fields
+    uniq2 = np.empty(docs2.size, dtype=bool)
+    uniq2[0] = True
+    np.not_equal(docs2[1:], docs2[:-1], out=uniq2[1:])
+    starts = np.flatnonzero(uniq2)
+    out_d = docs2[uniq2]
+    if combine == "best":
+        out_s = np.maximum.reduceat(pf_sum, starts)
+    else:
+        out_s = np.add.reduceat(pf_sum, starts)
+    if k is None:
+        return out_d, out_s
+    sel = np.lexsort((out_d, -out_s))[:k]
+    return out_d[sel], out_s[sel]
+
+
 def split_excluded(rows: list, excl_terms, deletes: np.ndarray | None):
     """Split a range's shard rows into (scoring rows, widened deletes).
 

@@ -282,15 +282,32 @@ def _refresh_derived_state(
     one pruned docs scan.  Idempotent: a segment already covered by the
     list is not re-added (crash recovery may re-run this)."""
     meta = builder._read_meta()
+    idx_fields = tuple(meta.get("fields") or ())
+    field_aggs = []
+    for f in idx_fields:
+        field_aggs += [
+            F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+            F.count(F.when(F.col(f"doc_len_{f}") > 0, 1)).alias(f"dl_n_{f}"),
+        ]
     stats = spark.read.parquet(builder.docs_path).agg(
         F.count("*").alias("n"),
         F.avg("doc_len").alias("avgdl"),
         F.max("doc_id").alias("max_doc"),
+        *field_aggs,
     ).collect()[0]
     meta.update(
         n_docs=int(stats["n"]), avgdl=float(stats["avgdl"]),
         max_doc=int(stats["max_doc"]),
     )
+    if idx_fields:
+        fstats = {
+            f: [float(stats[f"dl_sum_{f}"] or 0), int(stats[f"dl_n_{f}"] or 0)]
+            for f in idx_fields
+        }
+        meta["field_dl_stats"] = fstats
+        meta["field_avgdl"] = {
+            f: (s / n if n else 0.0) for f, (s, n) in fstats.items()
+        }
     if new_segment is not None:
         lo, hi = int(new_segment[0]), int(new_segment[1])
         segs = [list(s) for s in meta.get("segments", [[0, lo - 1]] if lo else [])]
@@ -334,6 +351,7 @@ def _apply_append_derived_state(
     dl_sum: int,
     new_segment: tuple,
     new_segment_ts: tuple,
+    field_deltas: dict | None = None,
 ) -> dict:
     """O(batch + vocabulary) derived-state update for the HAPPY append
     path — the crash-recovery path keeps the full recompute
@@ -366,6 +384,19 @@ def _apply_append_derived_state(
         / (old_n + n_new),
         max_doc=int(new_segment[1]),
     )
+    if field_deltas:
+        # multi-field index: per-field (dl_sum, nonzero-doc count) are
+        # kept in meta so field avgdl updates arithmetically per
+        # append, like the global avgdl above
+        fstats = dict(meta.get("field_dl_stats") or {})
+        favg = dict(meta.get("field_avgdl") or {})
+        for f, (d_sum, d_n) in field_deltas.items():
+            s0, n0 = fstats.get(f, [0.0, 0])
+            s1, n1 = float(s0) + float(d_sum), int(n0) + int(d_n)
+            fstats[f] = [s1, n1]
+            favg[f] = (s1 / n1) if n1 else 0.0
+        meta["field_dl_stats"] = fstats
+        meta["field_avgdl"] = favg
     segs = [list(s) for s in meta.get("segments", [])]
     if not segs or int(new_segment[0]) > segs[-1][1]:
         segs.append([int(new_segment[0]), int(new_segment[1])])
@@ -504,15 +535,19 @@ def append_conversations(
     ).collect()[0][0]
     pre_max_doc = -1 if pre_max_doc is None else int(pre_max_doc)
 
-    docs = materialize_documents(fresh_turns)
+    # appends MUST match the index's field/positional layout (meta,
+    # not cfg): a positionless batch appended into a positional index
+    # would make phrase_match silently miss its docs, and a fieldless
+    # batch appended into a multi-field index would make multi_match
+    # silently miss them
+    idx_fields = tuple(meta.get("fields") or ())
+    docs = materialize_documents(fresh_turns, extra_fields=idx_fields)
     docs = assign_doc_ids(docs, num_ranges=cfg.shuffle_partitions).withColumn(
         "doc_id", F.col("doc_id") + F.lit(pre_max_doc + 1)
     )
-    # appends MUST match the index's positional mode (meta, not cfg):
-    # a positionless batch appended into a positional index would make
-    # phrase_match silently miss its docs
     docs = apply_term_freqs(
-        docs, rules, with_positions=bool(meta.get("positions"))
+        docs, rules, with_positions=bool(meta.get("positions")),
+        extra_fields=idx_fields,
     )
     docs = docs.localCheckpoint()
     # one distributed aggregate: batch size, an order-independent
@@ -520,6 +555,14 @@ def append_conversations(
     # the verify_parity crc32-sum pattern), and the segment's event-
     # time bounds for meta["segment_ts"] (time-windowed search prunes
     # whole segments from these without a docs scan)
+    field_aggs = []
+    for f in idx_fields:
+        field_aggs += [
+            F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+            F.count(
+                F.when(F.col(f"doc_len_{f}") > 0, 1)
+            ).alias(f"dl_n_{f}"),
+        ]
     agg = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.crc32(F.col("conv_id"))).alias("digest"),
@@ -528,6 +571,7 @@ def append_conversations(
         F.min("doc_ts").alias("ts_lo"),
         F.max("doc_ts").alias("ts_hi"),
         F.sum("doc_len").alias("dl_sum"),
+        *field_aggs,
     ).collect()[0]
     n_new = int(agg["n"])
     if n_new == 0:
@@ -540,7 +584,8 @@ def append_conversations(
     # ---- phase 1: postings -> staging, then move under the marker ----
     from sotohp_spark.index.build import explode_doc_terms
 
-    doc_tf = explode_doc_terms(docs, bool(meta.get("positions")))
+    doc_tf = explode_doc_terms(docs, bool(meta.get("positions")),
+                               fields=tuple(meta.get("fields") or ()))
     shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
     bucket_span = cfg.range_size * cfg.ranges_per_batch
     shards = shards.withColumn(
@@ -597,6 +642,10 @@ def append_conversations(
         dl_sum=int(agg["dl_sum"]),
         new_segment=(pre_max_doc + 1, pre_max_doc + n_new),
         new_segment_ts=(agg["ts_lo"], agg["ts_hi"]),
+        field_deltas={
+            f: (float(agg[f"dl_sum_{f}"] or 0), int(agg[f"dl_n_{f}"] or 0))
+            for f in idx_fields
+        },
     )
     fsio.remove(spark, marker_path)
     fsio.rmtree(spark, f"{builder.path}/_staging")
@@ -829,12 +878,20 @@ def compact_index(
     survivors = assign_doc_ids(
         survivors, num_ranges=cfg.shuffle_partitions
     ).localCheckpoint()
+    idx_fields = tuple(meta.get("fields") or ())
+    field_aggs = []
+    for f in idx_fields:
+        field_aggs += [
+            F.sum(F.col(f"doc_len_{f}")).alias(f"dl_sum_{f}"),
+            F.count(F.when(F.col(f"doc_len_{f}") > 0, 1)).alias(f"dl_n_{f}"),
+        ]
     stats = survivors.agg(
         F.count("*").alias("n"),
         F.avg("doc_len").alias("avgdl"),
         F.max("doc_id").alias("max_doc"),
         F.min("doc_ts").alias("ts_lo"),
         F.max("doc_ts").alias("ts_hi"),
+        *field_aggs,
     ).collect()[0]
 
     from sotohp_spark.index.build import write_docs
@@ -858,6 +915,15 @@ def compact_index(
         schema_version=SCHEMA_VERSION,
         postings_done=False,
     )
+    if idx_fields:
+        fstats = {
+            f: [float(stats[f"dl_sum_{f}"] or 0), int(stats[f"dl_n_{f}"] or 0)]
+            for f in idx_fields
+        }
+        new_meta["field_dl_stats"] = fstats
+        new_meta["field_avgdl"] = {
+            f: (s / n if n else 0.0) for f, (s, n) in fstats.items()
+        }
     new_builder._write_meta(new_meta)
     new_meta = new_builder.build(turns=None, input_fingerprint=new_meta["fingerprint"])
 
@@ -1089,7 +1155,8 @@ def compact_buckets(
     surv_staged = spark.read.parquet(f"{staging}/docs")
     from sotohp_spark.index.build import explode_doc_terms
 
-    doc_tf = explode_doc_terms(surv_staged, bool(meta.get("positions")))
+    doc_tf = explode_doc_terms(surv_staged, bool(meta.get("positions")),
+                              fields=tuple(meta.get("fields") or ()))
     # avgdl passed UNCHANGED: stored block-max metadata is avgdl-free
     # and scores must keep the pre-compaction collection stats
     shards = build_postings_df(doc_tf, meta["avgdl"], cfg)
