@@ -543,6 +543,16 @@ def test_match_phrase_prefix(spark, span_index):
     )
 
 
+def test_span_near_oversized_slop_fails_driver_side(spark, span_index):
+    """An oversized slop window must surface as a clean driver-side
+    ValueError BEFORE any job launches — not a Py4J task failure from
+    the executor kernel (which keeps the same check as a backstop)."""
+    path, _ = span_index
+    engine = QueryEngine(spark, path)
+    with pytest.raises(ValueError, match="positional key width"):
+        engine.span_near_doc_ids("error retry", slop=(1 << 24))
+
+
 def test_span_near_unordered_key_space_edge():
     """Regression: the unordered anchor-window test must carry an
     explicit same-doc mask — an anchor position within `window` of
