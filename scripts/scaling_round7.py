@@ -19,6 +19,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 WORKER = r"""
 import json, sys, time
@@ -53,14 +54,28 @@ def unit():
     for b in BOOLS:
         engine.top_k_bool(b, k=10, with_docs=False).collect()
 
+def overhead_unit():
+    # 6 rare-term queries through the SAME distributed path: per-query
+    # fixed cost (term-stats lookup, job scheduling, k-row merge) with
+    # negligible decode compute — the subtraction baseline for the
+    # fixed-overhead decomposition
+    for t in ("t4990", "t4991", "t4992", "t4993", "t4994", "t4995"):
+        engine.top_k(t, k=10, with_docs=False).collect()
+
 unit()  # warm (postings file footers, term stats)
-best = None
+overhead_unit()
+best, best_ov = None, None
 for _ in range(reps):
     t0 = time.time()
     unit()
     w = time.time() - t0
     best = w if best is None or w < best else best
-print("RESULT " + json.dumps({{"cores": cores, "unit_sec": best}}))
+    t0 = time.time()
+    overhead_unit()
+    w = time.time() - t0
+    best_ov = w if best_ov is None or w < best_ov else best_ov
+print("RESULT " + json.dumps({{"cores": cores, "unit_sec": best,
+                               "overhead_sec": best_ov}}))
 spark.stop()
 """
 
@@ -116,6 +131,12 @@ def main():
     r4 = run_arm(4, path, args.reps)
     speedup = r1["unit_sec"] / r4["unit_sec"]
     eff = speedup / 4.0
+    # fixed-overhead decomposition (the round-6 span_near methodology):
+    # per-query fixed cost measured with rare-term queries through the
+    # same path; the COMPUTE part is what executor count can touch
+    c1 = max(r1["unit_sec"] - r1["overhead_sec"], 1e-9)
+    c4 = max(r4["unit_sec"] - r4["overhead_sec"], 1e-9)
+    eff_c = (c1 / c4) / 4.0
     md = os.path.join(REPO, "BENCH", f"p95_es_surfaces_sf{tag}.md")
     with open(md, "a") as f:
         f.write(
@@ -123,17 +144,29 @@ def main():
             f"multi-field index (auto geometry), fresh JVM per arm, "
             f"best of {args.reps}\n\n"
             "Unit = 3 multi_match best_fields + 3 composable bool "
-            "queries, distributed per-range path forced.\n\n"
-            "| cores | unit wall (s) | speedup | efficiency |\n"
+            "queries, distributed per-range path forced.  Overhead = "
+            "6 rare-term queries through the same path (per-query "
+            "fixed cost: term-stats lookup + job scheduling + k-row "
+            "merge — executor count cannot touch it).\n\n"
+            "| cores | unit (s) | overhead (s) | compute (s) |\n"
             "|---|---|---|---|\n"
-            f"| 1 | {r1['unit_sec']:.2f} | — | — |\n"
-            f"| 4 | {r4['unit_sec']:.2f} | {speedup:.2f}x | "
-            f"{eff:.3f} |\n"
+            f"| 1 | {r1['unit_sec']:.2f} | {r1['overhead_sec']:.2f} "
+            f"| {c1:.2f} |\n"
+            f"| 4 | {r4['unit_sec']:.2f} | {r4['overhead_sec']:.2f} "
+            f"| {c4:.2f} |\n\n"
+            f"Raw efficiency {eff:.3f} ({speedup:.2f}x); COMPUTE-part "
+            f"efficiency {eff_c:.3f} — the raw number is bounded by "
+            f"the ~{r1['overhead_sec'] / 6:.2f} s/query fixed floor "
+            f"over a fast unit, the same fixed-overhead regime the "
+            f"round-6 span_near sf100 arm decomposed.\n"
         )
     print(json.dumps({
         "sf": args.sf, "unit_1core_s": r1["unit_sec"],
         "unit_4core_s": r4["unit_sec"],
+        "overhead_1core_s": r1["overhead_sec"],
+        "overhead_4core_s": r4["overhead_sec"],
         "speedup": round(speedup, 2), "efficiency": round(eff, 3),
+        "efficiency_compute": round(eff_c, 3),
     }))
 
 

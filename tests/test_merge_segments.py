@@ -304,3 +304,55 @@ def test_auto_merge_segments_knob(spark, tmp_path):
     b = QueryEngine(spark, twin).top_k_pdf("error retry timeout", 10)
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["score"]) == list(b["score"])
+
+
+def test_auto_merge_default_keeps_files_bounded(spark, tmp_path):
+    """The background-merge policy is ON by default (round 7,
+    auto_merge_segments=8): many small appends through the DEFAULT cfg
+    must leave a bounded postings file count and a coalesced segment
+    list — and stay rank-identical to a from-scratch build of the full
+    corpus (the policy is maintenance, never semantics)."""
+    import glob as pyglob
+
+    pdf = generate_transcripts_pdf(0.05)
+    chunks = _time_chunks(pdf, 12)
+    auto_cfg = EngineConfig(range_size=8, block_size=4,
+                            ranges_per_batch=2, shuffle_partitions=4,
+                            auto_merge_segments=2)  # tiny threshold
+    raw_cfg = EngineConfig(range_size=8, block_size=4,
+                           ranges_per_batch=2, shuffle_partitions=4,
+                           auto_merge_segments=None)
+    assert EngineConfig().auto_merge_segments == 8  # the default is ON
+    p_auto, p_raw, p_full = (str(tmp_path / n)
+                             for n in ("auto", "raw", "full"))
+    for path, cfg in ((p_auto, auto_cfg), (p_raw, raw_cfg)):
+        IndexBuilder(spark, path, cfg).build(
+            spark.createDataFrame(chunks[0]), input_fingerprint="am"
+        )
+        for c in chunks[1:]:
+            append_conversations(spark, path, spark.createDataFrame(c),
+                                 cfg)
+
+    def files(path):
+        return len(pyglob.glob(
+            f"{path}/postings/range_bucket=*/*.parquet"
+        ))
+
+    # the policy visibly triggered: fewer files and fewer segments
+    # than the no-policy steady state
+    assert files(p_auto) < files(p_raw)
+    meta_auto = QueryEngine(spark, p_auto).meta
+    meta_raw = QueryEngine(spark, p_raw).meta
+    assert len(meta_auto["segments"]) <= 3 < len(meta_raw["segments"])
+
+    # semantics untouched: rank/score identity with a fresh full build
+    IndexBuilder(spark, p_full, raw_cfg).build(
+        spark.createDataFrame(pdf), input_fingerprint="full"
+    )
+    ea, ef = QueryEngine(spark, p_auto), QueryEngine(spark, p_full)
+    for qt in ["error retry timeout", "search query", "tool call"]:
+        a = ea.top_k(qt, 10, with_docs=False).collect()
+        b = ef.top_k(qt, 10, with_docs=False).collect()
+        assert sorted(round(r["score"], 9) for r in a) == sorted(
+            round(r["score"], 9) for r in b
+        ), qt
