@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES multi_match best_fields over (text, tool^2): field-tagged
     # postings, per-field BM25 normalization, dis_max combine (round 7)
     q["transcripts_multi_match"] = _transcripts_multi_match
+    # ES multi_match cross_fields (term-centric max, tie_breaker=0)
+    q["transcripts_multi_match_cross"] = _transcripts_multi_match_cross
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -780,6 +782,24 @@ def _transcripts_multi_match(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _transcripts_multi_match_cross(spark, sf_dir):
+    """ES multi_match cross_fields (tie_breaker=0, per-field stats —
+    the engine's documented contract): per TERM the best single
+    field's boosted contribution, summed over matched terms
+    (wand.score_range_multi combine='cross')."""
+    _transcripts_multi_match(spark, sf_dir)  # ensure the index exists
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    from sotohp_spark.index import QueryEngine
+
+    engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
+    return engine.top_k_multi_match(
+        "error retry search", _MF_FIELDS, k=10,
+        match_type="cross_fields", with_docs=False,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _transcripts_suggest(spark, sf_dir):
     """Prefix completion over the term dictionary (QueryEngine.suggest):
     StringStartsWith pushed into the term_stats parquet scan, df-ranked,
@@ -863,6 +883,7 @@ def _bool_composed_query():
         must=["error retry"],
         should=[("timeout", 2.0), ("search query", 0.5)],
         must_not=["t0040"],
+        filter=["tool"],
         minimum_should_match=1,
     )
 
@@ -2135,6 +2156,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_multi_match"] = _transcripts_multi_match_oracle_sql(
         "search python", k=10
     )
+    o["transcripts_multi_match_cross"] = (
+        _transcripts_multi_match_oracle_sql(
+            "error retry search", k=10, match_type="cross_fields"
+        )
+    )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
@@ -2612,6 +2638,13 @@ def _transcripts_bool_oracle_sql(
             vals.append(f"('m', {cid}, '{t}', {n}, {boost!r})")
         cid += 1
         n_must += 1
+    # filter clauses: required like must, boost 0 (unscored context)
+    n_filter = 0
+    for toks, _boost in clauses(getattr(q, "filter", ()) or ()):
+        for t, n in sorted(Counter(toks).items()):
+            vals.append(f"('f', {cid}, '{t}', {n}, 0.0)")
+        cid += 1
+        n_filter += 1
     n_should = 0
     for toks, boost in clauses(q.should):
         for t, n in sorted(Counter(toks).items()):
@@ -2620,8 +2653,10 @@ def _transcripts_bool_oracle_sql(
         n_should += 1
     msm = q.minimum_should_match
     if msm is None:
-        msm = 0 if n_must else 1
+        msm = 0 if (n_must or n_filter) else 1
     msm = int(msm)
+    if not n_must and msm == 0 and n_should:
+        msm = 1  # scored-matches-only contract (see top_k_bool)
     excl = sorted(
         {t for toks, _ in clauses(q.must_not) for t in toks}
     )
@@ -2634,6 +2669,11 @@ def _transcripts_bool_oracle_sql(
         )
     having = [f"count(DISTINCT CASE WHEN q.kind = 'm' THEN q.cid END)"
               f" = {n_must}"]
+    if n_filter:
+        having.append(
+            f"count(DISTINCT CASE WHEN q.kind = 'f' THEN q.cid END)"
+            f" = {n_filter}"
+        )
     if msm > 0:
         having.append(
             f"count(DISTINCT CASE WHEN q.kind = 's' THEN q.cid END)"
@@ -2676,12 +2716,15 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 def _transcripts_multi_match_oracle_sql(
     query_text: str, k: int = 10, text_boost: float = 1.0,
     tool_boost: float = 2.0, k1: float = 1.2, b: float = 0.75,
+    match_type: str = "best_fields",
 ) -> str:
-    """multi_match best_fields twin over the fields index's stored
-    per-field tf maps: each field's df / doc length / avgdl recomputed
+    """multi_match twin over the fields index's stored per-field tf
+    maps: each field's df / doc length / avgdl recomputed
     independently in SQL (avgdl over docs with a nonzero field
-    length), per-field boost scaling idf, dis_max combine via
-    UNION ALL + max().  idf uses the global doc count N — the same
+    length), per-field boost scaling idf.  best_fields = dis_max via
+    UNION ALL + max() of per-(doc, field) sums; cross_fields =
+    per-(doc, TERM) max across fields, summed per doc (tie_breaker=0,
+    per-field stats).  idf uses the global doc count N — the same
     documented simplification the engine applies."""
     from collections import Counter
 
@@ -2719,32 +2762,33 @@ dff AS (
   GROUP BY ftf.term
 ),
 s_text AS (
-  SELECT ttf.doc_id,
-         sum({text_boost} * q.qtf
+  SELECT ttf.doc_id, ttf.term,
+         {text_boost} * q.qtf
              * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
              * ttf.tf * ({k1} + 1.0)
              / (ttf.tf + {k1} * (1.0 - {b} + {b} * ttf.dl / g.avgdl_text))
-         ) AS s
+         AS s
   FROM ttf JOIN q ON ttf.term = q.term
   JOIN dft ON ttf.term = dft.term CROSS JOIN g
-  GROUP BY ttf.doc_id
 ),
 s_tool AS (
-  SELECT ftf.doc_id,
-         sum({tool_boost} * q.qtf
+  SELECT ftf.doc_id, ftf.term,
+         {tool_boost} * q.qtf
              * ln(1 + (g.n - dff.df + 0.5) / (dff.df + 0.5))
              * ftf.tf * ({k1} + 1.0)
              / (ftf.tf + {k1} * (1.0 - {b} + {b} * ftf.dl / g.avgdl_tool))
-         ) AS s
+         AS s
   FROM ftf JOIN q ON ftf.term = q.term
   JOIN dff ON ftf.term = dff.term CROSS JOIN g
-  GROUP BY ftf.doc_id
+),
+u AS (
+  SELECT doc_id, term, 't' AS fld, s FROM s_text
+  UNION ALL SELECT doc_id, term, 'o' AS fld, s FROM s_tool
 ),
 comb AS (
-  SELECT doc_id, max(s) AS raw FROM (
-    SELECT doc_id, s FROM s_text
-    UNION ALL SELECT doc_id, s FROM s_tool
-  ) GROUP BY doc_id
+  {"SELECT doc_id, sum(m) AS raw FROM (SELECT doc_id, term, max(s) AS m FROM u GROUP BY doc_id, term) GROUP BY doc_id"
+   if match_type == "cross_fields" else
+   "SELECT doc_id, max(fs) AS raw FROM (SELECT doc_id, fld, sum(s) AS fs FROM u GROUP BY doc_id, fld) GROUP BY doc_id"}
 )
 SELECT doc_id, round(raw, 6) AS score
 FROM comb ORDER BY raw DESC, doc_id ASC LIMIT {k}

@@ -69,8 +69,12 @@ class Bool:
         clauses to match;
       * ``must_not``: clauses that EXCLUDE matching docs (membership
         only — boosts ignored, like ES);
-      * ``ts_min``/``ts_max``: the filter context (membership window,
-        scores keep global collection stats).
+      * ``filter``: match clauses in FILTER CONTEXT — each must match
+        (like must) but contributes NOTHING to the score (ES filter
+        clauses are unscored; compiled as required clause groups whose
+        term weight is zero);
+      * ``ts_min``/``ts_max``: the time-window filter (membership
+        window, scores keep global collection stats).
 
     Execute with ``QueryEngine.top_k_bool``.
     """
@@ -78,13 +82,14 @@ class Bool:
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+    filter: tuple = ()
     ts_min: object = None
     ts_max: object = None
     minimum_should_match: int | None = None
 
     def __post_init__(self):
         # accept lists/tuples interchangeably; freeze to tuples
-        for name in ("must", "should", "must_not"):
+        for name in ("must", "should", "must_not", "filter"):
             v = getattr(self, name)
             if not isinstance(v, tuple):
                 object.__setattr__(self, name, tuple(v))
@@ -861,6 +866,9 @@ class QueryEngine:
         must = _bool_clauses(q.must)
         should = _bool_clauses(q.should)
         must_not = _bool_clauses(q.must_not)
+        # filter clauses are unscored: force boost 0 (the compile below
+        # makes them required groups whose weight contribution is zero)
+        filt = [(text, 0.0) for text, _ in _bool_clauses(q.filter)]
         if not must and not should:
             raise ValueError(
                 "Bool needs at least one must or should clause "
@@ -886,13 +894,16 @@ class QueryEngine:
 
         must_a = _analyze(must)
         should_a = _analyze(should)
+        filt_a = _analyze(filt)
         all_terms = sorted(
-            {t for qtf, _ in must_a + should_a for t in qtf}
+            {t for qtf, _ in must_a + should_a + filt_a for t in qtf}
         )
         dfs = self._term_dfs(all_terms)
 
         must_groups = []
-        for qtf, boost in must_a:
+        # filter clauses compile as REQUIRED groups with zero weight —
+        # identical membership semantics to must, zero score influence
+        for qtf, boost in must_a + filt_a:
             present = {t: c for t, c in qtf.items() if dfs.get(t)}
             if not present:
                 # a required clause with no corpus term matches nothing
@@ -903,6 +914,14 @@ class QueryEngine:
         if msm is None:
             msm = 0 if must_groups else 1
         msm = int(msm)
+        if not must and msm == 0:
+            # no SCORING requirement would admit filter-only matches at
+            # score 0, which block-max pruning cannot surface
+            # consistently — this engine returns scored matches only,
+            # so without must clauses at least one should clause must
+            # match (deliberate, documented deviation from ES's
+            # score-0 filter-context hits)
+            msm = 1
         should_groups = []
         for qtf, boost in should_a:
             present = {t: c for t, c in qtf.items() if dfs.get(t)}
@@ -989,8 +1008,12 @@ class QueryEngine:
         ``"text"`` is the default stream, other names must have been
         indexed at build time (EngineConfig.extra_fields — meta
         records them).  ``match_type``: ``"best_fields"`` (ES default
-        — a doc's score is its BEST single field's score, dis_max) or
-        ``"most_fields"`` (fields' scores add).
+        — a doc's score is its BEST single field's score, dis_max),
+        ``"most_fields"`` (fields' scores add), or ``"cross_fields"``
+        (term-centric: per TERM the best single field's contribution,
+        summed over terms — the ES cross_fields shape at
+        tie_breaker=0, evaluated with per-field statistics rather
+        than ES's blended dfs; stated because the oracle mirrors it).
 
         Scoring contract: per field, standard BM25 with the FIELD's
         stats — df of the field-tagged dictionary entry, the field's
@@ -1063,15 +1086,24 @@ class QueryEngine:
         if not weights:
             out = spark.createDataFrame([], TOPK_SCHEMA)
             return self._attach_docs(out) if with_docs else out
-        combine = {"best_fields": "best", "most_fields": "sum"}.get(
-            match_type
-        )
+        combine = {"best_fields": "best", "most_fields": "sum",
+                   "cross_fields": "cross"}.get(match_type)
         if combine is None:
             raise ValueError(
-                f"match_type must be best_fields|most_fields, "
-                f"got {match_type!r}"
+                f"match_type must be best_fields|most_fields|"
+                f"cross_fields, got {match_type!r}"
             )
         term_field = {key: key_field[key] for key in weights}
+        term_tid = None
+        if combine == "cross":
+            tid_of = {t: i for i, t in enumerate(sorted(qtf))}
+            term_tid = {
+                key: tid_of[
+                    key.split(FIELD_SEP, 1)[1] if FIELD_SEP in key
+                    else key
+                ]
+                for key in weights
+            }
         shards = self._scoring_shards(sorted(weights))
         cfg = self.cfg
         n_candidates = sum(dfs[key] for key in weights)
@@ -1093,6 +1125,7 @@ class QueryEngine:
                     d, s = wand.score_range_multi(
                         by_range[rid], weights, term_field, field_avgdl,
                         k, cfg=cfg, deletes=self._deletes, combine=combine,
+                        term_tid=term_tid,
                     )
                     all_d.append(d)
                     all_s.append(s)
@@ -1118,6 +1151,7 @@ class QueryEngine:
             d, s = wand.score_range_multi(
                 pdf.to_dict("records"), weights, term_field, field_avgdl,
                 k, cfg=cfg, deletes=deletes, combine=combine,
+                term_tid=term_tid,
             )
             return pd.DataFrame({"doc_id": d, "score": s})
 

@@ -407,6 +407,7 @@ def score_range_multi(
     cfg: EngineConfig = DEFAULT,
     deletes: np.ndarray | None = None,
     combine: str = "best",
+    term_tid: dict | None = None,
 ):
     """Multi-field BM25 for one doc-id range (ES ``multi_match``).
 
@@ -416,7 +417,11 @@ def score_range_multi(
     (each field normalizes tf with ITS OWN avgdl — the per-field
     (k1, b) normalization ES applies).  ``combine``: "best" =
     dis_max over fields (ES best_fields, the default), "sum" = ES
-    most_fields.
+    most_fields, "cross" = term-centric — per (doc, TERM) the best
+    single field's contribution, summed over terms (the ES
+    cross_fields shape at tie_breaker=0, evaluated with per-field
+    statistics; ``term_tid``: key -> base-term id, required for
+    "cross").
 
     Full-decode path, no block-max cut: the cross-field combine needs
     every field's exact partial per doc before max/sum, so a per-field
@@ -424,13 +429,17 @@ def score_range_multi(
     score-the-matched-set contract as function_score/collapse).  Cost
     tracks the query terms' posting volume.  Returns the local top-k
     (or every match when k is None)."""
-    if combine not in ("best", "sum"):
-        raise ValueError(f"combine must be 'best' or 'sum', got {combine}")
+    if combine not in ("best", "sum", "cross"):
+        raise ValueError(
+            f"combine must be 'best', 'sum' or 'cross', got {combine}"
+        )
+    if combine == "cross" and term_tid is None:
+        raise ValueError("combine='cross' needs term_tid")
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     shards = sorted(shards, key=lambda s: (s["term"], s.get("first_doc", 0)))
     n_fields = len(field_avgdl)
-    d_l, s_l, f_l = [], [], []
+    d_l, s_l, g_l = [], [], []
     for s in shards:
         d, tf, dl = decode_shard_blocks(s["payload"], s["block_offsets"])
         if d.size == 0:
@@ -441,20 +450,27 @@ def score_range_multi(
         s_l.append(
             w * bm25.tf_norm(tf, dl, field_avgdl[fi], cfg.k1, cfg.b)
         )
-        f_l.append(np.full(d.size, fi, dtype=np.int64))
+        # the intra-doc grouping dimension: field for best/sum
+        # (per-field sums, then max/add across fields), base TERM for
+        # cross (per-term max across fields, then add across terms)
+        gi = term_tid[s["term"]] if combine == "cross" else fi
+        g_l.append(np.full(d.size, gi, dtype=np.int64))
     if not d_l:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     dd = np.concatenate(d_l)
     ss = np.concatenate(s_l)
-    ff = np.concatenate(f_l)
+    gg = np.concatenate(g_l)
     if deletes is not None and deletes.size:
         keep = ~_is_deleted(dd, deletes)
-        dd, ss, ff = dd[keep], ss[keep], ff[keep]
+        dd, ss, gg = dd[keep], ss[keep], gg[keep]
         if dd.size == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-    # per-(doc, field) partial sums, contributions in term order (the
+    n_groups = (
+        (max(term_tid.values()) + 1) if combine == "cross" else n_fields
+    )
+    # per-(doc, group) partials, contributions in term order (the
     # stable sort preserves the concatenation order within a key)
-    key = dd * n_fields + ff
+    key = dd * n_groups + gg
     o = np.argsort(key, kind="stable")
     key, ss = key[o], ss[o]
     uniq = np.empty(key.size, dtype=bool)
@@ -462,19 +478,24 @@ def score_range_multi(
     np.not_equal(key[1:], key[:-1], out=uniq[1:])
     grp = np.cumsum(uniq) - 1
     pf_key = key[uniq]
-    pf_sum = np.zeros(pf_key.size, dtype=np.float64)
-    np.add.at(pf_sum, grp, ss)
-    # combine fields per doc
-    docs2 = pf_key // n_fields
+    if combine == "cross":
+        # per (doc, term): best single field's contribution
+        pf = np.full(pf_key.size, -np.inf, dtype=np.float64)
+        np.maximum.at(pf, grp, ss)
+    else:
+        pf = np.zeros(pf_key.size, dtype=np.float64)
+        np.add.at(pf, grp, ss)
+    # combine groups per doc
+    docs2 = pf_key // n_groups
     uniq2 = np.empty(docs2.size, dtype=bool)
     uniq2[0] = True
     np.not_equal(docs2[1:], docs2[:-1], out=uniq2[1:])
     starts = np.flatnonzero(uniq2)
     out_d = docs2[uniq2]
     if combine == "best":
-        out_s = np.maximum.reduceat(pf_sum, starts)
-    else:
-        out_s = np.add.reduceat(pf_sum, starts)
+        out_s = np.maximum.reduceat(pf, starts)
+    else:  # "sum" and "cross" both ADD their per-group partials
+        out_s = np.add.reduceat(pf, starts)
     if k is None:
         return out_d, out_s
     sel = np.lexsort((out_d, -out_s))[:k]

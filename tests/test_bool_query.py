@@ -42,9 +42,12 @@ def brute_bool(oracle: Bm25Oracle, q: Bool, k: int = 10):
     must, should, must_not = (
         clauses(q.must), clauses(q.should), clauses(q.must_not)
     )
+    filt = clauses(q.filter)
     msm = q.minimum_should_match
     if msm is None:
-        msm = 0 if must else 1
+        msm = 0 if (must or filt) else 1
+    if not must and msm == 0:
+        msm = 1  # scored-matches-only contract (see top_k_bool)
     k1, b, avgdl = oracle.k1, oracle.b, oracle.avgdl
     rows = []
     for doc_id in range(oracle.n_docs):
@@ -53,6 +56,9 @@ def brute_bool(oracle: Bm25Oracle, q: Bool, k: int = 10):
         if any(any(t in tfs for t in toks) for toks, _ in must_not):
             continue
         if not all(any(t in tfs for t in toks) for toks, _ in must):
+            continue
+        # filter context: required match, zero score contribution
+        if not all(any(t in tfs for t in toks) for toks, _ in filt):
             continue
         matched_should = sum(
             1 for toks, _ in should if any(t in tfs for t in toks)
@@ -109,6 +115,11 @@ QS = [
     Bool(should=["error", "timeout"], must_not=["query", "tool"]),
     # boost changes ranks, not membership
     Bool(must=["error"], should=[("search", 5.0), ("timeout", 0.25)]),
+    # filter context: required, unscored
+    Bool(must=["error retry"], filter=["tool"]),
+    Bool(should=["error", "timeout"], filter=["tool call"]),
+    Bool(must=["error"], should=[("search", 2.0)],
+         filter=["tool", "query"], must_not=["t0040"]),
 ]
 
 
@@ -196,6 +207,25 @@ def test_bool_edge_cases(bool_setup):
     assert engine.top_k_bool(
         Bool(must=["error"], should=["zzqxunseen"]), with_docs=False
     ).count() > 0
+    # filter with only absent terms: required clause -> empty
+    assert engine.top_k_bool(
+        Bool(must=["error"], filter=["zzqxunseen"]), with_docs=False
+    ).count() == 0
+    # filter never changes scores, only membership: every (doc, score)
+    # of the filtered result appears identically in the unfiltered one
+    plain = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in engine.top_k_bool(
+            Bool(must=["error retry"]), k=1000, with_docs=False
+        ).collect()
+    }
+    filtered = engine.top_k_bool(
+        Bool(must=["error retry"], filter=["tool"]), k=1000,
+        with_docs=False,
+    ).collect()
+    assert filtered and all(
+        plain[r["doc_id"]] == round(r["score"], 9) for r in filtered
+    )
 
 
 def test_bool_distributed_path_identity(bool_setup):

@@ -93,6 +93,24 @@ class FieldOracle:
         ]
         rows = []
         for doc_id in range(self.base.n_docs):
+            if match_type == "cross_fields":
+                # term-centric: per term the best single field's
+                # contribution, summed over matched terms
+                s, hit = 0.0, False
+                for term in sorted(qtf):
+                    per = [
+                        self.field_score(name, boost, doc_id,
+                                         Counter({term: qtf[term]}))
+                        for name, boost in norm
+                    ]
+                    per = [p for p in per if p is not None]
+                    if per:
+                        hit = True
+                        s += max(per)
+                if not hit:
+                    continue
+                rows.append((doc_id, s))
+                continue
             per = [
                 self.field_score(name, boost, doc_id, qtf)
                 for name, boost in norm
@@ -128,6 +146,11 @@ FIELD_QS = [
     ("bash editor browser", ["tool"], "best_fields"),
     ("tool user assistant", [("role", 1.0), ("text", 0.5)], "best_fields"),
     ("error retry search", ["text", ("tool", 3.0), "role"], "most_fields"),
+    # cross_fields: per-term best field, summed over terms
+    ("search python", [("text", 1.0), ("tool", 2.0)], "cross_fields"),
+    ("error retry search", ["text", ("tool", 3.0)], "cross_fields"),
+    ("tool user bash", [("role", 1.0), ("tool", 2.0), ("text", 0.5)],
+     "cross_fields"),
 ]
 
 
