@@ -1139,6 +1139,20 @@ def test_collapse_week_bucketing(spark, tmp_path):
     assert got == expect
 
 
+def test_significant_terms_releases_storage(spark, tmp_path):
+    """Repeated significant_terms calls must not accumulate pinned
+    blocks in executor storage for the session lifetime (round-7
+    advice fix: the matched-id frame is persisted for the shared
+    subtree, then released once the k-row result materializes)."""
+    engine = _fixture(spark, tmp_path)
+    engine.significant_terms("error", k=5).collect()
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(4):
+        assert engine.significant_terms("error", k=5).count() >= 0
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
+
+
 def test_significant_terms_matches_brute(spark, tmp_path):
     """ES significant_terms: JLH = (fg% - bg%) * (fg% / bg%) over the
     matched set's term document frequencies vs corpus background."""
