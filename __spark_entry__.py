@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MediaServiceLive.scala:1811)
     q["events_geo_distance"] = _events_geo_distance
     q["events_geo_bbox"] = _events_geo_bbox
+    # ES geohash_grid-style aggregation: per-cell counts over a bbox
+    q["events_geo_grid"] = _events_geo_grid
     q["knn_consensus"] = lambda s, d: a2.knn_consensus_classify(
         _t(s, d, "embeddings"), k=2
     )
@@ -334,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_multi_match"] = _transcripts_multi_match
     # ES multi_match cross_fields (term-centric max, tie_breaker=0)
     q["transcripts_multi_match_cross"] = _transcripts_multi_match_cross
+    # ES multi_match most_fields: fields' scores ADD — routed through
+    # the standard BLOCK-MAX top_k with per-term (per-field) avgdl
+    q["transcripts_multi_match_most"] = _transcripts_multi_match_most
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -797,6 +802,25 @@ def _transcripts_multi_match_cross(spark, sf_dir):
     return engine.top_k_multi_match(
         "error retry search", _MF_FIELDS, k=10,
         match_type="cross_fields", with_docs=False,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_multi_match_most(spark, sf_dir):
+    """ES multi_match most_fields: a weighted disjunction over the
+    field-tagged keys (fields' scores ADD), so it rides the standard
+    BLOCK-MAX top_k — full pruning, one job — with each key
+    normalized by its field's own avgdl (wand.score_range's per-term
+    avgdl form)."""
+    _transcripts_multi_match(spark, sf_dir)  # ensure the index exists
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    from sotohp_spark.index import QueryEngine
+
+    engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
+    return engine.top_k_multi_match(
+        "search python", _MF_FIELDS, k=10,
+        match_type="most_fields", with_docs=False,
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1294,6 +1318,17 @@ def _events_geo_bbox(spark, sf_dir):
         F.round("lat", 6).alias("lat"),
         F.round("lon", 6).alias("lon"),
     )
+
+
+def _events_geo_grid(spark, sf_dir):
+    """ES geohash_grid analog: one count per fine (1-degree) grid
+    cell over a bbox — tile partition pruning + ONE map-side-partial
+    groupBy; result bounded by the bbox's cell count
+    (operators/geoindex.geo_grid_agg)."""
+    from sotohp_spark.operators import geoindex
+
+    path = _geo_index_path(spark, sf_dir)
+    return geoindex.geo_grid_agg(spark, path, -20.0, 40.0, -120.0, -60.0)
 
 
 def _dedup_keep_list(spark, sf_dir):
@@ -1990,6 +2025,26 @@ WHERE lat BETWEEN {_g_lat0} AND {_g_lat1}
   AND lon BETWEEN {_g_lon0} AND {_g_lon1}
 """
 
+    o["events_geo_grid"] = """
+WITH pos AS (
+  SELECT event_id,
+    ((event_id % 180) - 90 + (user_id % 10) / 10.0) AS lat,
+    ((event_id % 360) - 180 + (user_id % 7) / 7.0) AS lon
+  FROM events
+), boxed AS (
+  SELECT
+    (least(floor(lat + 90), 179) * 360
+     + least(floor(lon + 180), 359))::BIGINT AS cell_id
+  FROM pos
+  WHERE lat BETWEEN -20.0 AND 40.0 AND lon BETWEEN -120.0 AND -60.0
+)
+SELECT cell_id,
+       (floor(cell_id / 360) - 90)::INT AS cell_lat,
+       (cell_id % 360 - 180)::INT AS cell_lon,
+       count(*)::BIGINT AS n
+FROM boxed GROUP BY cell_id ORDER BY cell_id
+"""
+
     o["knn_consensus"] = """
 WITH pairs AS (
   SELECT a.vec_id AS vid, b.vec_id AS nbr, b.label AS nbr_label,
@@ -2159,6 +2214,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_multi_match_cross"] = (
         _transcripts_multi_match_oracle_sql(
             "error retry search", k=10, match_type="cross_fields"
+        )
+    )
+    o["transcripts_multi_match_most"] = (
+        _transcripts_multi_match_oracle_sql(
+            "search python", k=10, match_type="most_fields"
         )
     )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
@@ -2788,6 +2848,8 @@ u AS (
 comb AS (
   {"SELECT doc_id, sum(m) AS raw FROM (SELECT doc_id, term, max(s) AS m FROM u GROUP BY doc_id, term) GROUP BY doc_id"
    if match_type == "cross_fields" else
+   "SELECT doc_id, sum(s) AS raw FROM u GROUP BY doc_id"
+   if match_type == "most_fields" else
    "SELECT doc_id, max(fs) AS raw FROM (SELECT doc_id, fld, sum(s) AS fs FROM u GROUP BY doc_id, fld) GROUP BY doc_id"}
 )
 SELECT doc_id, round(raw, 6) AS score

@@ -669,6 +669,7 @@ class QueryEngine:
         _weights: dict | None = None,
         _bool_spec=None,
         _excl_terms: frozenset | None = None,
+        _avgdl_by_term: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
 
@@ -748,7 +749,14 @@ class QueryEngine:
             out = spark.createDataFrame([], TOPK_SCHEMA)
             return self._attach_docs(out) if with_docs else out
 
-        avgdl = self.meta["avgdl"]
+        # internal (top_k_multi_match most_fields): per-term avgdl
+        # for field-tagged keys — the kernel normalizes each key
+        # with its field's own collection avgdl (wand.score_range's
+        # dict form)
+        avgdl = (
+            _avgdl_by_term if _avgdl_by_term is not None
+            else self.meta["avgdl"]
+        )
         cfg = self.cfg
         terms = sorted(weights)
         n_terms = len(terms)
@@ -1092,6 +1100,22 @@ class QueryEngine:
             raise ValueError(
                 f"match_type must be best_fields|most_fields|"
                 f"cross_fields, got {match_type!r}"
+            )
+        if combine == "sum":
+            # most_fields IS a weighted disjunction over the tagged
+            # keys (fields' scores ADD, membership = any key matched),
+            # so it routes through the standard BLOCK-MAX top_k — full
+            # pruning, driver-local fast path, one job — with each key
+            # normalized by its field's own avgdl (wand.score_range's
+            # per-term dict form).  Only best/cross need the
+            # full-decode multi kernel (their cross-field max cannot
+            # be bounded per interval).
+            return self.top_k(
+                None, k=k, with_docs=with_docs,
+                _weights=weights,
+                _avgdl_by_term={
+                    key: field_avgdl[key_field[key]] for key in weights
+                },
             )
         term_field = {key: key_field[key] for key in weights}
         term_tid = None

@@ -108,6 +108,36 @@ def geo_bbox(spark: SparkSession, index_path: str,
     )
 
 
+def geo_grid_agg(spark: SparkSession, index_path: str,
+                 lat_min: float, lat_max: float,
+                 lon_min: float, lon_max: float,
+                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """ES ``geohash_grid``-style aggregation over a bbox: one count
+    per fine grid cell (the 1-degree ``cell_id`` the index already
+    stores as its in-file sort key).  Returns DataFrame(cell_id,
+    cell_lat, cell_lon, n) — cell_lat/lon are the cell's southwest
+    corner in degrees.
+
+    Scale shape: the bbox partition-prunes tiles exactly like
+    geo_bbox, then ONE groupBy(cell_id) with map-side partials — the
+    result is bounded by the bbox's cell count (<= 360 x 180), never
+    the row count."""
+    box = geo_bbox(spark, index_path, lat_min, lat_max, lon_min,
+                   lon_max, lat_col, lon_col)
+    return (
+        box.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell_id",
+            (F.floor(F.col("cell_id") / 360) - 90)
+            .cast("int").alias("cell_lat"),
+            (F.col("cell_id") % 360 - 180).cast("int").alias("cell_lon"),
+            "n",
+        )
+        .orderBy("cell_id")
+    )
+
+
 def geo_distance(spark: SparkSession, index_path: str,
                  lat: float, lon: float, radius_m: float,
                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:

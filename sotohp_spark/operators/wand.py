@@ -77,7 +77,7 @@ def score_range(
     shards: list,
     term_weights: dict,
     k: int,
-    avgdl: float,
+    avgdl,
     conjunctive: bool = False,
     cfg: EngineConfig = DEFAULT,
     deletes: np.ndarray | None = None,
@@ -142,6 +142,19 @@ def score_range(
             "bool_spec compiles its own conjunction/N-of-M semantics; "
             "do not combine with conjunctive/min_match"
         )
+    # ``avgdl`` may be a PER-TERM dict (term -> that term's collection
+    # avgdl): field-tagged keys of a multi-field most_fields query
+    # normalize with their field's own avgdl while sharing this whole
+    # block-max machinery (a tagged key is just another term; its
+    # bounds and exact scores both use its own avgdl, so pruning
+    # validity is unchanged)
+    if isinstance(avgdl, dict):
+        _adl = avgdl.__getitem__
+    else:
+        _a = float(avgdl)
+
+        def _adl(_t):
+            return _a
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     cur_mask = None
@@ -192,7 +205,7 @@ def score_range(
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + n_blocks
             stats["blocks_skipped"] = stats.get("blocks_skipped", 0)
         return _score_conjunctive(
-            shards, term_weights, k, avgdl, cfg, deletes, bounds_mask,
+            shards, term_weights, k, _adl, cfg, deletes, bounds_mask,
             cur_mask,
         )
 
@@ -207,7 +220,7 @@ def score_range(
         ub = w * bm25.tf_norm(
             np.asarray(s["block_max_tf"], dtype=np.float64),
             np.asarray(s["block_min_dl"], dtype=np.float64),
-            avgdl,
+            _adl(s["term"]),
             cfg.k1,
             cfg.b,
         )
@@ -271,7 +284,11 @@ def score_range(
                     s["payload"], s["block_offsets"], [int(bidx[j])]
                 )
                 w = term_weights[s["term"]]
-                block_cache[key] = (d, w * bm25.tf_norm(tf, dl, avgdl, cfg.k1, cfg.b))
+                block_cache[key] = (
+                    d,
+                    w * bm25.tf_norm(tf, dl, _adl(s["term"]),
+                                     cfg.k1, cfg.b),
+                )
             d, sc = block_cache[key]
             a, z = np.searchsorted(d, lo), np.searchsorted(d, hi, side="right")
             if z > a:
@@ -539,10 +556,11 @@ def _is_deleted(doc_ids: np.ndarray, deletes: np.ndarray) -> np.ndarray:
     return deletes[pos] == doc_ids
 
 
-def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
+def _score_conjunctive(shards, term_weights, k, _adl, cfg: EngineConfig,
                        deletes: np.ndarray | None = None,
                        bounds_mask=None, cur_mask=None):
-    """AND semantics: intersect doc ids across terms, exact scores."""
+    """AND semantics: intersect doc ids across terms, exact scores.
+    ``_adl``: term -> avgdl resolver (see score_range)."""
     per_term: dict[str, list] = {}
     for s in shards:
         per_term.setdefault(s["term"], []).append(s)
@@ -582,7 +600,9 @@ def _score_conjunctive(shards, term_weights, k, avgdl, cfg: EngineConfig,
     total = np.zeros(common.size, dtype=np.float64)
     for t, (d, tf, dl) in decoded.items():
         pos = np.searchsorted(d, common)
-        total += term_weights[t] * bm25.tf_norm(tf[pos], dl[pos], avgdl, cfg.k1, cfg.b)
+        total += term_weights[t] * bm25.tf_norm(
+            tf[pos], dl[pos], _adl(t), cfg.k1, cfg.b
+        )
     if cur_mask is not None:
         keep = cur_mask(common, total)
         common, total = common[keep], total[keep]

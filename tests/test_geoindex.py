@@ -107,6 +107,29 @@ def test_geo_scan_is_partition_pruned(spark, geo_idx):
     assert inset and len(inset[0]) < 200, inset
 
 
+def test_geo_grid_agg_counts(spark, geo_idx):
+    """geohash_grid analog: per-1-degree-cell counts over a bbox equal
+    a brute per-cell histogram; result bounded by the bbox cells."""
+    path, pdf = geo_idx
+    lat0, lat1, lon0, lon1 = -10.0, 30.0, 0.0, 60.0
+    got = {
+        int(r["cell_id"]): (int(r["cell_lat"]), int(r["cell_lon"]),
+                            int(r["n"]))
+        for r in geoindex.geo_grid_agg(
+            spark, path, lat0, lat1, lon0, lon1
+        ).collect()
+    }
+    want: dict = {}
+    for p in pdf.itertuples():
+        if lat0 <= p.lat <= lat1 and lon0 <= p.lon <= lon1:
+            cl = min(int(math.floor(p.lat + 90)), 179)
+            cn = min(int(math.floor(p.lon + 180)), 359)
+            cid = cl * 360 + cn
+            la, lo, n = want.get(cid, (cl - 90, cn - 180, 0))
+            want[cid] = (la, lo, n + 1)
+    assert got == want and got
+
+
 def test_geo_distance_radius_zero_and_negative(spark, geo_idx):
     path, pdf = geo_idx
     p0 = pdf.iloc[0]
