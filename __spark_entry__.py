@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES multi_match most_fields: fields' scores ADD — routed through
     # the standard BLOCK-MAX top_k with per-term (per-field) avgdl
     q["transcripts_multi_match_most"] = _transcripts_multi_match_most
+    # the FULL dashboard shape: bool over multi-field docs, one job
+    q["transcripts_bool_fields"] = _transcripts_bool_fields
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -821,6 +823,35 @@ def _transcripts_multi_match_most(spark, sf_dir):
     return engine.top_k_multi_match(
         "search python", _MF_FIELDS, k=10,
         match_type="most_fields", with_docs=False,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _bool_fields_query():
+    from sotohp_spark.index import Bool
+
+    return Bool(
+        must=["error retry"],
+        should=[("search", 2.0)],
+        must_not=["browser"],
+        minimum_should_match=1,
+    )
+
+
+def _transcripts_bool_fields(spark, sf_dir):
+    """The FULL dashboard shape the reference's ES tier serves: a
+    composable bool whose every clause evaluates as a multi_match
+    (most_fields) over (text, tool^2) — compiled by key expansion onto
+    ONE pruned block-max job (top_k_bool(fields=...), per-term avgdl +
+    clause-group bitmask composing in wand.score_range)."""
+    _transcripts_multi_match(spark, sf_dir)  # ensure the index exists
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    from sotohp_spark.index import QueryEngine
+
+    engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
+    return engine.top_k_bool(
+        _bool_fields_query(), k=10, with_docs=False, fields=_MF_FIELDS
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -2221,6 +2252,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
             "search python", k=10, match_type="most_fields"
         )
     )
+    o["transcripts_bool_fields"] = _transcripts_bool_fields_oracle_sql(
+        _bool_fields_query(), k=10
+    )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
@@ -2854,6 +2888,133 @@ comb AS (
 )
 SELECT doc_id, round(raw, 6) AS score
 FROM comb ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_bool_fields_oracle_sql(
+    q, k: int = 10, text_boost: float = 1.0, tool_boost: float = 2.0,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Bool-over-multi-field twin: clause table keyed
+    (kind, clause id, FIELD, term, qtf, clause boost, field boost)
+    joined against a union of the stored per-field tf maps — each
+    contribution normalized with ITS field's independently recomputed
+    df/dl/avgdl, membership via distinct-matched-clause counts per
+    kind, must_not excluding on any (field, term) hit."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    flds = [("text", text_boost), ("tool", tool_boost)]
+
+    def clauses(lst):
+        out = []
+        for c in lst:
+            text, boost = (c, 1.0) if isinstance(c, str) else c
+            out.append((tokenize(text), float(boost)))
+        return out
+
+    vals, cid, n_must = [], 0, 0
+    for kind, lst, zero in (("m", q.must, False),
+                            ("f", getattr(q, "filter", ()) or (), True)):
+        for toks, cboost in clauses(lst):
+            for fname, fboost in flds:
+                for t, n in sorted(Counter(toks).items()):
+                    cb = 0.0 if zero else cboost
+                    vals.append(
+                        f"('{kind}', {cid}, '{fname}', '{t}', {n}, "
+                        f"{cb!r}, {fboost!r})"
+                    )
+            cid += 1
+            if kind == "m":
+                n_must += 1
+    n_filter = cid - n_must
+    n_should = 0
+    for toks, cboost in clauses(q.should):
+        for fname, fboost in flds:
+            for t, n in sorted(Counter(toks).items()):
+                vals.append(
+                    f"('s', {cid}, '{fname}', '{t}', {n}, "
+                    f"{cboost!r}, {fboost!r})"
+                )
+        cid += 1
+        n_should += 1
+    msm = q.minimum_should_match
+    if msm is None:
+        msm = 0 if (n_must or n_filter) else 1
+    msm = int(msm)
+    if not n_must and msm == 0 and n_should:
+        msm = 1  # scored-matches-only contract (see top_k_bool)
+    excl_pairs = sorted({
+        (fname, t)
+        for toks, _ in clauses(q.must_not)
+        for t in toks
+        for fname, _fb in flds
+    })
+    excl_where = ""
+    if excl_pairs:
+        in_list = ", ".join(f"('{f}', '{t}')" for f, t in excl_pairs)
+        excl_where = (
+            "WHERE tfu.doc_id NOT IN (SELECT doc_id FROM tfu "
+            f"WHERE (fld, term) IN ({in_list}))"
+        )
+    having = [f"count(DISTINCT CASE WHEN q.kind = 'm' THEN q.cid END)"
+              f" = {n_must}"]
+    if n_filter:
+        having.append(
+            f"count(DISTINCT CASE WHEN q.kind = 'f' THEN q.cid END)"
+            f" = {n_filter}"
+        )
+    if msm > 0:
+        having.append(
+            f"count(DISTINCT CASE WHEN q.kind = 's' THEN q.cid END)"
+            f" >= {msm}"
+        )
+    return f"""
+WITH docs AS (SELECT * FROM read_parquet('{_ORACLE_MF_DOCS}')),
+g AS (
+  SELECT count(*)::BIGINT AS n,
+         avg(doc_len) AS avgdl_text,
+         sum(doc_len_tool) * 1.0
+           / nullif(count(CASE WHEN doc_len_tool > 0 THEN 1 END), 0)
+           AS avgdl_tool
+  FROM docs
+),
+q(kind, cid, fld, term, qtf, cboost, fboost) AS (VALUES {", ".join(vals)}),
+tfu AS (
+  SELECT doc_id, 'text' AS fld, doc_len AS dl,
+         e.key AS term, e.value AS tf
+  FROM docs,
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+  UNION ALL
+  SELECT doc_id, 'tool' AS fld, doc_len_tool AS dl,
+         e.key AS term, e.value AS tf
+  FROM docs,
+  LATERAL (SELECT unnest(map_entries(tfs_tool), recursive := true)) e(key, value)
+),
+dfu AS (
+  SELECT tfu.fld, tfu.term, count(*)::BIGINT AS df
+  FROM tfu JOIN (SELECT DISTINCT fld, term FROM q) qt
+    ON tfu.fld = qt.fld AND tfu.term = qt.term
+  GROUP BY tfu.fld, tfu.term
+),
+scored AS (
+  SELECT tfu.doc_id,
+         sum(q.cboost * q.fboost * q.qtf
+             * ln(1 + (g.n - dfu.df + 0.5) / (dfu.df + 0.5))
+             * tfu.tf * ({k1} + 1.0)
+             / (tfu.tf + {k1} * (1.0 - {b} + {b} * tfu.dl
+                / CASE tfu.fld WHEN 'text' THEN g.avgdl_text
+                  ELSE g.avgdl_tool END))
+         ) AS raw
+  FROM tfu JOIN q ON tfu.fld = q.fld AND tfu.term = q.term
+  JOIN dfu ON tfu.fld = dfu.fld AND tfu.term = dfu.term CROSS JOIN g
+  {excl_where}
+  GROUP BY tfu.doc_id
+  HAVING {" AND ".join(having)}
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

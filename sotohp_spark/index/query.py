@@ -847,7 +847,7 @@ class QueryEngine:
 
     def top_k_bool(self, q: Bool, k: int = 10, with_docs: bool = True,
                    source=None, search_after: tuple | None = None,
-                   ) -> DataFrame:
+                   fields=None) -> DataFrame:
         """Top-k BM25 for a composable ES ``bool`` query (see Bool) —
         must + should + must_not + filter + minimum_should_match +
         per-clause boosts in ONE object, compiled onto the single-job
@@ -870,7 +870,20 @@ class QueryEngine:
         should clause just can't count toward minimum_should_match;
         must_not boosts are ignored (exclusion is membership).
         Reference: the bool queries the dashboards issue
-        (ElasticOperations.scala:32-76)."""
+        (ElasticOperations.scala:32-76).
+
+        ``fields``: the FULL dashboard shape — every clause evaluates
+        as a multi_match (type=most_fields) over this field list
+        (names or (name, boost) pairs; "text" = the default stream,
+        others need a multi-field index).  A clause matches a doc iff
+        ANY of its terms matches in ANY field; its score is the sum of
+        its matched (field, term) contributions, each normalized with
+        the field's own avgdl and scaled by clause boost x field
+        boost.  Compiled by KEY EXPANSION: each clause's analyzed
+        terms become field-tagged dictionary keys, and the whole
+        group-bitmask machinery runs unchanged over keys — still ONE
+        pruned block-max job (wand.score_range's per-term-avgdl
+        form).  None (default) = the plain text stream."""
         must = _bool_clauses(q.must)
         should = _bool_clauses(q.should)
         must_not = _bool_clauses(q.must_not)
@@ -891,13 +904,54 @@ class QueryEngine:
 
         rules = self._query_rules(source)
 
+        # field set: None = the plain text stream (keys == tokens);
+        # otherwise each clause key-expands across the fields
+        from sotohp_spark.index.build import FIELD_SEP
+
+        if fields is None:
+            norm_fields = [("text", 1.0)]
+        else:
+            norm_fields = []
+            indexed = set(self.meta.get("fields") or ())
+            for f in fields:
+                name, fboost = (f, 1.0) if isinstance(f, str) else f
+                fboost = float(fboost)
+                if fboost <= 0.0:
+                    raise ValueError(f"field boost must be > 0: {f}")
+                if name != "text" and name not in indexed:
+                    raise ValueError(
+                        f"field {name!r} is not indexed (index "
+                        f"fields: {sorted(indexed)})"
+                    )
+                norm_fields.append((str(name), fboost))
+        avgdl_of_field = {
+            name: (
+                float(self.meta["avgdl"]) if name == "text"
+                else float(
+                    (self.meta.get("field_avgdl") or {}).get(name, 0.0)
+                )
+            )
+            for name, _ in norm_fields
+        }
+
         def _analyze(clauses):
+            """clause list -> [(key -> qtf * field_boost, clause_boost)]
+            — keys are field-tagged dictionary terms; the multiplier
+            carries everything per-key except clause boost and idf."""
             out = []
             for text, boost in clauses:
                 qtf: dict[str, int] = {}
                 for t in tokenize(text, rules):
                     qtf[t] = qtf.get(t, 0) + 1
-                out.append((qtf, boost))
+                keys: dict[str, float] = {}
+                for name, fboost in norm_fields:
+                    for t, c in qtf.items():
+                        key = (
+                            t if name == "text"
+                            else name + FIELD_SEP + t
+                        )
+                        keys[key] = keys.get(key, 0.0) + c * fboost
+                out.append((keys, boost))
             return out
 
         must_a = _analyze(must)
@@ -996,12 +1050,23 @@ class QueryEngine:
         excl_dfs = self._term_dfs(sorted(excl)) if excl else {}
         excl_terms = frozenset(t for t in excl if excl_dfs.get(t))
 
+        avgdl_by_term = None
+        if fields is not None:
+            avgdl_by_term = {
+                key: avgdl_of_field[
+                    key.split(FIELD_SEP, 1)[0] if FIELD_SEP in key
+                    else "text"
+                ]
+                for key in weights
+            }
+
         return self.top_k(
             None, k=k, with_docs=with_docs,
             ts_min=q.ts_min, ts_max=q.ts_max,
             search_after=search_after,
             _weights=weights, _bool_spec=spec,
             _excl_terms=excl_terms,
+            _avgdl_by_term=avgdl_by_term,
         )
 
     def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,

@@ -282,3 +282,101 @@ def test_multi_match_errors(mf_setup):
     # a plain index has no field postings: asking for one must raise
     with pytest.raises(ValueError):
         engine_p.top_k_multi_match("error", ["tool"])
+
+
+def brute_bool_fields(oracle: FieldOracle, q, fields, k=10):
+    """Bool-over-multi-field brute: every clause is a most_fields
+    multi_match over `fields`; membership per ES bool, scores = sum of
+    matched clauses' (clause_boost x field-level) contributions."""
+    from collections import Counter as C
+
+    from sotohp_spark.functions.tokenizer import tokenize as tok
+
+    def clauses(lst):
+        return [
+            (C(tok(c if isinstance(c, str) else c[0])),
+             1.0 if isinstance(c, str) else float(c[1]))
+            for c in lst
+        ]
+
+    norm_f = [
+        (f, 1.0) if isinstance(f, str) else (f[0], float(f[1]))
+        for f in fields
+    ]
+    must, should = clauses(q.must), clauses(q.should)
+    must_not, filt = clauses(q.must_not), clauses(q.filter)
+    msm = q.minimum_should_match
+    if msm is None:
+        msm = 0 if (must or filt) else 1
+    if not must and msm == 0:
+        msm = 1
+
+    def clause_score(qtf, cboost, doc_id):
+        """(matched?, score) of one clause over the field set."""
+        per = [
+            oracle.field_score(name, fboost, doc_id, qtf)
+            for name, fboost in norm_f
+        ]
+        per = [p for p in per if p is not None]
+        if not per:
+            return False, 0.0
+        return True, cboost * sum(per)
+
+    rows = []
+    for doc_id in range(oracle.base.n_docs):
+        if any(clause_score(qtf, 1.0, doc_id)[0] for qtf, _ in must_not):
+            continue
+        req = [clause_score(qtf, b, doc_id) for qtf, b in must]
+        if not all(m for m, _ in req):
+            continue
+        if not all(
+            clause_score(qtf, 1.0, doc_id)[0] for qtf, _ in filt
+        ):
+            continue
+        opt = [clause_score(qtf, b, doc_id) for qtf, b in should]
+        if sum(1 for m, _ in opt if m) < msm:
+            continue
+        score = sum(s for _, s in req) + sum(s for m, s in opt if m)
+        rows.append((doc_id, score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def test_bool_over_fields(mf_setup):
+    """The full dashboard shape: a composable bool whose clauses each
+    evaluate as a most_fields multi_match over (text, tool^2) — one
+    pruned block-max job via key expansion."""
+    from sotohp_spark.index import Bool
+
+    engine, _, oracle, _ = mf_setup
+    FLDS = [("text", 1.0), ("tool", 2.0)]
+    cases = [
+        Bool(must=["error retry", "search"]),
+        Bool(must=["search python"], should=[("timeout", 2.0)]),
+        Bool(should=["search", "bash", "error"],
+             minimum_should_match=2),
+        Bool(must=["error"], must_not=["browser"]),
+        Bool(must=["error retry"], filter=["search"]),
+    ]
+    for bq in cases:
+        got = engine.top_k_bool(
+            bq, k=10, with_docs=False, fields=FLDS
+        ).collect()
+        want = brute_bool_fields(oracle, bq, FLDS, k=10)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], bq
+        assert np.allclose(
+            [r["score"] for r in got], [s for _, s in want],
+            atol=1e-6, rtol=0,
+        ), bq
+    # fields=None stays the plain-text path (bit-identical to before)
+    a = engine.top_k_bool(Bool(must=["error retry"]), k=5,
+                          with_docs=False).collect()
+    b = engine.top_k_bool(Bool(must=["error retry"]), k=5,
+                          with_docs=False, fields=["text"]).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+    # unknown field raises on a fields call
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        engine.top_k_bool(Bool(must=["error"]), fields=["nope"])
