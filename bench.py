@@ -168,7 +168,10 @@ def main():
         record("topk_single_field_plain_index", time.time() - t1)
 
     # round-7: composable bool query (must + boosted should + must_not
-    # + minimum_should_match in one object, one job warm)
+    # + minimum_should_match in one object, one job warm), and the
+    # full dashboard shape — the same bool with every clause evaluated
+    # as a most_fields multi_match over (text, tool^2) on the
+    # multi-field index (key expansion, still one pruned job)
     from sotohp_spark.index import Bool
 
     for _ in range(REPS):
@@ -179,6 +182,14 @@ def main():
             k=10, with_docs=False,
         ).collect()
         record("bool_composed", time.time() - t1)
+        t1 = time.time()
+        mf_engine.top_k_bool(
+            Bool(must=["error retry"], should=[("search", 2.0)],
+                 must_not=["browser"], minimum_should_match=1),
+            k=10, with_docs=False,
+            fields=[("text", 1.0), ("tool", 2.0)],
+        ).collect()
+        record("bool_over_fields", time.time() - t1)
 
     # round-6 ES-tier surfaces, warm on the main engine: bool
     # exclusion (excluded postings ride the scoring scan), fuzzy
