@@ -1,3 +1,8 @@
 from sotohp_spark.index.build import IndexBuilder  # noqa: F401
 from sotohp_spark.index.migrate import migrate_index, verify_parity  # noqa: F401
 from sotohp_spark.index.query import Bool, QueryEngine, msearch  # noqa: F401
+from sotohp_spark.index.qs import (  # noqa: F401
+    QSItem,
+    QueryStringError,
+    parse_query_string,
+)

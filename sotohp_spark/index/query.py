@@ -96,17 +96,49 @@ class Bool:
 
 
 def _bool_clauses(clauses) -> list:
-    """Normalize a Bool clause list to [(text, boost), ...]."""
+    """Normalize a Bool clause list to [(text, boost, fields, terms)].
+
+    Accepted clause forms: ``"error retry"`` (boost 1.0),
+    ``(text, boost)``, or a dict with optional keys beyond ``text``/
+    ``boost``:
+
+      * ``fields``: a PER-CLAUSE field list (names or (name, boost)
+        pairs) overriding the query-level ``fields`` argument — the
+        query_string ``field:term`` scoping shape;
+      * ``terms``: pre-analyzed {term: qtf-weight} bypassing the
+        tokenizer — how prefix/wildcard expansions enter a clause
+        (each expansion keeps its OWN idf downstream, the Lucene
+        scoring-rewrite contract).  Mutually exclusive with a
+        non-empty ``text``.
+    """
     out = []
     for c in clauses:
         if isinstance(c, str):
-            out.append((c, 1.0))
+            out.append((c, 1.0, None, None))
+        elif isinstance(c, dict):
+            text = str(c.get("text", ""))
+            boost = float(c.get("boost", 1.0))
+            if boost <= 0.0:
+                raise ValueError(f"clause boost must be > 0, got {boost}")
+            fields = c.get("fields")
+            terms = c.get("terms")
+            if terms is not None:
+                if text:
+                    raise ValueError(
+                        "clause takes text OR pre-analyzed terms, not both"
+                    )
+                terms = {str(t): float(w) for t, w in dict(terms).items()}
+                if not terms:
+                    raise ValueError("clause 'terms' must be non-empty")
+                if any(w <= 0.0 for w in terms.values()):
+                    raise ValueError("clause term weights must be > 0")
+            out.append((text, boost, fields, terms))
         else:
             text, boost = c
             boost = float(boost)
             if boost <= 0.0:
                 raise ValueError(f"clause boost must be > 0, got {boost}")
-            out.append((str(text), boost))
+            out.append((str(text), boost, None, None))
     return out
 
 
@@ -670,6 +702,7 @@ class QueryEngine:
         _bool_spec=None,
         _excl_terms: frozenset | None = None,
         _avgdl_by_term: dict | None = None,
+        _no_cut: bool = False,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, conv_id...]).
 
@@ -803,7 +836,8 @@ class QueryEngine:
         # array; with a large (distributed-only) delete set it is
         # skipped and scoring cogroups deletes per range instead.
         if (
-            self._deletes is not None
+            not _no_cut
+            and self._deletes is not None
             and n_candidates <= self.LOCAL_PATH_MAX_POSTINGS
             and self._local_gate.acquire(blocking=False)
         ):
@@ -827,6 +861,13 @@ class QueryEngine:
             )
 
         bool_spec = _bool_spec
+        # _no_cut (internal, query_string phrase composition): a
+        # caller that refines membership AFTER scoring (positional
+        # adjacency join) needs EVERY matched doc scored — k-cutting
+        # first could let a later-rejected doc evict a true match.
+        # Same contract as scored_matches: per-range k disabled, no
+        # global order/limit; cost is the matched postings.
+        k_range = None if _no_cut else k
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -835,19 +876,22 @@ class QueryEngine:
                     rows, excl_terms, deletes
                 )
             docs, scores = wand.score_range(
-                rows, weights, k, avgdl, conjunctive=conjunctive, cfg=cfg,
-                deletes=deletes, doc_bounds=doc_bounds, cursor=search_after,
-                min_match=min_match, bool_spec=bool_spec,
+                rows, weights, k_range, avgdl, conjunctive=conjunctive,
+                cfg=cfg, deletes=deletes, doc_bounds=doc_bounds,
+                cursor=search_after, min_match=min_match,
+                bool_spec=bool_spec,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
+        if _no_cut:
+            return self._attach_docs(local) if with_docs else local
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         return self._attach_docs(out) if with_docs else out
 
     def top_k_bool(self, q: Bool, k: int = 10, with_docs: bool = True,
                    source=None, search_after: tuple | None = None,
-                   fields=None) -> DataFrame:
+                   fields=None, _no_cut: bool = False) -> DataFrame:
         """Top-k BM25 for a composable ES ``bool`` query (see Bool) —
         must + should + must_not + filter + minimum_should_match +
         per-clause boosts in ONE object, compiled onto the single-job
@@ -889,7 +933,10 @@ class QueryEngine:
         must_not = _bool_clauses(q.must_not)
         # filter clauses are unscored: force boost 0 (the compile below
         # makes them required groups whose weight contribution is zero)
-        filt = [(text, 0.0) for text, _ in _bool_clauses(q.filter)]
+        filt = [
+            (text, 0.0, cfields, cterms)
+            for text, _, cfields, cterms in _bool_clauses(q.filter)
+        ]
         if not must and not should:
             raise ValueError(
                 "Bool needs at least one must or should clause "
@@ -905,15 +952,16 @@ class QueryEngine:
         rules = self._query_rules(source)
 
         # field set: None = the plain text stream (keys == tokens);
-        # otherwise each clause key-expands across the fields
+        # otherwise each clause key-expands across the fields.  A
+        # clause carrying its OWN fields (the query_string field:term
+        # scoping) overrides the query-level set for that clause only.
         from sotohp_spark.index.build import FIELD_SEP
 
-        if fields is None:
-            norm_fields = [("text", 1.0)]
-        else:
-            norm_fields = []
-            indexed = set(self.meta.get("fields") or ())
-            for f in fields:
+        indexed = set(self.meta.get("fields") or ())
+
+        def _norm_fields(fs):
+            norm = []
+            for f in fs:
                 name, fboost = (f, 1.0) if isinstance(f, str) else f
                 fboost = float(fboost)
                 if fboost <= 0.0:
@@ -923,28 +971,33 @@ class QueryEngine:
                         f"field {name!r} is not indexed (index "
                         f"fields: {sorted(indexed)})"
                     )
-                norm_fields.append((str(name), fboost))
-        avgdl_of_field = {
-            name: (
-                float(self.meta["avgdl"]) if name == "text"
-                else float(
-                    (self.meta.get("field_avgdl") or {}).get(name, 0.0)
-                )
-            )
-            for name, _ in norm_fields
-        }
+                norm.append((str(name), fboost))
+            return norm
+
+        norm_fields = (
+            [("text", 1.0)] if fields is None else _norm_fields(fields)
+        )
+        any_clause_fields = False
 
         def _analyze(clauses):
             """clause list -> [(key -> qtf * field_boost, clause_boost)]
             — keys are field-tagged dictionary terms; the multiplier
             carries everything per-key except clause boost and idf."""
+            nonlocal any_clause_fields
             out = []
-            for text, boost in clauses:
-                qtf: dict[str, int] = {}
-                for t in tokenize(text, rules):
-                    qtf[t] = qtf.get(t, 0) + 1
+            for text, boost, cfields, cterms in clauses:
+                if cterms is not None:
+                    qtf: dict = dict(cterms)
+                else:
+                    qtf = {}
+                    for t in tokenize(text, rules):
+                        qtf[t] = qtf.get(t, 0) + 1
+                cfs = norm_fields
+                if cfields is not None:
+                    cfs = _norm_fields(cfields)
+                    any_clause_fields = True
                 keys: dict[str, float] = {}
-                for name, fboost in norm_fields:
+                for name, fboost in cfs:
                     for t, c in qtf.items():
                         key = (
                             t if name == "text"
@@ -1051,14 +1104,20 @@ class QueryEngine:
         excl_terms = frozenset(t for t in excl if excl_dfs.get(t))
 
         avgdl_by_term = None
-        if fields is not None:
-            avgdl_by_term = {
-                key: avgdl_of_field[
+        if fields is not None or any_clause_fields:
+            field_avgdl = self.meta.get("field_avgdl") or {}
+
+            def _avgdl(key):
+                name = (
                     key.split(FIELD_SEP, 1)[0] if FIELD_SEP in key
                     else "text"
-                ]
-                for key in weights
-            }
+                )
+                return (
+                    float(self.meta["avgdl"]) if name == "text"
+                    else float(field_avgdl.get(name, 0.0))
+                )
+
+            avgdl_by_term = {key: _avgdl(key) for key in weights}
 
         return self.top_k(
             None, k=k, with_docs=with_docs,
@@ -1067,7 +1126,259 @@ class QueryEngine:
             _weights=weights, _bool_spec=spec,
             _excl_terms=excl_terms,
             _avgdl_by_term=avgdl_by_term,
+            _no_cut=_no_cut,
         )
+
+    def top_k_query_string(
+        self,
+        query_string: str,
+        k: int = 10,
+        with_docs: bool = True,
+        fields=None,
+        default_operator: str = "or",
+        minimum_should_match: int | None = None,
+        max_expansions: int = 50,
+        source=None,
+        ts_min=None,
+        ts_max=None,
+        texts: DataFrame | None = None,
+    ) -> DataFrame:
+        """Top-k BM25 for an ES ``simple_query_string`` query — the
+        free-text search-box grammar (``+must -not "exact phrase"
+        field:term term^2 pre* (a | b)``), parsed by
+        ``qs.parse_query_string`` and compiled onto the composable
+        ``Bool`` machinery.  Reference: the query strings the
+        reference's UI sends to its search tier
+        (ElasticOperations.scala:32-76, README.md:89-90).
+
+        Compilation:
+
+          * term / prefix / group items -> one ``Bool`` clause each
+            (per-item field scoping and boosts ride the per-clause
+            compile), prefixes expanded against the term dictionary
+            (``max_expansions`` cap, df order — Lucene's scoring
+            rewrite; every expansion keeps its OWN idf);
+          * ``fields``: the query-level multi_match field set bare
+            terms score over (an explicit ``field:`` item overrides
+            it for that item);
+          * phrases execute POSITIONALLY: a required phrase
+            contributes each analyzed term as a required scoring
+            clause (conjunctive prefilter + BM25 with document tf —
+            the phrase_ranked contract) and membership is refined to
+            exact adjacency with phrase_match_doc_ids; a must_not
+            phrase anti-joins adjacency matches (docs merely
+            CONTAINING the words stay in).
+
+        Scale shape: without phrases this is EXACTLY top_k_bool — one
+        pruned block-max job.  With phrases, the scoring scan runs
+        uncut (the conjunctive phrase-term groups already shrink the
+        matched set to docs containing every phrase term) plus one
+        positional adjacency job per phrase; the joins are
+        matched-set x phrase-set, never corpus-sized.
+
+        ``texts``: optional (doc_id, text) frame — phrase membership
+        is then regex-VERIFIED against the raw text before the top-k
+        (phrase_search's prune-then-verify), so phrase semantics are
+        exactly raw-text word-boundary matches (the oracle-checkable
+        form); without it, phrases use analyzed-stream adjacency (a
+        documented superset — see phrase_match_doc_ids).
+
+        Documented deviations from ES: an OPTIONAL (should-context)
+        phrase alongside other optional items is rejected — promote
+        it with ``+`` or drop to phrase_ranked (exact optional-phrase
+        msm accounting needs adjacency inside the kernel); a lone
+        bare phrase under ``default_operator="or"`` is auto-promoted
+        to must (identical semantics when minimum_should_match is 1,
+        which is the ES default there).  Phrase scoring uses document
+        term frequencies, not phrase-occurrence counts (ES scores
+        match_phrase by phrase tf) — ordering within the adjacency-
+        matched set can differ from ES when a doc repeats the words
+        outside the phrase.
+        """
+        from sotohp_spark.index.build import FIELD_SEP
+        from sotohp_spark.index.qs import QSItem, parse_query_string
+
+        items = parse_query_string(query_string, default_operator)
+
+        # bare-phrase promotion: a should-phrase is exactly a must
+        # item when it is the only should item and msm defaults to 1
+        n_should = sum(1 for it in items if it.occur == "should")
+        normed = []
+        for it in items:
+            if it.phrase is not None and it.occur == "should":
+                if n_should == 1 and minimum_should_match in (None, 1):
+                    it = QSItem(
+                        occur="must", boost=it.boost, field=it.field,
+                        phrase=it.phrase,
+                    )
+                else:
+                    raise ValueError(
+                        "optional (should-context) phrases are not "
+                        "supported alongside other optional items — "
+                        "mark the phrase required with +\"...\" or "
+                        "use phrase_ranked"
+                    )
+            normed.append(it)
+        items = normed
+
+        rules = self._query_rules(source)
+
+        def _expand_prefix(prefix: str, fieldname):
+            """Dictionary expansions of a prefix, scoped to one
+            field's key space (tagged keys stripped back to raw terms
+            — the Bool compile re-tags per clause)."""
+            tag = (
+                "" if fieldname in (None, "text")
+                else fieldname + FIELD_SEP
+            )
+            exps = self.wildcard_expand(
+                tag + prefix + "*", max_expansions, order="df"
+            )
+            out = []
+            for term, _df in exps:
+                if tag:
+                    if term.startswith(tag):
+                        out.append(term[len(tag):])
+                elif FIELD_SEP not in term:
+                    out.append(term)
+            return out
+
+        must, should, must_not = [], [], []
+        phrases_must, phrases_not = [], []
+        for it in items:
+            if it.phrase is not None:
+                if it.field not in (None, "text"):
+                    raise ValueError(
+                        "field-scoped phrases are only supported on "
+                        "the text stream"
+                    )
+                if it.occur == "must_not":
+                    phrases_not.append(it)
+                    continue
+                # one required scoring clause PER analyzed term ==
+                # conjunctive membership over the phrase's terms
+                toks = tokenize(it.phrase, rules)
+                if not toks:
+                    # every token dropped by the analysis chain: no
+                    # index evidence.  With ``texts`` the verify join
+                    # below falls back to phrase_search's full-scan
+                    # membership (scoring contribution is zero — BM25
+                    # over zero indexed terms); index-only returns
+                    # empty (phrase_search's lossless contract puts
+                    # the fallback on the caller).
+                    if texts is not None:
+                        phrases_must.append(it)
+                        continue
+                    out = self.spark.createDataFrame([], TOPK_SCHEMA)
+                    return (
+                        self._attach_docs(out) if with_docs else out
+                    )
+                qtf: dict = {}
+                for t in toks:
+                    qtf[t] = qtf.get(t, 0) + 1
+                for t, c in qtf.items():
+                    must.append(
+                        {"terms": {t: float(c)}, "boost": it.boost,
+                         "fields": ["text"] if fields else None}
+                    )
+                phrases_must.append(it)
+                continue
+            clause: dict = {"boost": it.boost}
+            if it.field is not None:
+                clause["fields"] = [it.field]
+            terms: dict = {}
+            for w in it.words:
+                for t in tokenize(w, rules):
+                    terms[t] = terms.get(t, 0.0) + 1.0
+            for p in it.prefixes:
+                for t in _expand_prefix(p.lower(), it.field):
+                    terms[t] = terms.get(t, 0.0) + 1.0
+            if not terms:
+                if it.occur == "must" and it.prefixes and not it.words:
+                    # a required prefix with zero dictionary
+                    # expansions matches nothing (ES prefix query)
+                    out = self.spark.createDataFrame([], TOPK_SCHEMA)
+                    return (
+                        self._attach_docs(out) if with_docs else out
+                    )
+                if it.occur == "must_not":
+                    continue
+                if it.occur == "should":
+                    continue  # can't count toward msm, like ES
+                # must item whose words analyzed to nothing: no
+                # index evidence either way — treat as unmatchable
+                out = self.spark.createDataFrame([], TOPK_SCHEMA)
+                return self._attach_docs(out) if with_docs else out
+            clause["terms"] = terms
+            {"must": must, "should": should, "must_not": must_not}[
+                it.occur
+            ].append(clause)
+
+        if not must and not should:
+            if texts is not None and phrases_must:
+                # only all-dropped phrases carry the query: membership
+                # from the full-scan verify, scored 0.0 (BM25 over
+                # zero indexed terms — the phrase_ranked contract)
+                scored = None
+                for it in phrases_must:
+                    ids = self.phrase_search(it.phrase, texts).select(
+                        "doc_id"
+                    )
+                    scored = ids if scored is None else scored.join(
+                        ids, "doc_id", "left_semi"
+                    )
+                for it in phrases_not:
+                    ids = self.phrase_search(it.phrase, texts).select(
+                        "doc_id"
+                    )
+                    scored = scored.join(ids, "doc_id", "left_anti")
+                out = (
+                    scored.select(
+                        "doc_id", F.lit(0.0).alias("score")
+                    )
+                    .orderBy(F.col("doc_id").asc())
+                    .limit(k)
+                )
+                return self._attach_docs(out) if with_docs else out
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+
+        q = Bool(
+            must=tuple(must), should=tuple(should),
+            must_not=tuple(must_not),
+            ts_min=ts_min, ts_max=ts_max,
+            minimum_should_match=minimum_should_match,
+        )
+        if not phrases_must and not phrases_not:
+            return self.top_k_bool(
+                q, k=k, with_docs=with_docs, source=source,
+                fields=fields,
+            )
+
+        scored = self.top_k_bool(
+            q, k=k, with_docs=False, source=source, fields=fields,
+            _no_cut=True,
+        )
+
+        def _phrase_ids(phrase):
+            if texts is not None:
+                return self.phrase_search(phrase, texts).select(
+                    F.col("doc_id")
+                )
+            return self.phrase_match_doc_ids(phrase, source)
+
+        for it in phrases_must:
+            scored = scored.join(
+                _phrase_ids(it.phrase), "doc_id", "left_semi"
+            )
+        for it in phrases_not:
+            scored = scored.join(
+                _phrase_ids(it.phrase), "doc_id", "left_anti"
+            )
+        out = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+        return self._attach_docs(out) if with_docs else out
 
     def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,
                           match_type: str = "best_fields",

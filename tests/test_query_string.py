@@ -1,0 +1,243 @@
+"""query_string (ES simple_query_string grammar): parser goldens and
+engine equivalences — every syntax element compiles onto machinery
+that is already rank-identity-tested (Bool / wildcard expansion /
+positional phrase match), so these tests pin the COMPILATION, not the
+scoring.  Reference: the free-text queries the reference's UI sends
+to its search tier (ElasticOperations.scala:32-76)."""
+
+import pytest
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf
+from sotohp_spark.index import (
+    Bool,
+    IndexBuilder,
+    QueryEngine,
+    QueryStringError,
+    parse_query_string,
+)
+from sotohp_spark.operators.docs import materialize_documents
+
+CFG = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                   shuffle_partitions=4, store_positions=True,
+                   extra_fields=("tool", "role"))
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_occurs_and_words():
+    items = parse_query_string("+error +retry -browser timeout")
+    assert [(i.occur, i.words) for i in items] == [
+        ("must", ("error",)), ("must", ("retry",)),
+        ("must_not", ("browser",)), ("should", ("timeout",)),
+    ]
+
+
+def test_parse_default_operator_and():
+    items = parse_query_string("error retry", default_operator="and")
+    assert all(i.occur == "must" for i in items)
+    with pytest.raises(ValueError):
+        parse_query_string("error", default_operator="not-an-op")
+
+
+def test_parse_field_boost_prefix():
+    (item,) = parse_query_string("tool:search^2.5")
+    assert item.field == "tool" and item.boost == 2.5
+    assert item.words == ("search",)
+    (item,) = parse_query_string("time*")
+    assert item.prefixes == ("time",) and item.words == ()
+
+
+def test_parse_phrase_and_group():
+    items = parse_query_string('+"error retry" (alpha | beta)^3')
+    assert items[0].occur == "must" and items[0].phrase == "error retry"
+    assert items[1].words == ("alpha", "beta") and items[1].boost == 3.0
+
+
+def test_parse_pipe_joins_atoms():
+    (item,) = parse_query_string("a | b | c*")
+    assert item.words == ("a", "b") and item.prefixes == ("c",)
+    # field on the first atom scopes the group; conflicting fields err
+    (item,) = parse_query_string("tool:a | b")
+    assert item.field == "tool"
+    with pytest.raises(QueryStringError):
+        parse_query_string("tool:a | role:b")
+
+
+@pytest.mark.parametrize("bad", [
+    "", "   ", "-only -neg", "a^", '"unclosed', "(a b", "mi*d",
+    "a | +b", '(a "q")', "f:(a)^0", "+ a", "a ^2", "a |",
+])
+def test_parse_errors(bad):
+    with pytest.raises((QueryStringError, ValueError)):
+        parse_query_string(bad)
+
+
+# ---------------------------------------------------------------- engine
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("qs_idx"))
+    pdf = generate_transcripts_pdf(0.05)
+    turns = spark.createDataFrame(pdf)
+    IndexBuilder(spark, path, CFG).build(turns, input_fingerprint="qs")
+    engine = QueryEngine(spark, path)
+    texts = (
+        materialize_documents(turns)
+        .select("conv_id", "doc_text")
+        .join(engine._docs.select("doc_id", "conv_id"), "conv_id")
+        .select("doc_id", engine._docs.conv_id, "doc_text")
+        .withColumnRenamed("doc_text", "text")
+    )
+    return engine, texts
+
+
+def _rows(df):
+    return [(r.doc_id, round(r.score, 9)) for r in df.collect()]
+
+
+def test_qs_equals_bool(built):
+    engine, _ = built
+    got = _rows(engine.top_k_query_string(
+        "+error +retry -browser search^2", k=8, with_docs=False))
+    want = _rows(engine.top_k_bool(Bool(
+        must=["error", "retry"], should=[("search", 2.0)],
+        must_not=["browser"]), k=8, with_docs=False))
+    assert got == want and got
+
+
+def test_qs_default_operators(built):
+    engine, _ = built
+    via_and = _rows(engine.top_k_query_string(
+        "error retry", k=8, with_docs=False, default_operator="and"))
+    assert via_and == _rows(engine.top_k_bool(
+        Bool(must=["error", "retry"]), k=8, with_docs=False))
+    via_or = _rows(engine.top_k_query_string(
+        "error retry", k=8, with_docs=False))
+    assert via_or == _rows(engine.top_k_bool(
+        Bool(should=["error", "retry"]), k=8, with_docs=False))
+    assert via_and and via_or
+
+
+def test_qs_group_is_one_clause(built):
+    engine, _ = built
+    got = _rows(engine.top_k_query_string(
+        "+(error | timeout) -browser", k=8, with_docs=False))
+    want = _rows(engine.top_k_bool(Bool(
+        must=["error timeout"], must_not=["browser"]),
+        k=8, with_docs=False))
+    assert got == want and got
+
+
+def test_qs_prefix_expands_with_own_idf(built):
+    engine, _ = built
+    exps = [t for t, _ in engine.wildcard_expand("retr*", 50, order="df")]
+    assert exps
+    got = _rows(engine.top_k_query_string("+retr*", k=8, with_docs=False))
+    want = _rows(engine.top_k_bool(Bool(
+        must=[{"terms": {t: 1.0 for t in exps}}]), k=8, with_docs=False))
+    assert got == want and got
+    # a required prefix with no expansions matches nothing
+    assert _rows(engine.top_k_query_string(
+        "+zzzqx*", k=8, with_docs=False)) == []
+    # an optional one just drops
+    assert _rows(engine.top_k_query_string(
+        "error zzzqx*", k=8, with_docs=False)) == _rows(
+        engine.top_k_query_string("error", k=8, with_docs=False))
+
+
+def test_qs_field_scoped_item(built):
+    engine, _ = built
+    got = _rows(engine.top_k_query_string(
+        "+tool:search error", k=8, with_docs=False))
+    want = _rows(engine.top_k_bool(Bool(
+        must=[{"text": "search", "fields": ["tool"]}],
+        should=["error"]), k=8, with_docs=False))
+    assert got == want and got
+    with pytest.raises(ValueError):
+        engine.top_k_query_string("+nosuchfield:x error", k=3)
+
+
+def test_qs_field_scoped_prefix(built):
+    engine, _ = built
+    exps = [t for t, _ in engine.wildcard_expand("sea*", 50, order="df")]
+    assert exps  # raw dictionary holds matching tool terms too
+    got = _rows(engine.top_k_query_string(
+        "+tool:sea*", k=8, with_docs=False))
+    # expansions resolved in the tool key space, re-tagged per clause
+    from sotohp_spark.index.build import FIELD_SEP
+    tool_exps = [
+        t[len("tool") + 1:]
+        for t, _ in engine.wildcard_expand("tool" + FIELD_SEP + "sea*", 50)
+    ]
+    assert tool_exps
+    want = _rows(engine.top_k_bool(Bool(
+        must=[{"terms": {t: 1.0 for t in tool_exps},
+               "fields": ["tool"]}]), k=8, with_docs=False))
+    assert got == want and got
+
+
+def test_qs_phrase_must(built):
+    engine, texts = built
+    got = _rows(engine.top_k_query_string(
+        '+"error retry" timeout', k=8, with_docs=False))
+    ids = engine.phrase_match_doc_ids("error retry")
+    import pyspark.sql.functions as F
+    full = engine.top_k_bool(Bool(
+        must=[{"terms": {"error": 1.0}}, {"terms": {"retry": 1.0}}],
+        should=["timeout"]), k=8, with_docs=False, _no_cut=True)
+    want = _rows(full.join(ids, "doc_id", "left_semi").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(8))
+    assert got == want and got
+    # verify mode: membership == raw-text regex matches
+    verified = _rows(engine.top_k_query_string(
+        '+"error retry" timeout', k=8, with_docs=False, texts=texts))
+    member = {
+        r.doc_id
+        for r in engine.phrase_search("error retry", texts).collect()
+    }
+    assert {d for d, _ in verified} <= member
+
+
+def test_qs_phrase_must_not(built):
+    engine, _ = built
+    got = {d for d, _ in _rows(engine.top_k_query_string(
+        'error -"search query"', k=50, with_docs=False))}
+    excluded = {
+        r.doc_id
+        for r in engine.phrase_match_doc_ids("search query").collect()
+    }
+    assert excluded and not (got & excluded)
+    # docs merely CONTAINING both words (non-adjacent) stay in
+    containing = {
+        r.doc_id for r in engine.matching_doc_ids(
+            "search query").collect()
+    }
+    assert (got & (containing - excluded))
+
+
+def test_qs_bare_phrase_promotion(built):
+    engine, _ = built
+    a = _rows(engine.top_k_query_string(
+        '"error retry"', k=8, with_docs=False))
+    b = _rows(engine.top_k_query_string(
+        '+"error retry"', k=8, with_docs=False))
+    assert a == b and a
+    with pytest.raises(ValueError, match="optional"):
+        engine.top_k_query_string('"error retry" timeout', k=8)
+    with pytest.raises(ValueError, match="text stream"):
+        engine.top_k_query_string('+tool:"a b"', k=8)
+
+
+def test_qs_single_job_without_phrases(built):
+    """The no-phrase path is EXACTLY top_k_bool: one pruned job warm."""
+    engine, _ = built
+    engine.top_k_query_string("+error retry^2", k=5,
+                              with_docs=False).collect()  # warm
+    sc = engine.spark.sparkContext
+    t = sc.statusTracker()
+    before = max(t.getJobIdsForGroup() or [0])
+    engine.top_k_query_string("+error retry^2", k=5,
+                              with_docs=False).collect()
+    after = max(t.getJobIdsForGroup() or [0])
+    assert after - before <= 1
