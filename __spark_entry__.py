@@ -341,6 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_multi_match_most"] = _transcripts_multi_match_most
     # the FULL dashboard shape: bool over multi-field docs, one job
     q["transcripts_bool_fields"] = _transcripts_bool_fields
+    # ES simple_query_string: the search-box grammar compiled onto
+    # the Bool machinery (index/qs.py), one pruned job (round 7)
+    q["transcripts_query_string"] = _transcripts_query_string
+    # query_string with a required exact phrase: positional adjacency
+    # + raw-text verify composed with the scored bool scan
+    q["transcripts_query_string_phrase"] = (
+        _transcripts_query_string_phrase
+    )
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -852,6 +860,48 @@ def _transcripts_bool_fields(spark, sf_dir):
     engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
     return engine.top_k_bool(
         _bool_fields_query(), k=10, with_docs=False, fields=_MF_FIELDS
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+# the one query string both the engine call and the DuckDB oracle are
+# built from — must + OR-group + prefix + must_not + boosted bare term
+_QS_QUERY = "+error +(retry | timeout) ti* -t0040 search^2"
+# the phrase shape: required exact phrase + bare term + exclusion
+_QSP_QUERY = '+"error retry" timeout -t0040'
+
+
+def _transcripts_query_string(spark, sf_dir):
+    """ES simple_query_string (QueryEngine.top_k_query_string): the
+    search-box grammar — +must, (a | b) OR groups, trailing-* prefix
+    expansion (df-order dictionary rewrite, per-expansion idf),
+    -must_not, ^boosts — parsed by index/qs.py and compiled onto the
+    composable Bool machinery: ONE pruned block-max job, clause
+    membership as a per-doc group bitmask (operators/wand.BoolSpec).
+    Reference: the free-text queries the reference's UI routes to its
+    search tier (ElasticOperations.scala:32-76)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_query_string(_QS_QUERY, k=10).select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score")
+    )
+
+
+def _transcripts_query_string_phrase(spark, sf_dir):
+    """query_string with a REQUIRED exact phrase: the phrase's terms
+    join the scoring scan as conjunctive clause groups (the matched
+    set shrinks to docs containing every phrase term, so the uncut
+    scan stays small), adjacency is refined by the positional phrase
+    kernel, and membership is regex-verified against the raw text
+    (texts mode — the oracle-checkable contract, as phrase_ranked)."""
+    import os
+
+    from sotohp_spark.index import QueryEngine
+
+    _transcripts_phrase_positional(spark, sf_dir)  # ensure pos index + text
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _POS_INDEX_CACHE[tag])
+    texts = spark.read.parquet(_transcript_text(spark, sf_dir))
+    return engine.top_k_query_string(
+        _QSP_QUERY, k=10, with_docs=False, texts=texts
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -2255,6 +2305,12 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_fields"] = _transcripts_bool_fields_oracle_sql(
         _bool_fields_query(), k=10
     )
+    o["transcripts_query_string"] = _transcripts_query_string_oracle_sql(
+        k=10
+    )
+    o["transcripts_query_string_phrase"] = (
+        _transcripts_query_string_phrase_oracle_sql(k=10)
+    )
     o["transcripts_wildcard_topk"] = _transcripts_wildcard_oracle_sql(
         "tim*", k=10, max_expansions=50
     )
@@ -3309,6 +3365,117 @@ SELECT DISTINCT {first}.doc_id
 FROM tok {first}
 {chr(10).join(joins)}
 WHERE {term_conds} AND {span_cond}
+"""
+
+
+def _transcripts_query_string_oracle_sql(
+    k: int = 10, max_expansions: int = 50,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """query_string twin for _QS_QUERY ('+error +(retry | timeout)
+    ti* -t0040 search^2') — the compiled clause semantics re-derived
+    in SQL: a literal clause table for the term items (the OR group
+    is ONE must clause with two terms; the bare boosted term a should
+    clause), the prefix clause expanded by the ORACLE ITSELF from the
+    stored tf maps (LIKE 'ti%', df desc / term asc, LIMIT cap — the
+    same deterministic Lucene rewrite order), must_not as a NOT IN
+    anti-filter, membership = every must clause matched (msm defaults
+    to 0 with must present).  Score = sum over (clause, term) matches
+    of boost * qtf * idf * tfn, global collection stats."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(kind, cid, term, qtf, boost) AS (VALUES
+  ('m', 0, 'error', 1, 1.0),
+  ('m', 1, 'retry', 1, 1.0), ('m', 1, 'timeout', 1, 1.0),
+  ('s', 3, 'search', 1, 2.0)),
+pre AS (
+  SELECT term FROM (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term LIKE 'ti%'
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT {max_expansions})
+),
+qx AS (
+  SELECT * FROM q
+  UNION ALL SELECT 's', 2, term, 1, 1.0 FROM pre
+),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM qx) qt USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(qx.boost * qx.qtf
+             * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN qx ON tf.term = qx.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 't0040')
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN qx.kind = 'm' THEN qx.cid END) = 2
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_query_string_phrase_oracle_sql(
+    k: int = 10, k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """query_string-with-phrase twin for _QSP_QUERY ('+"error retry"
+    timeout -t0040'): membership = word-boundary regex over the
+    materialized text (exactly the engine's texts-verify mode) AND
+    both phrase terms present AND no excluded term; score = BM25 over
+    the phrase's terms (document tf — the phrase_ranked contract)
+    plus the bare should term, global collection stats."""
+    return rf"""
+WITH members AS (
+  SELECT doc_id FROM read_parquet('{_ORACLE_DOC_TEXT}')
+  WHERE regexp_matches(text, '(^|\s)error retry(\s|$)')
+),
+tf AS (
+  SELECT doc_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(kind, cid, term, qtf, boost) AS (VALUES
+  ('m', 0, 'error', 1, 1.0), ('m', 1, 'retry', 1, 1.0),
+  ('s', 2, 'timeout', 1, 1.0)),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.boost * q.qtf
+             * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN members USING (doc_id)
+  JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 't0040')
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN q.kind = 'm' THEN q.cid END) = 2
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

@@ -239,6 +239,22 @@ def main():
         ).count()
         record("span_near", time.time() - t1)
 
+    # round-7: query_string — the search-box grammar; the term/prefix
+    # shape rides the one-job bool path, the phrase shape adds one
+    # positional adjacency job to the uncut (conjunctive-pruned) scan
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.top_k_query_string(
+            "+error +(retry | timeout) ti* -deploy search^2",
+            k=10, with_docs=False,
+        ).collect()
+        record("query_string", time.time() - t1)
+        t1 = time.time()
+        pos_engine.top_k_query_string(
+            '+"error retry" timeout', k=10, with_docs=False,
+        ).collect()
+        record("query_string_phrase", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",
