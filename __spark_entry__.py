@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_multi_match"] = _transcripts_multi_match
     # ES multi_match cross_fields (term-centric max, tie_breaker=0)
     q["transcripts_multi_match_cross"] = _transcripts_multi_match_cross
+    # ES dis_max tie_breaker (max + tb * (sum - max) across fields)
+    q["transcripts_multi_match_dismax"] = _transcripts_multi_match_dismax
     # ES multi_match most_fields: fields' scores ADD — routed through
     # the standard BLOCK-MAX top_k with per-term (per-field) avgdl
     q["transcripts_multi_match_most"] = _transcripts_multi_match_most
@@ -794,6 +796,26 @@ def _transcripts_multi_match(spark, sf_dir):
     engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
     return engine.top_k_multi_match(
         "search python", _MF_FIELDS, k=10, with_docs=False
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_multi_match_dismax(spark, sf_dir):
+    """ES dis_max tie_breaker on multi_match best_fields: the winning
+    field scores fully, every other matching field adds tie_breaker x
+    its score (max + tb * (sum - max) over the per-field partials —
+    wand.score_range_multi).  Same one pruned field-tagged scan as
+    best_fields; tb=0/tb=1 endpoints are pinned in pytest against
+    best_fields/most_fields."""
+    _transcripts_multi_match(spark, sf_dir)  # ensure the index exists
+    import os
+
+    from sotohp_spark.index import QueryEngine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    engine = QueryEngine(spark, _MF_INDEX_CACHE[tag])
+    return engine.top_k_multi_match(
+        "search python", _MF_FIELDS, k=10, with_docs=False,
+        tie_breaker=0.3,
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -2292,6 +2314,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_multi_match"] = _transcripts_multi_match_oracle_sql(
         "search python", k=10
     )
+    o["transcripts_multi_match_dismax"] = (
+        _transcripts_multi_match_oracle_sql(
+            "search python", k=10, tie_breaker=0.3
+        )
+    )
     o["transcripts_multi_match_cross"] = (
         _transcripts_multi_match_oracle_sql(
             "error retry search", k=10, match_type="cross_fields"
@@ -2866,7 +2893,7 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 def _transcripts_multi_match_oracle_sql(
     query_text: str, k: int = 10, text_boost: float = 1.0,
     tool_boost: float = 2.0, k1: float = 1.2, b: float = 0.75,
-    match_type: str = "best_fields",
+    match_type: str = "best_fields", tie_breaker: float = 0.0,
 ) -> str:
     """multi_match twin over the fields index's stored per-field tf
     maps: each field's df / doc length / avgdl recomputed
@@ -2940,6 +2967,8 @@ comb AS (
    if match_type == "cross_fields" else
    "SELECT doc_id, sum(s) AS raw FROM u GROUP BY doc_id"
    if match_type == "most_fields" else
+   f"SELECT doc_id, max(fs) + {tie_breaker} * (sum(fs) - max(fs)) AS raw FROM (SELECT doc_id, fld, sum(s) AS fs FROM u GROUP BY doc_id, fld) GROUP BY doc_id"
+   if tie_breaker else
    "SELECT doc_id, max(fs) AS raw FROM (SELECT doc_id, fld, sum(s) AS fs FROM u GROUP BY doc_id, fld) GROUP BY doc_id"}
 )
 SELECT doc_id, round(raw, 6) AS score

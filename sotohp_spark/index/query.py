@@ -1382,7 +1382,8 @@ class QueryEngine:
 
     def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,
                           match_type: str = "best_fields",
-                          with_docs: bool = True, source=None) -> DataFrame:
+                          with_docs: bool = True, source=None,
+                          tie_breaker: float = 0.0) -> DataFrame:
         """ES ``multi_match``: the query scored against SEVERAL
         analyzed fields with per-field boosts — the reference's
         multi-field search doc (keywords / description /
@@ -1398,6 +1399,12 @@ class QueryEngine:
         summed over terms — the ES cross_fields shape at
         tie_breaker=0, evaluated with per-field statistics rather
         than ES's blended dfs; stated because the oracle mirrors it).
+
+        ``tie_breaker`` (best_fields only — the ES dis_max knob): the
+        best field scores fully and every other matching field adds
+        ``tie_breaker`` x its score (``max + tb * (sum - max)``);
+        0.0 = pure dis_max (ES default), 1.0 ranks identically to
+        most_fields.
 
         Scoring contract: per field, standard BM25 with the FIELD's
         stats — df of the field-tagged dictionary entry, the field's
@@ -1477,6 +1484,13 @@ class QueryEngine:
                 f"match_type must be best_fields|most_fields|"
                 f"cross_fields, got {match_type!r}"
             )
+        tie_breaker = float(tie_breaker)
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {tie_breaker}"
+            )
+        if tie_breaker and combine != "best":
+            raise ValueError("tie_breaker applies to best_fields only")
         if combine == "sum":
             # most_fields IS a weighted disjunction over the tagged
             # keys (fields' scores ADD, membership = any key matched),
@@ -1525,7 +1539,7 @@ class QueryEngine:
                     d, s = wand.score_range_multi(
                         by_range[rid], weights, term_field, field_avgdl,
                         k, cfg=cfg, deletes=self._deletes, combine=combine,
-                        term_tid=term_tid,
+                        term_tid=term_tid, tie_breaker=tie_breaker,
                     )
                     all_d.append(d)
                     all_s.append(s)
@@ -1551,7 +1565,7 @@ class QueryEngine:
             d, s = wand.score_range_multi(
                 pdf.to_dict("records"), weights, term_field, field_avgdl,
                 k, cfg=cfg, deletes=deletes, combine=combine,
-                term_tid=term_tid,
+                term_tid=term_tid, tie_breaker=tie_breaker,
             )
             return pd.DataFrame({"doc_id": d, "score": s})
 

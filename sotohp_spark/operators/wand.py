@@ -425,6 +425,7 @@ def score_range_multi(
     deletes: np.ndarray | None = None,
     combine: str = "best",
     term_tid: dict | None = None,
+    tie_breaker: float = 0.0,
 ):
     """Multi-field BM25 for one doc-id range (ES ``multi_match``).
 
@@ -440,6 +441,12 @@ def score_range_multi(
     statistics; ``term_tid``: key -> base-term id, required for
     "cross").
 
+    ``tie_breaker`` (``"best"`` only — the ES dis_max knob): the
+    winning field scores fully, every OTHER matching field adds
+    ``tie_breaker`` times its score — ``max + tb * (sum - max)``.
+    0.0 is pure dis_max (the ES default); 1.0 makes best_fields
+    score-identical to most_fields.
+
     Full-decode path, no block-max cut: the cross-field combine needs
     every field's exact partial per doc before max/sum, so a per-field
     early exit cannot bound the combined score (same
@@ -452,6 +459,11 @@ def score_range_multi(
         )
     if combine == "cross" and term_tid is None:
         raise ValueError("combine='cross' needs term_tid")
+    tie_breaker = float(tie_breaker)
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    if tie_breaker and combine != "best":
+        raise ValueError("tie_breaker applies to combine='best' only")
     if not shards:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     shards = sorted(shards, key=lambda s: (s["term"], s.get("first_doc", 0)))
@@ -511,6 +523,10 @@ def score_range_multi(
     out_d = docs2[uniq2]
     if combine == "best":
         out_s = np.maximum.reduceat(pf, starts)
+        if tie_breaker:
+            # ES dis_max: losing fields add tie_breaker * their score
+            sums = np.add.reduceat(pf, starts)
+            out_s = out_s + tie_breaker * (sums - out_s)
     else:  # "sum" and "cross" both ADD their per-group partials
         out_s = np.add.reduceat(pf, starts)
     if k is None:

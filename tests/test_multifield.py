@@ -380,3 +380,54 @@ def test_bool_over_fields(mf_setup):
     import pytest as _pt
     with _pt.raises(ValueError):
         engine.top_k_bool(Bool(must=["error"]), fields=["nope"])
+
+
+def test_tie_breaker_dis_max(mf_setup):
+    """ES dis_max tie_breaker: score = max + tb * (sum - max) over the
+    per-field partials.  tb=0 is pure best_fields; tb=1 is
+    score-identical to most_fields (sum); 0 < tb < 1 interpolates
+    exactly — pinned per doc against the two endpoint runs."""
+    engine, _, _, _ = mf_setup
+    qt, fields = "search python", [("text", 1.0), ("tool", 2.0)]
+    a = engine.top_k_multi_match(qt, fields, k=50, with_docs=False).collect()
+    b = engine.top_k_multi_match(
+        qt, fields, k=50, with_docs=False, tie_breaker=0.0).collect()
+    assert [(r.doc_id, r.score) for r in a] == [
+        (r.doc_id, r.score) for r in b]
+    c = engine.top_k_multi_match(
+        qt, fields, k=50, with_docs=False, tie_breaker=1.0).collect()
+    d = engine.top_k_multi_match(
+        qt, fields, k=50, match_type="most_fields",
+        with_docs=False).collect()
+    assert [r.doc_id for r in c] == [r.doc_id for r in d]
+    assert np.allclose([r.score for r in c], [r.score for r in d],
+                       atol=1e-9, rtol=0)
+    best = {r.doc_id: r.score for r in a}
+    most = {r.doc_id: r.score for r in d}
+    mid = engine.top_k_multi_match(
+        qt, fields, k=50, with_docs=False, tie_breaker=0.3).collect()
+    assert mid
+    for r in mid:
+        want = best[r.doc_id] + 0.3 * (most[r.doc_id] - best[r.doc_id])
+        assert abs(r.score - want) < 1e-9
+    with pytest.raises(ValueError):
+        engine.top_k_multi_match(qt, fields, tie_breaker=1.5)
+    with pytest.raises(ValueError):
+        engine.top_k_multi_match(
+            qt, fields, match_type="most_fields", tie_breaker=0.5)
+
+
+def test_tie_breaker_distributed_identity(mf_setup):
+    engine, _, _, _ = mf_setup
+    qt, fields = "search python", [("text", 1.0), ("tool", 2.0)]
+    local = engine.top_k_multi_match(
+        qt, fields, k=10, with_docs=False, tie_breaker=0.3).collect()
+    old = engine.LOCAL_PATH_MAX_POSTINGS
+    engine.LOCAL_PATH_MAX_POSTINGS = 0
+    try:
+        dist = engine.top_k_multi_match(
+            qt, fields, k=10, with_docs=False, tie_breaker=0.3).collect()
+    finally:
+        engine.LOCAL_PATH_MAX_POSTINGS = old
+    assert [(r.doc_id, r.score) for r in local] == [
+        (r.doc_id, r.score) for r in dist]
