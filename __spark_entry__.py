@@ -351,6 +351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_query_string_phrase"] = (
         _transcripts_query_string_phrase
     )
+    # ES aggregations pack (round 7): top_hits (N best per bucket),
+    # percentiles (exact / sketch), filters (named buckets, one batch
+    # job), range + stats sub-agg (empty buckets kept)
+    q["transcripts_top_hits"] = _transcripts_top_hits
+    q["transcripts_percentiles"] = _transcripts_percentiles
+    q["transcripts_filters_agg"] = _transcripts_filters_agg
+    q["transcripts_range_agg"] = _transcripts_range_agg
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -925,6 +932,58 @@ def _transcripts_query_string_phrase(spark, sf_dir):
     return engine.top_k_query_string(
         _QSP_QUERY, k=10, with_docs=False, texts=texts
     ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation (QueryEngine.top_hits): per month
+    bucket the 3 best-scoring matches, buckets ranked by their best
+    hit — field collapsing generalized to N hits.  Scored export (no
+    BM25 cut — same contract as collapse), pruned metadata join, one
+    window over the matched set partitioned by bucket."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_hits(
+        "error retry", k=5, size=3, by="month"
+    ).select(
+        "bucket", F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id", "conv_id", F.round("score", 6).alias("score"),
+    )
+
+
+def _transcripts_percentiles(spark, sf_dir):
+    """ES percentiles aggregation (QueryEngine.percentiles): the
+    doc_len distribution of the matched set, exact linear-interpolated
+    quantiles (the DuckDB quantile_cont contract; method='approx' is
+    the mergeable-sketch 100-TB path, mirroring ES's own t-digest)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.percentiles(
+        "error retry", (25.0, 50.0, 75.0, 95.0, 99.0)
+    ).select("percent", F.round("value", 6).alias("value"))
+
+
+def _transcripts_filters_agg(spark, sf_dir):
+    """ES filters aggregation (QueryEngine.filters_agg): named filter
+    queries counted in ONE batch job (each term's postings decoded
+    once per range, shared across filters), empty buckets kept at 0
+    like ES."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.filters_agg({
+        "errors": "error retry",
+        "timeouts": "timeout",
+        "searches": "search query",
+        "nonesuch": "zzqxnope",
+    })
+
+
+def _transcripts_range_agg(spark, sf_dir):
+    """ES range aggregation with a stats sub-agg (QueryEngine.
+    range_agg): matched docs bucketed by half-open doc_len ranges
+    ([lo, hi), ES boundary contract), per bucket count + min/avg/max
+    n_turns, empty buckets kept."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.range_agg(
+        "error", field="doc_len", edges=(1000.0, 1200.0),
+        metric="n_turns",
+    )
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2332,6 +2391,21 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_fields"] = _transcripts_bool_fields_oracle_sql(
         _bool_fields_query(), k=10
     )
+    o["transcripts_top_hits"] = _transcripts_top_hits_oracle_sql(
+        "error retry", k=5, size=3
+    )
+    o["transcripts_percentiles"] = _transcripts_percentiles_oracle_sql(
+        "error retry"
+    )
+    o["transcripts_filters_agg"] = _transcripts_filters_agg_oracle_sql({
+        "errors": "error retry",
+        "timeouts": "timeout",
+        "searches": "search query",
+        "nonesuch": "zzqxnope",
+    })
+    o["transcripts_range_agg"] = _transcripts_range_agg_oracle_sql(
+        "error", edges=(1000.0, 1200.0), metric="n_turns"
+    )
     o["transcripts_query_string"] = _transcripts_query_string_oracle_sql(
         k=10
     )
@@ -3505,6 +3579,192 @@ scored AS (
 )
 SELECT doc_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_top_hits_oracle_sql(
+    query_text: str, k: int = 5, size: int = 3,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """top_hits twin: conjunctive BM25-scored matches, month buckets,
+    a window row_number cut to ``size`` per bucket, buckets ranked by
+    their best hit (best desc, bucket asc) LIMIT k — the whole
+    aggregation re-derived in SQL windows."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(qtf.items()))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_ts, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {q_vals}),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         any_value(tf.doc_ts) AS doc_ts,
+         sum(q.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = {len(qtf)}
+),
+hits AS (
+  SELECT strftime(doc_ts, '%Y-%m') AS bucket,
+         row_number() OVER (
+           PARTITION BY strftime(doc_ts, '%Y-%m')
+           ORDER BY raw DESC, doc_id ASC
+         ) AS hit_rank,
+         doc_id, conv_id, raw
+  FROM scored
+),
+hk AS (SELECT * FROM hits WHERE hit_rank <= {size}),
+tb AS (
+  SELECT bucket FROM hk GROUP BY bucket
+  ORDER BY max(raw) DESC, bucket ASC LIMIT {k}
+)
+SELECT hk.bucket, hk.hit_rank::BIGINT AS hit_rank, hk.doc_id,
+       hk.conv_id, round(hk.raw, 6) AS score
+FROM hk JOIN tb USING (bucket)
+ORDER BY bucket, hit_rank
+"""
+
+
+def _transcripts_percentiles_oracle_sql(
+    query_text: str, percents=(25.0, 50.0, 75.0, 95.0, 99.0),
+) -> str:
+    """percentiles twin: quantile_cont (linear interpolation — the
+    same definition Spark's exact percentile uses) over the matched
+    set's doc_len."""
+    from collections import Counter
+
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query_text))
+    q_vals = ", ".join(f"('{t}')" for t in sorted(qtf))
+    fr = ", ".join(f"{p / 100.0!r}" for p in percents)
+    ps = ", ".join(f"{float(p)!r}" for p in percents)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+q(term) AS (VALUES {q_vals}),
+members AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = {len(qtf)}
+),
+v AS (
+  SELECT d.doc_len::DOUBLE AS x
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}') d JOIN members USING (doc_id)
+),
+qs AS (SELECT quantile_cont(x, [{fr}]) AS arr FROM v)
+SELECT p.percent, round(p.value, 6) AS value FROM (
+  SELECT unnest([{ps}]) AS percent, unnest(arr) AS value FROM qs
+) p ORDER BY percent
+"""
+
+
+def _transcripts_filters_agg_oracle_sql(filters: dict) -> str:
+    """filters-agg twin: per named filter, docs containing ALL its
+    analyzed terms, counted; zero buckets completed by a VALUES list
+    left join — empty buckets kept like ES."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    pairs, names = [], []
+    for name in sorted(filters):
+        names.append(f"('{name}')")
+        for t in sorted(set(tokenize(filters[name]))):
+            pairs.append(f"('{name}', '{t}')")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+q(name, term) AS (VALUES {", ".join(pairs)}),
+need AS (SELECT name, count(DISTINCT term) AS nt FROM q GROUP BY name),
+hit AS (
+  SELECT q.name, tf.doc_id, count(DISTINCT tf.term) AS m
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY q.name, tf.doc_id
+),
+cnt AS (
+  SELECT hit.name, count(*)::BIGINT AS n
+  FROM hit JOIN need USING (name)
+  WHERE hit.m = need.nt GROUP BY hit.name
+),
+names(name) AS (VALUES {", ".join(names)})
+SELECT name, coalesce(cnt.n, 0)::BIGINT AS n_docs
+FROM names LEFT JOIN cnt USING (name) ORDER BY name
+"""
+
+
+def _transcripts_range_agg_oracle_sql(
+    query_text: str, edges=(1000.0, 1200.0), metric: str = "n_turns",
+) -> str:
+    """range-agg twin: the same half-open [lo, hi) CASE chain over
+    doc_len, count + min/avg/max of the metric per bucket, empty
+    buckets completed by a position-ordered VALUES list."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query_text)))
+    t_vals = ", ".join(f"('{t}')" for t in terms)
+    es = [float(e) for e in edges]
+
+    def _label(lo, hi):
+        lo_s = "*" if lo is None else f"{lo:g}"
+        hi_s = "*" if hi is None else f"{hi:g}"
+        return f"{lo_s}-{hi_s}"
+
+    bounds = [(None, es[0])] + list(zip(es, es[1:])) + [(es[-1], None)]
+    case = f"WHEN doc_len < {es[0]} THEN '{_label(None, es[0])}'"
+    for lo, hi in bounds[1:-1]:
+        case += f" WHEN doc_len < {hi} THEN '{_label(lo, hi)}'"
+    case = f"CASE {case} ELSE '{_label(es[-1], None)}' END"
+    b_vals = ", ".join(
+        f"({i}, '{_label(lo, hi)}')"
+        for i, (lo, hi) in enumerate(bounds)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+q(term) AS (VALUES {t_vals}),
+members AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = {len(terms)}
+),
+d AS (
+  SELECT {case} AS bucket, {metric}::DOUBLE AS m
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}') JOIN members USING (doc_id)
+),
+got AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, min(m) AS min_m,
+         round(avg(m), 6) AS avg_m, max(m) AS max_m
+  FROM d GROUP BY bucket
+),
+buckets(pos, bucket) AS (VALUES {b_vals})
+SELECT bucket, coalesce(n_docs, 0)::BIGINT AS n_docs,
+       min_m, avg_m, max_m
+FROM buckets LEFT JOIN got USING (bucket) ORDER BY pos
 """
 
 

@@ -255,6 +255,28 @@ def main():
         ).collect()
         record("query_string_phrase", time.time() - t1)
 
+    # round-7 aggregations pack, warm: top_hits (windowed matched
+    # set), exact percentiles, filters (one batch job), range+stats
+    for _ in range(REPS):
+        t1 = time.time()
+        engine.top_hits("error retry", k=5, size=3, by="month").collect()
+        record("agg_top_hits", time.time() - t1)
+        t1 = time.time()
+        engine.percentiles("error retry").collect()
+        record("agg_percentiles", time.time() - t1)
+        t1 = time.time()
+        engine.filters_agg({
+            "errors": "error retry", "timeouts": "timeout",
+            "searches": "search query",
+        }).collect()
+        record("agg_filters", time.time() - t1)
+        t1 = time.time()
+        engine.range_agg(
+            "error", field="doc_len", edges=(1000.0, 1200.0),
+            metric="n_turns",
+        ).collect()
+        record("agg_range", time.time() - t1)
+
     # ---- operator-surface headliners on the driver testdata ----
     headline = [
         "bm25_topk_docs",

@@ -2747,6 +2747,239 @@ class QueryEngine:
             .orderBy("facet")
         )
 
+    # numeric doc-metadata fields the metric aggregations accept
+    _NUMERIC_DOC_FIELDS = ("doc_len", "n_turns")
+
+    def top_hits(self, query_text: str, k: int = 10, size: int = 3,
+                 by: str = "day", conjunctive: bool = False,
+                 source=None) -> DataFrame:
+        """ES ``top_hits`` sub-aggregation under a date-bucket terms
+        agg: the ``size`` best-scoring docs of EACH bucket, buckets
+        ranked by their best doc's score, top ``k`` buckets kept —
+        field collapsing generalized from 1 hit to N hits per bucket.
+        Returns DataFrame(bucket, hit_rank, doc_id, conv_id, score).
+
+        Scale shape: scored_matches streams every match's exact score
+        out of the per-range scorer (the same score-the-matched-set
+        contract as collapse/function_score — a bucket's winners
+        admit no BM25-ordered cut), joins doc metadata with derived
+        range_bucket pruning, then ONE window (partitioned by bucket,
+        matched set only — never the corpus) cut to ``size``; bucket
+        ranking happens on the tiny <= size-per-bucket frame.
+        Determinism: hits order (score desc, doc_id asc); buckets by
+        (best score desc, bucket asc)."""
+        from pyspark.sql import Window
+
+        if size < 1:
+            raise ValueError(f"size must be >= 1, got {size}")
+        if by == "day":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        else:
+            raise ValueError(f"unknown bucket key {by!r} "
+                             "(expected day | week | month)")
+        scored = self.scored_matches(query_text, conjunctive, source)
+        keyed = self._bucket_keyed(scored)
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        hits = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .select(key.alias("bucket"), "doc_id", "conv_id", "score")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= size)
+        )
+        top_buckets = (
+            hits.groupBy("bucket")
+            .agg(F.max("score").alias("best"))
+            .orderBy(F.col("best").desc(), F.col("bucket").asc())
+            .limit(k)
+            .select("bucket")
+        )
+        return (
+            hits.join(F.broadcast(top_buckets), "bucket", "left_semi")
+            .select("bucket", "hit_rank", "doc_id", "conv_id", "score")
+            .orderBy("bucket", "hit_rank")
+        )
+
+    def percentiles(self, query_text: str,
+                    percents=(25.0, 50.0, 75.0, 95.0, 99.0),
+                    field: str = "doc_len", method: str = "exact",
+                    accuracy: int = 10000, source=None) -> DataFrame:
+        """ES ``percentiles`` aggregation over the matched set: the
+        distribution of a numeric doc field among docs matching ALL
+        query terms (filter context).  Returns DataFrame(percent,
+        value), percent ascending; ``percents`` use the ES 0..100
+        scale.
+
+        ``method``: ``"exact"`` (linear-interpolated, the DuckDB
+        quantile_cont contract — oracle-checkable) or ``"approx"``
+        (Spark approx_percentile / KLL-like sketch, mergeable
+        map-side partials — the 100-TB path, mirroring ES's own
+        t-digest approximation; ``accuracy`` trades memory for
+        error).  Exact percentile of N matched values sorts them on
+        one node's aggregation buffer — fine for a filtered slice,
+        wrong for a near-corpus match at 10^12 turns: use approx
+        there, exactly as ES does."""
+        if field not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {field!r}"
+            )
+        pcts = [float(p) for p in percents]
+        if not pcts or not all(0.0 <= p <= 100.0 for p in pcts):
+            raise ValueError(f"percents must be in [0, 100]: {percents}")
+        if method not in ("exact", "approx"):
+            raise ValueError(
+                f"method must be 'exact' or 'approx', got {method!r}"
+            )
+        fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        col = F.col(field).cast("double")
+        if method == "exact":
+            agg = F.percentile(col, fracs)
+        else:
+            agg = F.approx_percentile(col, fracs, F.lit(int(accuracy)))
+        vals = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .agg(agg.alias("vals"))
+            .select(
+                F.posexplode(
+                    F.arrays_zip(
+                        F.array(*[F.lit(p) for p in pcts]).alias("p"),
+                        F.col("vals").alias("v"),
+                    )
+                ).alias("i", "pv")
+            )
+            .select(
+                F.col("pv.p").alias("percent"),
+                F.col("pv.v").cast("double").alias("value"),
+            )
+            .orderBy("percent")
+        )
+        return vals
+
+    def filters_agg(self, filters, source=None) -> DataFrame:
+        """ES ``filters`` aggregation: several NAMED filter queries
+        bucketed and counted in one pass — the dashboard tile row
+        ("errors / retries / deploys this week").  ``filters``: dict
+        name -> query text (conjunctive match, the matching_doc_ids
+        contract).  Returns DataFrame(name, n_docs) with a row for
+        EVERY name (0 on no matches — ES keeps empty buckets),
+        ordered by name.
+
+        Scale shape: matching_doc_ids_batch decodes each term's
+        postings once per range and shares it across every filter
+        referencing it (one distributed job), then a partial-agg
+        count per name; the zero-bucket completion is a broadcast
+        left join against the k-row name list."""
+        if not filters:
+            raise ValueError("filters must be a non-empty dict")
+        names = sorted(str(n) for n in filters)
+        if len(names) != len(filters):
+            raise ValueError("filter names must be distinct strings")
+        counts = (
+            self.matching_doc_ids_batch(
+                [(n, filters[n]) for n in names], source=source
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        name_rows = self.spark.createDataFrame(
+            [(n,) for n in names], "name string"
+        )
+        return (
+            name_rows.join(
+                counts.withColumnRenamed("query_id", "name"),
+                "name", "left",
+            )
+            .select(
+                "name",
+                F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            )
+            .orderBy("name")
+        )
+
+    def range_agg(self, query_text: str, field: str = "doc_len",
+                  edges=(500.0, 1500.0), metric: str = "n_turns",
+                  source=None) -> DataFrame:
+        """ES ``range`` aggregation with a ``stats`` sub-aggregation:
+        matched docs bucketed by half-open ranges of a numeric field
+        ([lo, hi) — the ES range-agg boundary contract, first bucket
+        open below, last open above), each bucket carrying doc count
+        and min/avg/max of a second metric field.  Returns
+        DataFrame(bucket, n_docs, min_m, avg_m, max_m) ordered by the
+        range's position; empty buckets are kept at n_docs 0 (ES
+        keeps them).
+
+        Scale shape: one conjunctive-candidates job, pruned metadata
+        join, then a partial aggregation into len(edges)+1 buckets —
+        the bucket expression is a codegen CASE chain over the sorted
+        edges, no UDF, no window."""
+        if field not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {field!r}"
+            )
+        if metric not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"metric must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {metric!r}"
+            )
+        es = [float(e) for e in edges]
+        if not es or sorted(es) != es or len(set(es)) != len(es):
+            raise ValueError(
+                f"edges must be strictly ascending, got {edges}"
+            )
+
+        def _label(lo, hi):
+            lo_s = "*" if lo is None else f"{lo:g}"
+            hi_s = "*" if hi is None else f"{hi:g}"
+            return f"{lo_s}-{hi_s}"
+
+        bounds = (
+            [(None, es[0])]
+            + list(zip(es, es[1:]))
+            + [(es[-1], None)]
+        )
+        col = F.col(field).cast("double")
+        expr = F.when(col < es[0], F.lit(_label(None, es[0])))
+        for lo, hi in bounds[1:-1]:
+            expr = expr.when(col < hi, F.lit(_label(lo, hi)))
+        expr = expr.otherwise(F.lit(_label(es[-1], None)))
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        m = F.col(metric).cast("double")
+        got = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(expr.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(m).alias("min_m"),
+                F.round(F.avg(m), 6).alias("avg_m"),
+                F.max(m).alias("max_m"),
+            )
+        )
+        order = self.spark.createDataFrame(
+            [(i, _label(lo, hi)) for i, (lo, hi) in enumerate(bounds)],
+            "pos int, bucket string",
+        )
+        return (
+            order.join(got, "bucket", "left")
+            .select(
+                "pos", "bucket",
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                "min_m", "avg_m", "max_m",
+            )
+            .orderBy("pos")
+            .drop("pos")
+        )
+
     def significant_terms(self, query_text: str, k: int = 10,
                           min_doc_count: int = 3,
                           source=None) -> DataFrame:

@@ -1,0 +1,136 @@
+"""ES aggregations pack (round 7): top_hits / percentiles / filters /
+range+stats.  Each is checked against a driver-side brute recompute
+from engine primitives that are themselves oracle-tested
+(scored_matches, matching_doc_ids, the docs metadata table); the
+sf0.01 DuckDB oracles (__spark_entry__) re-derive the same results
+fully independently in SQL."""
+
+import numpy as np
+import pytest
+
+from sotohp_spark.config import EngineConfig
+from sotohp_spark.generator import generate_transcripts_pdf
+from sotohp_spark.index import IndexBuilder, QueryEngine
+
+CFG = EngineConfig(range_size=8, block_size=4, ranges_per_batch=2,
+                   shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("agg_idx"))
+    pdf = generate_transcripts_pdf(0.05)
+    IndexBuilder(spark, path, CFG).build(
+        spark.createDataFrame(pdf), input_fingerprint="agg"
+    )
+    return QueryEngine(spark, path)
+
+
+def _meta(engine):
+    return {
+        r.doc_id: r for r in engine._docs.select(
+            "doc_id", "conv_id", "doc_ts", "doc_len", "n_turns"
+        ).collect()
+    }
+
+
+def test_top_hits_matches_brute(engine):
+    scored = {r.doc_id: r.score
+              for r in engine.scored_matches("error retry").collect()}
+    meta = _meta(engine)
+    by_bucket: dict = {}
+    for d, s in scored.items():
+        b = meta[d].doc_ts.strftime("%Y-%m")
+        by_bucket.setdefault(b, []).append((d, s))
+    want = {}
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        want[b] = rows[:2]
+    top = sorted(
+        want, key=lambda b: (-max(s for _, s in want[b]), b)
+    )[:3]
+    got = engine.top_hits("error retry", k=3, size=2,
+                          by="month").collect()
+    assert sorted({r.bucket for r in got}) == sorted(top)
+    for r in got:
+        d, s = want[r.bucket][r.hit_rank - 1]
+        assert r.doc_id == d and abs(r.score - s) < 1e-9
+        assert r.conv_id == meta[d].conv_id
+    assert all(1 <= r.hit_rank <= 2 for r in got)
+    with pytest.raises(ValueError):
+        engine.top_hits("error", size=0)
+    with pytest.raises(ValueError):
+        engine.top_hits("error", by="fortnight")
+
+
+def test_top_hits_size_one_is_collapse(engine):
+    hits = engine.top_hits("error retry", k=5, size=1,
+                           by="day").collect()
+    coll = engine.top_k_collapse("error retry", k=5, by="day").collect()
+    assert {(r.bucket, r.doc_id) for r in hits} == {
+        (r.collapse_key, r.doc_id) for r in coll
+    }
+
+
+def test_percentiles_exact_matches_numpy(engine):
+    ids = [r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()]
+    meta = _meta(engine)
+    lens = np.array([float(meta[d].doc_len) for d in ids])
+    got = engine.percentiles(
+        "error retry", (10.0, 50.0, 90.0)).collect()
+    assert [r.percent for r in got] == [10.0, 50.0, 90.0]
+    want = np.percentile(lens, [10, 50, 90])  # linear interpolation
+    assert np.allclose([r.value for r in got], want, atol=1e-9)
+    # approx stays within the distribution's range and near exact
+    ap = engine.percentiles("error retry", (50.0,),
+                            method="approx").collect()
+    assert lens.min() <= ap[0].value <= lens.max()
+    with pytest.raises(ValueError):
+        engine.percentiles("error", percents=(120.0,))
+    with pytest.raises(ValueError):
+        engine.percentiles("error", field="conv_id")
+    with pytest.raises(ValueError):
+        engine.percentiles("error", method="tdigest")
+
+
+def test_filters_agg_counts_and_empty_buckets(engine):
+    got = {r.name: r.n_docs for r in engine.filters_agg({
+        "er": "error retry", "to": "timeout", "zz": "zzqxnope",
+    }).collect()}
+    assert got["er"] == engine.matching_doc_ids("error retry").count()
+    assert got["to"] == engine.matching_doc_ids("timeout").count()
+    assert got["zz"] == 0
+    assert set(got) == {"er", "to", "zz"}
+    with pytest.raises(ValueError):
+        engine.filters_agg({})
+
+
+def test_range_agg_matches_brute(engine):
+    ids = [r.doc_id for r in engine.matching_doc_ids("error").collect()]
+    meta = _meta(engine)
+    buckets = {"*-900": [], "900-1100": [], "1100-*": []}
+    for d in ids:
+        dl = meta[d].doc_len
+        key = ("*-900" if dl < 900
+               else "900-1100" if dl < 1100 else "1100-*")
+        buckets[key].append(float(meta[d].n_turns))
+    got = engine.range_agg("error", field="doc_len",
+                           edges=(900.0, 1100.0),
+                           metric="n_turns").collect()
+    assert [r.bucket for r in got] == ["*-900", "900-1100", "1100-*"]
+    for r in got:
+        vals = buckets[r.bucket]
+        assert r.n_docs == len(vals)
+        if vals:
+            assert r.min_m == min(vals) and r.max_m == max(vals)
+            assert abs(r.avg_m - round(sum(vals) / len(vals), 6)) < 1e-6
+        else:
+            assert r.min_m is None
+    assert sum(r.n_docs for r in got) == len(ids)
+    with pytest.raises(ValueError):
+        engine.range_agg("error", edges=(5.0, 5.0))
+    with pytest.raises(ValueError):
+        engine.range_agg("error", edges=(10.0, 2.0))
+    with pytest.raises(ValueError):
+        engine.range_agg("error", field="text")
