@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # percentiles (exact / sketch), filters (named buckets, one batch
     # job), range + stats sub-agg (empty buckets kept)
     q["transcripts_top_hits"] = _transcripts_top_hits
+    # ES regexp query: anchored whole-term regex dictionary expansion
+    q["transcripts_regexp_topk"] = _transcripts_regexp_topk
     q["transcripts_percentiles"] = _transcripts_percentiles
     q["transcripts_filters_agg"] = _transcripts_filters_agg
     q["transcripts_range_agg"] = _transcripts_range_agg
@@ -984,6 +986,18 @@ def _transcripts_range_agg(spark, sf_dir):
         "error", field="doc_len", edges=(1000.0, 1200.0),
         metric="n_turns",
     )
+
+
+def _transcripts_regexp_topk(spark, sf_dir):
+    """ES regexp query (QueryEngine.top_k_regexp): whole-term regex
+    expansion against the term dictionary (literal-prefix
+    StringStartsWith pushdown + anchored codegen rlike, df-desc cap),
+    each expansion scoring with idf(its own df) — the wildcard
+    contract with full regex syntax."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_regexp(
+        "t[0-9]{4}", k=10
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2391,6 +2405,9 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     o["transcripts_bool_fields"] = _transcripts_bool_fields_oracle_sql(
         _bool_fields_query(), k=10
     )
+    o["transcripts_regexp_topk"] = _transcripts_regexp_oracle_sql(
+        "t[0-9]{4}", k=10, max_expansions=50
+    )
     o["transcripts_top_hits"] = _transcripts_top_hits_oracle_sql(
         "error retry", k=5, size=3
     )
@@ -3765,6 +3782,45 @@ buckets(pos, bucket) AS (VALUES {b_vals})
 SELECT bucket, coalesce(n_docs, 0)::BIGINT AS n_docs,
        min_m, avg_m, max_m
 FROM buckets LEFT JOIN got USING (bucket) ORDER BY pos
+"""
+
+
+def _transcripts_regexp_oracle_sql(
+    regex: str, k: int, max_expansions: int = 50,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """regexp twin: dictionary terms whose whole text matches the
+    anchored regex, df desc / term asc capped at max_expansions, each
+    scoring idf(its own df) * tfn — the wildcard oracle with raw
+    regex syntax (DuckDB RE2 and the engine's Java rlike agree on the
+    documented shared subset)."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+cand AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM tf WHERE regexp_matches(term, '^{regex}$')
+  GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(ln(1 + (g.n - cand.df + 0.5) / (cand.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN cand USING (term) CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 

@@ -2261,6 +2261,91 @@ class QueryEngine:
         )
         return [(r["term"], int(r["df"])) for r in rows]
 
+    def regexp_expand(self, regex: str, max_expansions: int = 50,
+                      order: str = "df") -> list:
+        """Dictionary terms whose WHOLE text matches ``regex`` — the
+        ES ``regexp`` query's expansion step (Lucene anchors regexp
+        queries to the full term; no ^/$ needed or allowed).  Returns
+        (term, df) pairs capped at ``max_expansions`` in ``order``
+        ("df" = highest df first, the scoring rewrite; "term" =
+        index order), the wildcard_expand contract.
+
+        Dialect: the pattern executes JVM-side as a codegen ``rlike``
+        (Java regex) after driver-side validation with Python ``re``
+        — stick to the shared subset (literals, ``.``, classes,
+        groups, ``|``, ``*+?{}``); Lucene-specific operators
+        (``~`` complement, ``<>`` intervals, ``&`` intersection) are
+        not part of this dialect.
+
+        Scale shape: ONE dictionary job over term_stats.  The leading
+        LITERAL run of the pattern pushes down as StringStartsWith
+        (row-group pruning on the term-sorted scan); the anchored
+        regex refines post-scan in codegen.  A pattern with no
+        literal prefix scans the whole dictionary — the same
+        documented cost cliff as leading-wildcard queries."""
+        import re
+
+        pat = regex.strip().lower()
+        if not pat or max_expansions < 1:
+            return []
+        if pat.startswith("^") or pat.endswith("$"):
+            raise ValueError(
+                "regexp queries are whole-term anchored already — "
+                "drop the ^/$ (the Lucene regexp contract)"
+            )
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise ValueError(f"invalid regexp {regex!r}: {e}") from e
+        if order not in ("df", "term"):
+            raise ValueError(f"order must be 'df' or 'term', got {order!r}")
+        m = re.match(r"[a-z0-9_]+", pat)
+        # a literal run followed by a quantifier binds to its LAST
+        # char, so only the part strictly before it is a fixed prefix
+        prefix = m.group(0) if m else ""
+        if prefix and len(prefix) < len(pat) and pat[len(prefix)] in "*?+{":
+            prefix = prefix[:-1]
+        rx = "^" + pat + "$"
+        dic = self._term_stats
+        if prefix:
+            dic = dic.where(F.col("term").startswith(prefix))
+        sort_cols = (
+            [F.col("df").desc(), F.col("term").asc()]
+            if order == "df"
+            else [F.col("term").asc()]
+        )
+        rows = (
+            dic.where(F.col("term").rlike(rx))
+            .orderBy(*sort_cols)
+            .limit(int(max_expansions))
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def top_k_regexp(self, regex: str, k: int = 10,
+                     max_expansions: int = 50,
+                     with_docs: bool = True) -> DataFrame:
+        """Top-k BM25 for an ES ``regexp`` query: whole-term regex
+        expansion against the dictionary (regexp_expand), each
+        expansion scoring as a disjunctive term with idf(its OWN df)
+        — the same deterministic per-expansion contract as
+        top_k_wildcard/top_k_fuzzy, reproducible in SQL.  Warm cost:
+        1 dictionary job + the standard top_k machinery (block-max,
+        driver-local gate, deletes, pagination unchanged)."""
+        from sotohp_spark.operators import bm25 as _bm25
+
+        cand = self.regexp_expand(regex, max_expansions)
+        n = self.meta["n_docs"]
+        weights = {
+            t: _bm25.lucene_idf_scalar(n, df) for t, df in cand
+        }
+        if not weights:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        return self.top_k(
+            None, k=k, with_docs=with_docs, _weights=weights
+        )
+
     def top_k_wildcard(self, pattern: str, k: int = 10,
                        max_expansions: int = 50,
                        with_docs: bool = True) -> DataFrame:

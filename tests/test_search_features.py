@@ -1229,3 +1229,44 @@ def test_cardinality_exact_and_approx(spark, tmp_path):
         "n_distinct"] == 0
     with pytest.raises(ValueError):
         engine.cardinality("error", by="n_turns")
+
+
+def test_regexp_expand_and_topk(spark, tmp_path):
+    """ES regexp query: whole-term anchored expansion.  A pure-prefix
+    regex must agree exactly with the wildcard expansion of the same
+    prefix (same dictionary, same df-desc cap), the literal prefix
+    must push down as StringStartsWith, and ^/$ or invalid patterns
+    raise driver-side."""
+    engine = _fixture(spark, tmp_path)
+    assert engine.regexp_expand("re.*", 50) == \
+        engine.wildcard_expand("re*", 50)
+    got = engine.regexp_expand("re(try|start)", 10)
+    want = {"retry", "restart"}
+    assert {t for t, _ in got} <= want and got
+    df_count = Counter()
+    for t in TEXTS:
+        for term in set(tokenize(t)):
+            df_count[term] += 1
+    for t, df in got:
+        assert df == df_count[t]
+    a = engine.top_k_regexp("re.*", k=10, with_docs=False).collect()
+    b = engine.top_k_wildcard("re*", k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in a] == [
+        (r.doc_id, r.score) for r in b]
+    plan = (
+        engine._term_stats
+        .where(F.col("term").startswith("re"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith" in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.regexp_expand("^anchored$")
+    with _pytest.raises(ValueError):
+        engine.regexp_expand("bad[")
+    # quantifier binds to the last literal char: the pushdown prefix
+    # must back off to "re", so "retry" (where the optional 't' IS
+    # present) still expands
+    assert {t for t, _ in engine.regexp_expand("ret?ry", 10)} == {
+        "retry"
+    }
