@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_top_hits"] = _transcripts_top_hits
     # ES regexp query: anchored whole-term regex dictionary expansion
     q["transcripts_regexp_topk"] = _transcripts_regexp_topk
+    # query-time synonym expansion compiled onto the bool machinery
+    q["transcripts_synonyms_topk"] = _transcripts_synonyms_topk
     q["transcripts_percentiles"] = _transcripts_percentiles
     q["transcripts_filters_agg"] = _transcripts_filters_agg
     q["transcripts_range_agg"] = _transcripts_range_agg
@@ -997,6 +999,22 @@ def _transcripts_regexp_topk(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.top_k_regexp(
         "t[0-9]{4}", k=10
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+_SYNONYMS = {"error": ["failure", "fault"], "retry": ["reattempt"]}
+
+
+def _transcripts_synonyms_topk(spark, sf_dir):
+    """Query-time synonym expansion (QueryEngine.top_k_synonyms — the
+    ES synonym_graph query-time shape): each analyzed query term
+    becomes one bool clause covering its synonym group (OR within,
+    operator=and across groups), every member scoring with its OWN
+    idf (documented deviation from Lucene SynonymQuery blended-df;
+    the oracle mirrors it).  One pruned block-max job."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_synonyms(
+        "error retry", _SYNONYMS, k=10, operator="and"
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
@@ -2404,6 +2422,10 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     )
     o["transcripts_bool_fields"] = _transcripts_bool_fields_oracle_sql(
         _bool_fields_query(), k=10
+    )
+    from sotohp_spark.index import Bool as _Bool
+    o["transcripts_synonyms_topk"] = _transcripts_bool_oracle_sql(
+        _Bool(must=("error failure fault", "retry reattempt")), k=10
     )
     o["transcripts_regexp_topk"] = _transcripts_regexp_oracle_sql(
         "t[0-9]{4}", k=10, max_expansions=50

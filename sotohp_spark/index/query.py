@@ -1380,6 +1380,61 @@ class QueryEngine:
         ).limit(k)
         return self._attach_docs(out) if with_docs else out
 
+    def synonyms_bool(self, query_text: str, synonyms: dict,
+                      operator: str = "or",
+                      source=None) -> "Bool":
+        """Compile a query with query-time SYNONYM expansion into a
+        Bool — the ES ``synonym_graph`` token-filter shape applied at
+        query time (index-time positions stay untouched, exactly why
+        ES recommends query-time synonyms).  Each analyzed query term
+        becomes one match clause covering its synonym group (the term
+        + its expansions, OR within); ``operator`` "or"/"and" decides
+        whether clauses are should (minimum_should_match 1) or must —
+        the match-query operator.  Execute with top_k_bool.
+
+        Scoring contract: every group member scores with its OWN idf
+        (the per-expansion contract of wildcard/fuzzy — a documented
+        deviation from Lucene's SynonymQuery blended-df, stated
+        because the oracle mirrors it).  ``synonyms``: dict mapping a
+        term to its synonym list; lookups happen on ANALYZED query
+        terms; synonym texts are analyzed too (multi-word synonyms
+        contribute each of their tokens to the group)."""
+        if operator not in ("or", "and"):
+            raise ValueError(
+                f"operator must be 'or' or 'and', got {operator!r}"
+            )
+        rules = self._query_rules(source)
+        toks = tokenize(query_text, rules)
+        clauses = []
+        seen = set()
+        for t in toks:
+            if t in seen:
+                continue
+            seen.add(t)
+            group = [t]
+            for syn in synonyms.get(t, ()):
+                group.extend(tokenize(str(syn), rules))
+            # dedupe, keep order
+            text = " ".join(dict.fromkeys(group))
+            clauses.append(text)
+        if operator == "and":
+            return Bool(must=tuple(clauses))
+        return Bool(should=tuple(clauses), minimum_should_match=1)
+
+    def top_k_synonyms(self, query_text: str, synonyms: dict,
+                       k: int = 10, operator: str = "or",
+                       with_docs: bool = True, source=None) -> DataFrame:
+        """Top-k BM25 with query-time synonym expansion (see
+        synonyms_bool): ONE pruned block-max job via top_k_bool —
+        group membership is the clause bitmask, so "and" requires a
+        hit from EVERY group (any member), never every member."""
+        q = self.synonyms_bool(query_text, synonyms, operator, source)
+        if not q.must and not q.should:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        return self.top_k_bool(q, k=k, with_docs=with_docs,
+                               source=source)
+
     def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,
                           match_type: str = "best_fields",
                           with_docs: bool = True, source=None,

@@ -260,3 +260,42 @@ def test_bool_search_after_pagination(bool_setup):
     want = brute_bool(oracle, q, k=10)
     got = [(r["doc_id"]) for r in page1 + page2]
     assert got == [d for d, _ in want]
+
+
+def test_synonyms_compile_and_rank(bool_setup):
+    """Query-time synonym expansion: each term's group is ONE clause
+    (OR within, operator across), so ranks must equal the hand-built
+    Bool; unknown synonyms (absent terms) must not change membership
+    of docs that match via the original term; multi-word synonyms
+    contribute each analyzed token."""
+    engine, _ = bool_setup
+    syn = {"error": ["failure", "fault"],
+           "timeout": ["deadline exceeded"]}
+    got = engine.top_k_synonyms(
+        "error timeout", syn, k=10, operator="and",
+        with_docs=False).collect()
+    want = engine.top_k_bool(Bool(
+        must=("error failure fault", "timeout deadline exceeded")),
+        k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want] and got
+    got_or = engine.top_k_synonyms(
+        "error timeout", syn, k=10, with_docs=False).collect()
+    want_or = engine.top_k_bool(Bool(
+        should=("error failure fault", "timeout deadline exceeded"),
+        minimum_should_match=1), k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in got_or] == [
+        (r.doc_id, r.score) for r in want_or]
+    # no synonyms at all == plain bool per-term clauses
+    plain = engine.top_k_synonyms(
+        "error timeout", {}, k=10, operator="and",
+        with_docs=False).collect()
+    base = engine.top_k_bool(Bool(must=("error", "timeout")),
+                             k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in plain] == [
+        (r.doc_id, r.score) for r in base]
+    with pytest.raises(ValueError):
+        engine.top_k_synonyms("error", syn, operator="xor")
+    # all-dropped query -> empty
+    assert engine.top_k_synonyms(
+        "2024", syn, k=5, with_docs=False).count() == 0
