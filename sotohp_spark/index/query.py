@@ -2785,15 +2785,35 @@ class QueryEngine:
 
         ids = self.matching_doc_ids(query_text, source=source)
         segs = self.meta.get("segments") or [[0, self.meta["max_doc"]]]
-        seg_col = F.lit(None).cast("int")
-        for i, (lo, hi) in reversed(list(enumerate(segs))):
-            seg_col = F.when(
-                (F.col("doc_id") >= int(lo)) & (F.col("doc_id") <= int(hi)),
-                F.lit(i),
-            ).otherwise(seg_col)
+        if len(segs) <= 16:
+            # few segments: a literal CASE chain stays in whole-stage
+            # codegen with zero join overhead
+            seg_col = F.lit(None).cast("int")
+            for i, (lo, hi) in reversed(list(enumerate(segs))):
+                seg_col = F.when(
+                    (F.col("doc_id") >= int(lo))
+                    & (F.col("doc_id") <= int(hi)),
+                    F.lit(i),
+                ).otherwise(seg_col)
+            tagged = ids.withColumn("seg", seg_col)
+        else:
+            # many segments (append-heavy index with auto-merge off):
+            # a literal expression tree would grow linearly in the
+            # PLAN (codegen bloat per query) — ship the bounds as a
+            # broadcast (seg, lo, hi) table instead; per-row cost is
+            # the same O(n_segments) containment test, plan size O(1)
+            bounds = self.spark.createDataFrame(
+                [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(segs)],
+                "seg int, lo long, hi long",
+            )
+            tagged = ids.join(
+                F.broadcast(bounds),
+                (F.col("doc_id") >= F.col("lo"))
+                & (F.col("doc_id") <= F.col("hi")),
+            ).drop("lo", "hi")
         w = Window.partitionBy("seg").orderBy(F.col("doc_id").desc())
         survivors = (
-            ids.withColumn("seg", seg_col)
+            tagged
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("doc_id")

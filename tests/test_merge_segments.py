@@ -356,3 +356,39 @@ def test_auto_merge_default_keeps_files_bounded(spark, tmp_path):
         assert sorted(round(r["score"], 9) for r in a) == sorted(
             round(r["score"], 9) for r in b
         ), qt
+
+
+def test_top_k_recent_many_segments_join_path(spark, appended):
+    """top_k_recent's segment tagging: past 16 segments the literal
+    CASE chain becomes a broadcast (seg, lo, hi) bounds join (plan
+    size O(1) instead of a per-query expression tree growing with the
+    segment count).  Splitting the real segments into finer contiguous
+    intervals is semantics-preserving (per-interval top-k then global
+    sort), so the join path must return exactly the CASE-chain rows."""
+    path, _ = appended
+    engine = QueryEngine(spark, path)
+    base = [(r.doc_id, r.conv_id, r.doc_ts) for r in
+            engine.top_k_recent("error retry", k=7).collect()]
+    assert base
+    segs = [list(map(int, s)) for s in
+            (engine.meta.get("segments")
+             or [[0, engine.meta["max_doc"]]])]
+    fine = []
+    for lo, hi in segs:
+        mid = (lo + hi) // 2
+        if mid > lo and mid + 1 <= hi and len(fine) < 30:
+            fine.append([lo, mid])
+            fine.append([mid + 1, hi])
+        else:
+            fine.append([lo, hi])
+    while len(fine) <= 16:  # force the join path
+        lo, hi = fine[-1]
+        if hi > lo:
+            fine[-1] = [lo, hi - 1]
+            fine.append([hi, hi])
+        else:
+            fine.append([hi + 1, hi])  # empty interval, harmless
+    engine.meta["segments"] = fine
+    got = [(r.doc_id, r.conv_id, r.doc_ts) for r in
+           engine.top_k_recent("error retry", k=7).collect()]
+    assert got == base
