@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_regexp_topk"] = _transcripts_regexp_topk
     # query-time synonym expansion compiled onto the bool machinery
     q["transcripts_synonyms_topk"] = _transcripts_synonyms_topk
+    # ES match_bool_prefix: search-as-you-type, no adjacency
+    q["transcripts_match_bool_prefix"] = _transcripts_match_bool_prefix
     q["transcripts_percentiles"] = _transcripts_percentiles
     q["transcripts_filters_agg"] = _transcripts_filters_agg
     q["transcripts_range_agg"] = _transcripts_range_agg
@@ -1015,6 +1017,18 @@ def _transcripts_synonyms_topk(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.top_k_synonyms(
         "error retry", _SYNONYMS, k=10, operator="and"
+    ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (QueryEngine.top_k_match_bool_prefix):
+    search-as-you-type with NO adjacency — every analyzed term an
+    optional bool clause, the trailing term a dictionary-expanded
+    prefix clause (per-expansion idf), minimum_should_match=1; one
+    dictionary job + one pruned block-max job."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.top_k_match_bool_prefix(
+        "error retry tim", k=10
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
@@ -2426,6 +2440,11 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
     from sotohp_spark.index import Bool as _Bool
     o["transcripts_synonyms_topk"] = _transcripts_bool_oracle_sql(
         _Bool(must=("error failure fault", "retry reattempt")), k=10
+    )
+    o["transcripts_match_bool_prefix"] = (
+        _transcripts_match_bool_prefix_oracle_sql(
+            ["error", "retry"], "tim", k=10
+        )
     )
     o["transcripts_regexp_topk"] = _transcripts_regexp_oracle_sql(
         "t[0-9]{4}", k=10, max_expansions=50
@@ -3839,6 +3858,58 @@ scored AS (
              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
          ) AS raw
   FROM tf JOIN cand USING (term) CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _transcripts_match_bool_prefix_oracle_sql(
+    head_terms, prefix: str, k: int = 10, max_expansions: int = 50,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """match_bool_prefix twin: every head term an optional clause,
+    the prefix expanded by the oracle itself (LIKE, df desc / term
+    asc, LIMIT cap); membership = any clause matched (msm=1), score =
+    sum over matched (clause, term) contributions."""
+    vals = ", ".join(
+        f"('{t}', 1)" for t in sorted(head_terms)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, conv_id, doc_len, e.key AS term, e.value AS tf
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, avg(doc_len) AS avgdl
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}')
+),
+q(term, qtf) AS (VALUES {vals}),
+pre AS (
+  SELECT term FROM (
+    SELECT term, count(*)::BIGINT AS df FROM tf
+    WHERE term LIKE '{prefix}%'
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT {max_expansions})
+),
+qx AS (
+  SELECT term, qtf FROM q
+  UNION ALL SELECT term, 1 FROM pre
+),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM qx) qt USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id, any_value(tf.conv_id) AS conv_id,
+         sum(qx.qtf * ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doc_len / g.avgdl))
+         ) AS raw
+  FROM tf JOIN qx ON tf.term = qx.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN g
   GROUP BY tf.doc_id
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score

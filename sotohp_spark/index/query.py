@@ -1435,6 +1435,52 @@ class QueryEngine:
         return self.top_k_bool(q, k=k, with_docs=with_docs,
                                source=source)
 
+    def top_k_match_bool_prefix(self, query_text: str, k: int = 10,
+                                with_docs: bool = True,
+                                max_expansions: int = 50,
+                                source=None) -> DataFrame:
+        """ES ``match_bool_prefix``: search-as-you-type where every
+        analyzed term is an optional bool clause and the LAST term
+        matches as a PREFIX (dictionary expansion, per-expansion idf)
+        — unlike match_phrase_prefix there is no adjacency
+        requirement, so results stream in as the user types any word
+        order.  Compiled onto the Bool machinery: one dictionary job
+        for the trailing expansion + ONE pruned block-max job
+        (minimum_should_match=1, the ES default here).
+
+        A last term with zero dictionary expansions just cannot count
+        (ES: the prefix clause matches nothing); if NO clause has
+        corpus evidence the result is empty."""
+        rules = self._query_rules(source)
+        toks = tokenize(query_text, rules)
+        if not toks:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        *head, last = toks
+        head_qtf: dict[str, float] = {}
+        for t in head:
+            head_qtf[t] = head_qtf.get(t, 0.0) + 1.0
+        clauses: list = [
+            {"terms": {t: c}} for t, c in sorted(head_qtf.items())
+        ]
+        exps = [
+            t for t, _ in self.wildcard_expand(
+                last + "*", max_expansions, order="df"
+            )
+        ]
+        from sotohp_spark.index.build import FIELD_SEP
+
+        exps = [t for t in exps if FIELD_SEP not in t]
+        if exps:
+            clauses.append({"terms": {t: 1.0 for t in exps}})
+        if not clauses:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
+        return self.top_k_bool(
+            Bool(should=tuple(clauses), minimum_should_match=1),
+            k=k, with_docs=with_docs, source=source,
+        )
+
     def top_k_multi_match(self, query_text: str, fields=None, k: int = 10,
                           match_type: str = "best_fields",
                           with_docs: bool = True, source=None,

@@ -299,3 +299,32 @@ def test_synonyms_compile_and_rank(bool_setup):
     # all-dropped query -> empty
     assert engine.top_k_synonyms(
         "2024", syn, k=5, with_docs=False).count() == 0
+
+
+def test_match_bool_prefix(bool_setup):
+    """match_bool_prefix: head terms as optional clauses + trailing
+    prefix expansion, msm=1 — must equal the hand-built Bool with the
+    expansion clause; a no-expansion last term degrades to the head
+    disjunction; an unmatchable query is empty."""
+    engine, _ = bool_setup
+    exps = [t for t, _ in engine.wildcard_expand("tim*", 50)]
+    assert exps
+    got = engine.top_k_match_bool_prefix(
+        "error retry tim", k=10, with_docs=False).collect()
+    want = engine.top_k_bool(Bool(
+        should=({"terms": {"error": 1.0}}, {"terms": {"retry": 1.0}},
+                {"terms": {t: 1.0 for t in exps}}),
+        minimum_should_match=1), k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want] and got
+    no_exp = engine.top_k_match_bool_prefix(
+        "error retry zzqx", k=10, with_docs=False).collect()
+    head_only = engine.top_k_bool(Bool(
+        should=({"terms": {"error": 1.0}}, {"terms": {"retry": 1.0}}),
+        minimum_should_match=1), k=10, with_docs=False).collect()
+    assert [(r.doc_id, r.score) for r in no_exp] == [
+        (r.doc_id, r.score) for r in head_only]
+    assert engine.top_k_match_bool_prefix(
+        "zzqx", k=5, with_docs=False).count() == 0
+    assert engine.top_k_match_bool_prefix(
+        "", k=5, with_docs=False).count() == 0
