@@ -234,6 +234,55 @@ def move_dir(spark, src: str, dst: str) -> None:
         raise OSError(f"move failed: {src} -> {dst}")
 
 
+def list_files(spark, path: str) -> list:
+    """Every regular file under ``path`` recursively as sorted
+    (relative_path, size_bytes) pairs — the manifest primitive
+    snapshot/restore uses.  Local paths walk the OS tree; remote
+    paths use FileSystem.listFiles(recursive=true), so the same
+    manifest works on HDFS/S3A."""
+    out = []
+    if not is_remote(path):
+        base = os.path.abspath(path)
+        for root, _dirs, files in os.walk(base):
+            for name in files:
+                full = os.path.join(root, name)
+                out.append(
+                    (os.path.relpath(full, base).replace(os.sep, "/"),
+                     os.path.getsize(full))
+                )
+        return sorted(out)
+    fs, p, _ = _jfs(spark, path)
+    if not fs.exists(p):
+        return []
+    base_uri = fs.makeQualified(p).toString().rstrip("/") + "/"
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(base_uri):] if full.startswith(base_uri) else full
+        out.append((rel, int(st.getLen())))
+    return sorted(out)
+
+
+def copy_file(spark, src: str, dst: str) -> None:
+    """Copy one file, creating parent dirs; overwrites ``dst``.
+    Local-to-local goes through the OS; any remote endpoint routes
+    through Hadoop FileUtil.copy (works across filesystems)."""
+    if not is_remote(src) and not is_remote(dst):
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        shutil.copyfile(src, dst)
+        return
+    sfs, sp, jvm = _jfs(spark, src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    dfs = dp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sfs, sp, dfs, dp, False, True, conf
+    )
+    if not ok:
+        raise OSError(f"copy failed: {src} -> {dst}")
+
+
 def glob(spark, pattern: str) -> list:
     """Paths matching a Hadoop glob pattern, sorted."""
     if not is_remote(pattern):

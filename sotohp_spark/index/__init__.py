@@ -6,3 +6,8 @@ from sotohp_spark.index.qs import (  # noqa: F401
     QueryStringError,
     parse_query_string,
 )
+from sotohp_spark.index.snapshot import (  # noqa: F401
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
