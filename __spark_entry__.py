@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_suggest_corrections"] = _transcripts_suggest_corrections
     # ES percolator: many registered queries vs a doc batch, one pass
     q["transcripts_percolate"] = _transcripts_percolate
+    # streaming percolator alerting (exactly-once foreachBatch)
+    q["transcripts_stream_alerts"] = _transcripts_stream_alerts
     # percolator with a PERSISTED (indexed-once) query registry
     q["transcripts_percolate_registered"] = (
         _transcripts_percolate_registered
@@ -1433,6 +1435,47 @@ _PERCOLATE_QUERIES = [
     ("q_token_query_index", "token query index"),
     ("q_absent", "zzqabsentterm"),
 ]
+
+
+_ALERTS_CACHE: dict = {}
+
+
+def _transcripts_stream_alerts(spark, sf_dir):
+    """Streaming percolator alerting end-to-end (streaming/alerts.py):
+    AvailableNow over a conversation-aligned turns directory, each
+    micro-batch percolated against the PERSISTED query registry
+    before/without indexing (broadcast registry join over the batch's
+    analyzed terms), alert rows appended exactly-once under the
+    streaming checkpoint.  Result = (conv_id, query_id) matches —
+    the streaming pipeline must reproduce exactly the batch
+    conjunctive-containment oracle."""
+    import os
+
+    from sotohp_spark.generator import transcripts_df
+    from sotohp_spark.streaming.alerts import stream_alerts_available_now
+
+    engine, _ = _transcript_index(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag not in _ALERTS_CACHE:
+        base = f"/tmp/sotohp_alerts_v1_{tag}"
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        sf = _SF_FROM_DIR.get(tag, 0.05)
+        if not os.path.exists(f"{src}/_SUCCESS"):
+            transcripts_df(spark, sf).repartition(4, "conv_id").write.mode(
+                "overwrite").parquet(src)
+        engine.register_percolator_queries(
+            _PERCOLATE_QUERIES, name="stream_alerts"
+        )
+        stream_alerts_available_now(
+            spark, src, f"{engine.path}/percolator/stream_alerts",
+            out, ckpt, max_files_per_trigger=2,
+        )
+        _ALERTS_CACHE[tag] = out
+    return (
+        spark.read.parquet(_ALERTS_CACHE[tag])
+        .select("conv_id", "query_id")
+        .orderBy("conv_id", "query_id")
+    )
 
 
 def _transcripts_percolate(spark, sf_dir):
@@ -2555,6 +2598,9 @@ FROM tf
         _transcripts_suggest_corrections_oracle_sql(
             "errox retru timeouf", k=5
         )
+    )
+    o["transcripts_stream_alerts"] = (
+        _transcripts_stream_alerts_oracle_sql(_PERCOLATE_QUERIES)
     )
     o["transcripts_percolate"] = _transcripts_percolate_oracle_sql(
         _PERCOLATE_QUERIES
@@ -4260,6 +4306,39 @@ SELECT source_term, term, distance, df,
 FROM cand
 QUALIFY rank <= {k}
 ORDER BY source_term, rank
+"""
+
+
+def _transcripts_stream_alerts_oracle_sql(queries: list) -> str:
+    """Streaming-alerts twin: the SAME conjunctive containment as the
+    percolator oracle, keyed by conv_id (the alert row identity) and
+    ordered — the streaming pipeline adds delivery mechanics, not
+    semantics."""
+    from sotohp_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for qid, text in queries:
+        for t in sorted(set(tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    q_vals = ", ".join(rows)
+    return f"""
+WITH q(query_id, term) AS (VALUES {q_vals}),
+need AS (
+  SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY query_id
+),
+hits AS (
+  SELECT d.conv_id, q.query_id, count(DISTINCT q.term)::BIGINT AS nt
+  FROM (
+    SELECT conv_id, e.key AS term
+    FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+    LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+  ) d JOIN q ON d.term = q.term
+  GROUP BY d.conv_id, q.query_id
+)
+SELECT hits.conv_id, hits.query_id
+FROM hits JOIN need USING (query_id)
+WHERE hits.nt = need.n
+ORDER BY conv_id, query_id
 """
 
 
