@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_percentiles"] = _transcripts_percentiles
     q["transcripts_filters_agg"] = _transcripts_filters_agg
     q["transcripts_range_agg"] = _transcripts_range_agg
+    # ES composite agg (after-key bucket pagination) + derivative
+    # pipeline agg (window over the bucket frame)
+    q["transcripts_composite_agg"] = _transcripts_composite_agg
+    q["transcripts_derivative"] = _transcripts_derivative
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -1032,6 +1036,28 @@ def _transcripts_match_bool_prefix(spark, sf_dir):
     return engine.top_k_match_bool_prefix(
         "error retry tim", k=10
     ).select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _transcripts_composite_agg(spark, sf_dir):
+    """ES composite aggregation (QueryEngine.composite_agg): tuple
+    buckets over (month, n_turns), natural-key ordered, paginated by
+    an after key that compiles to ONE lexicographic predicate (never
+    OFFSET) — deep bucket pagination at constant cost."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.composite_agg(
+        "error retry", sources=("month", "n_turns"), size=8,
+        after=("2025-01", "000025"),
+    )
+
+
+def _transcripts_derivative(spark, sf_dir):
+    """ES derivative pipeline aggregation (QueryEngine.
+    date_histogram_derivative): per-month matched counts + first-order
+    difference vs the previous present bucket (null first bucket, the
+    ES contract); the pipeline stage is one window over the tiny
+    bucket frame."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.date_histogram_derivative("error retry", by="month")
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2504,6 +2530,47 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "searches": "search query",
         "nonesuch": "zzqxnope",
     })
+    o["transcripts_composite_agg"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+g AS (
+  SELECT strftime(d.doc_ts, '%Y-%m') AS month,
+         lpad(d.n_turns::VARCHAR, 6, '0') AS n_turns,
+         count(*)::BIGINT AS n_docs
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}') d JOIN members USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT month, n_turns, n_docs FROM g
+WHERE month > '2025-01' OR (month = '2025-01' AND n_turns > '000025')
+ORDER BY month, n_turns LIMIT 8
+"""
+    o["transcripts_derivative"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+h AS (
+  SELECT strftime(d.doc_ts, '%Y-%m') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}') d JOIN members USING (doc_id)
+  GROUP BY 1
+)
+SELECT bucket, n_docs,
+       (n_docs - lag(n_docs) OVER (ORDER BY bucket))::BIGINT AS derivative
+FROM h ORDER BY bucket
+"""
     o["transcripts_range_agg"] = _transcripts_range_agg_oracle_sql(
         "error", edges=(1000.0, 1200.0), metric="n_turns"
     )

@@ -3186,6 +3186,128 @@ class QueryEngine:
             .drop("pos")
         )
 
+    _COMPOSITE_SOURCES = ("day", "week", "month", "n_turns")
+
+    def _composite_key(self, name: str):
+        if name == "day":
+            return F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        if name == "week":
+            return F.date_format(
+                F.date_trunc("week", F.col("doc_ts")), "yyyy-MM-dd"
+            )
+        if name == "month":
+            return F.date_format(F.col("doc_ts"), "yyyy-MM")
+        if name == "n_turns":
+            return F.lpad(F.col("n_turns").cast("string"), 6, "0")
+        raise ValueError(
+            f"unknown composite source {name!r} "
+            f"(expected one of {self._COMPOSITE_SOURCES})"
+        )
+
+    def composite_agg(self, query_text: str, sources=("month",),
+                      size: int = 10, after: tuple | None = None,
+                      source=None) -> DataFrame:
+        """ES ``composite`` aggregation: tuple buckets over several
+        sources, NATURAL-KEY ordered, paginated by an ``after`` key —
+        the scroll-all-buckets shape (terms/date_histogram pagination
+        without deep OFFSET).  Returns DataFrame(<source cols...>,
+        n_docs) — the ``size`` buckets strictly after ``after`` in
+        lexicographic source order.
+
+        ``sources``: names from day|week|month|n_turns (numeric keys
+        are zero-padded so string order == numeric order — stated
+        because the oracle mirrors it).  ``after``: the LAST bucket
+        tuple of the previous page, exactly as returned.
+
+        Scale shape: one pruned candidates job, pruned metadata join,
+        partial aggregation into the bucket space, and the after-key
+        cursor compiles to ONE lexicographic predicate on the grouped
+        frame (never OFFSET) — pages deep into a million-bucket space
+        cost the same aggregation plus a filter, the exact reason ES
+        added composite over terms-agg partitions."""
+        if size < 1:
+            raise ValueError(f"size must be >= 1, got {size}")
+        names = list(sources)
+        if not names:
+            raise ValueError("sources must be non-empty")
+        keys = [self._composite_key(n).alias(f"k_{n}") for n in names]
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        grouped = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        cols = [f"k_{n}" for n in names]
+        if after is not None:
+            if len(after) != len(names):
+                raise ValueError(
+                    f"after key arity {len(after)} != sources "
+                    f"arity {len(names)}"
+                )
+            # lexicographic "tuple > after" as one codegen predicate
+            pred = F.lit(False)
+            for i in range(len(cols) - 1, -1, -1):
+                eq_prefix = F.lit(True)
+                for j in range(i):
+                    eq_prefix = eq_prefix & (
+                        F.col(cols[j]) == F.lit(str(after[j]))
+                    )
+                pred = pred | (
+                    eq_prefix & (F.col(cols[i]) > F.lit(str(after[i])))
+                )
+            grouped = grouped.where(pred)
+        out = grouped.orderBy(*[F.col(c).asc() for c in cols]).limit(size)
+        renames = dict(zip(cols, names))
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    def date_histogram_derivative(self, query_text: str,
+                                  by: str = "month",
+                                  source=None) -> DataFrame:
+        """ES ``derivative`` pipeline aggregation over a
+        date_histogram: per-bucket matched-doc counts plus the
+        first-order difference vs the previous PRESENT bucket
+        (``derivative`` is null on the first bucket — the ES
+        contract; like ES with min_doc_count > 0, gaps are skipped,
+        not zero-filled).  Returns DataFrame(bucket, n_docs,
+        derivative) ordered by bucket.
+
+        Scale shape: the parent histogram is the facets plan (pruned
+        candidates -> pruned metadata join -> partial agg into
+        calendar-bounded buckets); the pipeline stage is ONE window
+        over the tiny bucket frame — pipeline aggs cost bucket-count
+        work, never matched-set work."""
+        from pyspark.sql import Window
+
+        if by == "day":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        else:
+            raise ValueError(f"unknown bucket key {by!r} "
+                             "(expected day | week | month)")
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        hist = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(key.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        w = Window.orderBy("bucket")
+        return (
+            hist.withColumn(
+                "derivative",
+                (F.col("n_docs") - F.lag("n_docs").over(w))
+                .cast("long"),
+            )
+            .orderBy("bucket")
+        )
+
     def significant_terms(self, query_text: str, k: int = 10,
                           min_doc_count: int = 3,
                           source=None) -> DataFrame:

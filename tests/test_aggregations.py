@@ -134,3 +134,50 @@ def test_range_agg_matches_brute(engine):
         engine.range_agg("error", edges=(10.0, 2.0))
     with pytest.raises(ValueError):
         engine.range_agg("error", field="text")
+
+
+def test_composite_agg_pagination(engine):
+    full = engine.composite_agg(
+        "error", sources=("month", "n_turns"), size=10000).collect()
+    assert full
+    # natural key order
+    keys = [(r["month"], r["n_turns"]) for r in full]
+    assert keys == sorted(keys)
+    # page stitching: walking with after reproduces the full listing
+    pages, after = [], None
+    while True:
+        page = engine.composite_agg(
+            "error", sources=("month", "n_turns"), size=3,
+            after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["month"], page[-1]["n_turns"])
+    assert [(r["month"], r["n_turns"], r["n_docs"]) for r in pages] \
+        == [(r["month"], r["n_turns"], r["n_docs"]) for r in full]
+    # counts match brute
+    ids = [r.doc_id for r in engine.matching_doc_ids("error").collect()]
+    assert sum(r["n_docs"] for r in full) == len(ids)
+    with pytest.raises(ValueError):
+        engine.composite_agg("error", sources=("month",), after=("a", "b"))
+    with pytest.raises(ValueError):
+        engine.composite_agg("error", sources=("conv_id",))
+    with pytest.raises(ValueError):
+        engine.composite_agg("error", sources=())
+
+
+def test_derivative_matches_brute(engine):
+    meta = _meta(engine)
+    ids = [r.doc_id for r in engine.matching_doc_ids("error").collect()]
+    from collections import Counter
+    hist = Counter(meta[d].doc_ts.strftime("%Y-%m") for d in ids)
+    got = engine.date_histogram_derivative("error", by="month").collect()
+    assert [r.bucket for r in got] == sorted(hist)
+    prev = None
+    for r in got:
+        assert r.n_docs == hist[r.bucket]
+        want = None if prev is None else hist[r.bucket] - prev
+        assert r.derivative == want
+        prev = hist[r.bucket]
+    with pytest.raises(ValueError):
+        engine.date_histogram_derivative("error", by="year")
