@@ -27,6 +27,7 @@ same code path (score_range), used when the shard count is tiny.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 
 import pandas as pd
@@ -38,6 +39,8 @@ from pyspark.sql import types as T
 from sotohp_spark.config import EngineConfig, DEFAULT
 from sotohp_spark.functions.tokenizer import KeywordRules, tokenize
 from sotohp_spark.operators import bm25, wand
+
+log = logging.getLogger(__name__)
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -2096,7 +2099,15 @@ class QueryEngine:
         qdf = self.spark.createDataFrame(
             q_terms, "query_id string, term string"
         )
-        docs = self._docs_raw if docs is None else docs
+        if docs is None:
+            # valid (the oracle/backfill use), but a FOOT-GUN in the
+            # alerting loop: surface the corpus-scan choice instead of
+            # silently paying it per call (VERDICT r6 cost nit #4)
+            log.warning(
+                "percolate over the WHOLE corpus (docs=None) — the "
+                "alerting use passes the new batch only"
+            )
+            docs = self._docs_raw
         hits = (
             docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
             .join(F.broadcast(qdf), "term")
@@ -2189,7 +2200,15 @@ class QueryEngine:
                 )
             registry_path = f"{self.path}/percolator/{name}"
         qdf = self.spark.read.parquet(registry_path)
-        docs = self._docs_raw if docs is None else docs
+        if docs is None:
+            # valid (the oracle/backfill use), but a FOOT-GUN in the
+            # alerting loop: surface the corpus-scan choice instead of
+            # silently paying it per call (VERDICT r6 cost nit #4)
+            log.warning(
+                "percolate over the WHOLE corpus (docs=None) — the "
+                "alerting use passes the new batch only"
+            )
+            docs = self._docs_raw
         return (
             docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
             .join(F.broadcast(qdf), "term")
