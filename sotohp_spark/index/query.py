@@ -2932,6 +2932,109 @@ class QueryEngine:
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
         )
 
+    def highlight_fragments(self, query_text: str, texts: DataFrame,
+                            k: int = 10, number_of_fragments: int = 3,
+                            fragment_size: int = 100,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            source=None, tag: str = "em") -> DataFrame:
+        """ES highlighting, FRAGMENTS mode (the ES default,
+        number_of_fragments=3 / fragment_size=100): per top-k doc, up
+        to N snippets of ~fragment_size chars, each centered on a run
+        of query-term matches, matched terms wrapped in
+        <tag>...</tag>.  Returns DataFrame(doc_id, score, fragments
+        array<string>) — fragments ordered by the ES contract: best
+        (most matches) first, position ascending on ties; snippets
+        never split words.
+
+        Fragmentation: whole-word case-insensitive match offsets are
+        merged greedily into windows of <= fragment_size chars (a
+        match run denser than the window stays one fragment), windows
+        expand to word boundaries, the top N windows by match count
+        survive.
+
+        Scale shape: retrieval is the standard one-job top_k;
+        fragment extraction is an Arrow-batched pandas UDF over the
+        K-ROW joined frame only — never a corpus pass (same
+        post-retrieval contract as whole-field highlight; Python on k
+        rows, not on data)."""
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        if number_of_fragments < 1:
+            raise ValueError(
+                "number_of_fragments must be >= 1 (use highlight() "
+                "for whole-field mode)"
+            )
+        if fragment_size < 10:
+            raise ValueError("fragment_size must be >= 10")
+        terms = sorted(set(tokenize(query_text, self._query_rules(source))))
+        top = self.top_k(query_text, k, with_docs=False, source=source)
+        if not terms:
+            return (
+                texts.join(F.broadcast(top), id_col)
+                .select(
+                    id_col, "score",
+                    F.array().cast(T.ArrayType(T.StringType()))
+                    .alias("fragments"),
+                )
+            )
+        pat = _re.compile(
+            r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+        )
+        n_frag, fsize = int(number_of_fragments), int(fragment_size)
+        open_t, close_t = f"<{tag}>", f"</{tag}>"
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def extract(col: pd.Series) -> pd.Series:
+            out = []
+            for text in col:
+                if text is None:
+                    out.append([])
+                    continue
+                spans = [m.span() for m in pat.finditer(text)]
+                if not spans:
+                    out.append([])
+                    continue
+                # greedy merge of match spans into <= fsize windows
+                windows = []  # (start, end, n_matches)
+                ws, we, n = spans[0][0], spans[0][1], 1
+                for s, e in spans[1:]:
+                    if e - ws <= fsize:
+                        we, n = e, n + 1
+                    else:
+                        windows.append((ws, we, n))
+                        ws, we, n = s, e, 1
+                windows.append((ws, we, n))
+                # best-first (ES order), position asc on ties
+                windows.sort(key=lambda w: (-w[2], w[0]))
+                frags = []
+                for ws, we, _n in windows[:n_frag]:
+                    pad = max(0, (fsize - (we - ws)) // 2)
+                    lo, hi = max(0, ws - pad), min(len(text), we + pad)
+                    # expand to word boundaries (never split a word)
+                    while lo > 0 and not text[lo - 1].isspace():
+                        lo -= 1
+                    while hi < len(text) and not text[hi].isspace():
+                        hi += 1
+                    frag = pat.sub(
+                        lambda m: open_t + m.group(0) + close_t,
+                        text[lo:hi].strip(),
+                    )
+                    frags.append(frag)
+                out.append(frags)
+            return pd.Series(out)
+
+        return (
+            texts.join(F.broadcast(top), id_col)
+            .select(
+                id_col, "score",
+                extract(F.col(text_col)).alias("fragments"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        )
+
     def facets(self, query_text: str, by: str = "month",
                source=None) -> DataFrame:
         """ES-style aggregation over the query's matched set: every doc

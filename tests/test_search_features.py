@@ -1270,3 +1270,45 @@ def test_regexp_expand_and_topk(spark, tmp_path):
     assert {t for t, _ in engine.regexp_expand("ret?ry", 10)} == {
         "retry"
     }
+
+
+def test_highlight_fragments(spark, tmp_path):
+    """Fragments mode: <= N snippets per doc, each a word-aligned
+    substring of the raw text with every in-window query term wrapped,
+    ordered best-first (match count desc, position asc)."""
+    import re
+
+    engine = _fixture(spark, tmp_path)
+    texts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    rows = engine.highlight_fragments(
+        "error retry", texts, k=8, number_of_fragments=2,
+        fragment_size=20,
+    ).collect()
+    assert rows
+    raw = dict(enumerate(TEXTS))
+    for r in rows:
+        assert len(r.fragments) <= 2
+        counts = []
+        for frag in r.fragments:
+            plain = frag.replace("<em>", "").replace("</em>", "")
+            assert plain in raw[r.doc_id]
+            # never splits a word: the plain snippet aligns to word
+            # boundaries of the source text
+            i = raw[r.doc_id].find(plain)
+            assert i == 0 or raw[r.doc_id][i - 1].isspace()
+            j = i + len(plain)
+            assert j == len(raw[r.doc_id]) or raw[r.doc_id][j].isspace()
+            # every query-term occurrence inside the snippet is wrapped
+            assert not re.search(r"(?<!<em>)\b(error|retry)\b(?!</em>)",
+                                 frag)
+            counts.append(frag.count("<em>"))
+        assert counts == sorted(counts, reverse=True)  # best first
+    # docs with matches produce at least one fragment on the top hit
+    assert rows[0].fragments
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.highlight_fragments("error", texts, number_of_fragments=0)
+    with _pytest.raises(ValueError):
+        engine.highlight_fragments("error", texts, fragment_size=5)
