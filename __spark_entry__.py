@@ -370,6 +370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline agg (window over the bucket frame)
     q["transcripts_composite_agg"] = _transcripts_composite_agg
     q["transcripts_derivative"] = _transcripts_derivative
+    # ES rare_terms (long-tail dictionary join) + adjacency_matrix
+    # (filter buckets + pairwise intersections, one batch job)
+    q["transcripts_rare_terms"] = _transcripts_rare_terms
+    q["transcripts_adjacency_matrix"] = _transcripts_adjacency_matrix
 
     # --- F4: DMS -> decimal-degrees geo parse (reference
     # package.scala:475-536; specs synthesized deterministically from
@@ -1058,6 +1062,29 @@ def _transcripts_derivative(spark, sf_dir):
     bucket frame."""
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.date_histogram_derivative("error retry", by="month")
+
+
+def _transcripts_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation (QueryEngine.rare_terms): terms of
+    the matched set with corpus df <= 2, rarest first — the
+    significant_terms plan minus JLH, with the dictionary FILTERED
+    to rare terms first so the join broadcasts (exact, where ES
+    approximates with a CuckooFilter)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.rare_terms("error retry", k=10, max_doc_count=2)
+
+
+def _transcripts_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation (QueryEngine.adjacency_matrix):
+    named filter buckets plus pairwise intersections from ONE batch
+    candidates job + a doc_id self-join on the (matched doc, filter)
+    pairs; empty buckets omitted (the ES contract)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.adjacency_matrix({
+        "err": "error retry",
+        "srch": "search query",
+        "none": "zzqxnope",
+    })
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2530,6 +2557,54 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "searches": "search query",
         "nonesuch": "zzqxnope",
     })
+    o["transcripts_rare_terms"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+dict AS (
+  SELECT term, count(*)::BIGINT AS bg_count FROM tf GROUP BY term
+),
+fg AS (
+  SELECT tf.term, count(*)::BIGINT AS fg_count
+  FROM tf JOIN members USING (doc_id) GROUP BY tf.term
+)
+SELECT fg.term, fg.fg_count, dict.bg_count
+FROM fg JOIN dict USING (term)
+WHERE dict.bg_count <= 2
+ORDER BY dict.bg_count ASC, fg.term ASC LIMIT 10
+"""
+    o["transcripts_adjacency_matrix"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+q(name, term) AS (VALUES
+  ('err', 'error'), ('err', 'retry'),
+  ('srch', 'search'), ('srch', 'query'),
+  ('none', 'zzqxnope')),
+need AS (SELECT name, count(*)::BIGINT AS nt FROM q GROUP BY name),
+hit AS (
+  SELECT q.name, tf.doc_id
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY q.name, tf.doc_id
+  HAVING count(DISTINCT tf.term) = max((SELECT nt FROM need n
+                                        WHERE n.name = q.name))
+)
+SELECT key, n_docs FROM (
+  SELECT name AS key, count(*)::BIGINT AS n_docs FROM hit GROUP BY name
+  UNION ALL
+  SELECT a.name || '&' || b.name AS key, count(*)::BIGINT AS n_docs
+  FROM hit a JOIN hit b ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY 1
+) ORDER BY key
+"""
     o["transcripts_composite_agg"] = f"""
 WITH tf AS (
   SELECT doc_id, e.key AS term

@@ -3430,6 +3430,87 @@ class QueryEngine:
             .orderBy("bucket")
         )
 
+    def rare_terms(self, query_text: str, k: int = 10,
+                   max_doc_count: int = 3, source=None) -> DataFrame:
+        """ES ``rare_terms`` aggregation: long-tail mining — terms
+        present in the query's matched set whose CORPUS df is at most
+        ``max_doc_count``, rarest first (df asc, term asc), k rows.
+        Returns DataFrame(term, fg_count, bg_count).
+
+        Scale shape: the significant_terms plan minus the JLH join —
+        matched ids from the pruned conjunction, one explode of
+        stored tf KEYS into a map-side-partial groupBy, then a join
+        against the term_stats dictionary FILTERED to df <=
+        max_doc_count first (a rare-terms dictionary is tiny by
+        definition, so the join broadcasts); ES itself uses a CuckooFilter
+        approximation here — this is exact."""
+        if max_doc_count < 1:
+            raise ValueError(
+                f"max_doc_count must be >= 1, got {max_doc_count}"
+            )
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        fg = (
+            self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
+            .select(F.explode(F.map_keys("tfs")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_count"))
+        )
+        rare_dict = self._term_stats.where(
+            F.col("df") <= int(max_doc_count)
+        ).select("term", F.col("df").cast("long").alias("bg_count"))
+        return (
+            fg.join(F.broadcast(rare_dict), "term")
+            .select("term", "fg_count", "bg_count")
+            .orderBy(F.col("bg_count").asc(), F.col("term").asc())
+            .limit(k)
+        )
+
+    def adjacency_matrix(self, filters: dict, source=None) -> DataFrame:
+        """ES ``adjacency_matrix`` aggregation: named filter buckets
+        PLUS their pairwise intersections — the co-occurrence heatmap
+        shape ("how often do error-convs also hit timeouts").
+        ``filters``: dict name -> query text (conjunctive match).
+        Returns DataFrame(key, n_docs) where key is a filter name or
+        ``"a&b"`` (names sorted, the ES separator), EMPTY buckets
+        omitted (the ES adjacency_matrix contract, unlike filters_agg),
+        ordered by key.
+
+        Scale shape: ONE matching_doc_ids_batch job (per-range decode
+        shared across filters), a partial-agg count for the singles,
+        and a self-equi-join on doc_id for the pairs — the join input
+        is (matched doc, filter) pairs, so cost is sum of matched
+        sizes x average overlap, never corpus x filters^2."""
+        if not filters:
+            raise ValueError("filters must be a non-empty dict")
+        names = sorted(str(n) for n in filters)
+        if len(names) != len(filters):
+            raise ValueError("filter names must be distinct strings")
+        if any("&" in n for n in names):
+            raise ValueError("filter names must not contain '&'")
+        m = self.matching_doc_ids_batch(
+            [(n, filters[n]) for n in names], source=source
+        )
+        singles = (
+            m.groupBy(F.col("query_id").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        a, b = m.alias("a"), m.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.query_id") < F.col("b.query_id")),
+            )
+            .groupBy(
+                F.concat_ws(
+                    "&", F.col("a.query_id"), F.col("b.query_id")
+                ).alias("key")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        return singles.unionByName(pairs).orderBy("key")
+
     def significant_terms(self, query_text: str, k: int = 10,
                           min_doc_count: int = 3,
                           source=None) -> DataFrame:

@@ -181,3 +181,43 @@ def test_derivative_matches_brute(engine):
         prev = hist[r.bucket]
     with pytest.raises(ValueError):
         engine.date_histogram_derivative("error", by="year")
+
+
+def test_rare_terms_matches_brute(engine):
+    meta_docs = {
+        r.doc_id: set(r.tfs.keys())
+        for r in engine._docs_raw.select("doc_id", "tfs").collect()
+    }
+    from collections import Counter
+    bg = Counter(t for terms in meta_docs.values() for t in terms)
+    ids = {r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()}
+    fg = Counter(
+        t for d in ids for t in meta_docs[d]
+    )
+    want = sorted(
+        ((t, fg[t], bg[t]) for t in fg if bg[t] <= 2),
+        key=lambda x: (x[2], x[0]),
+    )[:10]
+    got = [(r.term, r.fg_count, r.bg_count)
+           for r in engine.rare_terms("error retry", k=10,
+                                      max_doc_count=2).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError):
+        engine.rare_terms("error", max_doc_count=0)
+
+
+def test_adjacency_matrix_matches_brute(engine):
+    err = {r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()}
+    to = {r.doc_id for r in engine.matching_doc_ids("timeout").collect()}
+    got = {r.key: r.n_docs for r in engine.adjacency_matrix({
+        "err": "error retry", "to": "timeout", "zz": "zzqxnope",
+    }).collect()}
+    want = {"err": len(err), "to": len(to), "err&to": len(err & to)}
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+    with pytest.raises(ValueError):
+        engine.adjacency_matrix({})
+    with pytest.raises(ValueError):
+        engine.adjacency_matrix({"a&b": "error"})
