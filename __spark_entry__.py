@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcripts_derivative"] = _transcripts_derivative
     # ES rare_terms (long-tail dictionary join) + adjacency_matrix
     # (filter buckets + pairwise intersections, one batch job)
+    q["transcripts_moving_avg"] = _transcripts_moving_avg
     q["transcripts_rare_terms"] = _transcripts_rare_terms
     q["transcripts_adjacency_matrix"] = _transcripts_adjacency_matrix
 
@@ -1085,6 +1086,17 @@ def _transcripts_adjacency_matrix(spark, sf_dir):
         "srch": "search query",
         "none": "zzqxnope",
     })
+
+
+def _transcripts_moving_avg(spark, sf_dir):
+    """ES moving_fn pipeline aggregation (QueryEngine.
+    date_histogram_moving_avg): trailing 2-bucket unweighted average
+    over the monthly matched counts (== ES moving_fn shift=1, stated
+    in the docstring); one window over the bucket frame."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.date_histogram_moving_avg(
+        "error retry", by="month", window=2
+    )
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2557,6 +2569,27 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "searches": "search query",
         "nonesuch": "zzqxnope",
     })
+    o["transcripts_moving_avg"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+h AS (
+  SELECT strftime(d.doc_ts, '%Y-%m') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}') d JOIN members USING (doc_id)
+  GROUP BY 1
+)
+SELECT bucket, n_docs,
+       round(avg(n_docs) OVER (ORDER BY bucket
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM h ORDER BY bucket
+"""
     o["transcripts_rare_terms"] = f"""
 WITH tf AS (
   SELECT doc_id, e.key AS term

@@ -3430,6 +3430,54 @@ class QueryEngine:
             .orderBy("bucket")
         )
 
+    def date_histogram_moving_avg(self, query_text: str,
+                                  by: str = "month", window: int = 3,
+                                  source=None) -> DataFrame:
+        """ES ``moving_fn`` (unweighted average) pipeline aggregation
+        over a date_histogram: per-bucket matched counts smoothed by a
+        TRAILING window of ``window`` buckets including the current
+        one (the dashboard smoothing shape; equals ES moving_fn with
+        shift=1 — stated because ES's default shift=0 window excludes
+        the current bucket).  Partial leading windows average what
+        exists (ES behavior).  Returns DataFrame(bucket, n_docs,
+        moving_avg) ordered by bucket.
+
+        Scale shape: same as date_histogram_derivative — the parent
+        histogram is the facets plan; the pipeline stage is one
+        window over the tiny bucket frame."""
+        from pyspark.sql import Window
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if by == "day":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        elif by == "week":
+            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
+                                "yyyy-MM-dd")
+        elif by == "month":
+            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
+        else:
+            raise ValueError(f"unknown bucket key {by!r} "
+                             "(expected day | week | month)")
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        hist = (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(key.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        w = (
+            Window.orderBy("bucket")
+            .rowsBetween(-(int(window) - 1), 0)
+        )
+        return (
+            hist.withColumn(
+                "moving_avg",
+                F.round(F.avg("n_docs").over(w), 6),
+            )
+            .orderBy("bucket")
+        )
+
     def rare_terms(self, query_text: str, k: int = 10,
                    max_doc_count: int = 3, source=None) -> DataFrame:
         """ES ``rare_terms`` aggregation: long-tail mining — terms

@@ -221,3 +221,21 @@ def test_adjacency_matrix_matches_brute(engine):
         engine.adjacency_matrix({})
     with pytest.raises(ValueError):
         engine.adjacency_matrix({"a&b": "error"})
+
+
+def test_moving_avg_matches_brute(engine):
+    meta = _meta(engine)
+    ids = [r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()]
+    from collections import Counter
+    hist = Counter(meta[d].doc_ts.strftime("%Y-%m") for d in ids)
+    got = engine.date_histogram_moving_avg(
+        "error retry", by="month", window=2).collect()
+    buckets = sorted(hist)
+    assert [r.bucket for r in got] == buckets
+    for i, r in enumerate(got):
+        wnd = [hist[b] for b in buckets[max(0, i - 1):i + 1]]
+        assert r.n_docs == hist[r.bucket]
+        assert abs(r.moving_avg - round(sum(wnd) / len(wnd), 6)) < 1e-9
+    with pytest.raises(ValueError):
+        engine.date_histogram_moving_avg("error", window=0)
