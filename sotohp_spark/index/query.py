@@ -1246,6 +1246,18 @@ class QueryEngine:
                     out.append(term)
             return out
 
+        # validate field scoping up front so an unknown field raises
+        # uniformly (a field-scoped PREFIX would otherwise just expand
+        # to nothing and silently match nothing)
+        indexed = set(self.meta.get("fields") or ())
+        for it in items:
+            if it.field is not None and it.field != "text" \
+                    and it.field not in indexed:
+                raise ValueError(
+                    f"field {it.field!r} is not indexed (index "
+                    f"fields: {sorted(indexed)})"
+                )
+
         must, should, must_not = [], [], []
         phrases_must, phrases_not = [], []
         for it in items:

@@ -241,3 +241,13 @@ def test_qs_single_job_without_phrases(built):
                               with_docs=False).collect()
     after = max(t.getJobIdsForGroup() or [0])
     assert after - before <= 1
+
+
+def test_qs_unknown_field_raises_uniformly(built):
+    engine, _ = built
+    with pytest.raises(ValueError, match="not indexed"):
+        engine.top_k_query_string("+bogus:x error", k=3)
+    with pytest.raises(ValueError, match="not indexed"):
+        engine.top_k_query_string("+bogus:pre* error", k=3)
+    with pytest.raises(ValueError, match="not indexed"):
+        engine.top_k_query_string("error -bogus:x", k=3)
