@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ES rare_terms (long-tail dictionary join) + adjacency_matrix
     # (filter buckets + pairwise intersections, one batch job)
     q["transcripts_moving_avg"] = _transcripts_moving_avg
+    q["transcripts_extended_stats"] = _transcripts_extended_stats
+    q["transcripts_histogram"] = _transcripts_histogram
     q["transcripts_rare_terms"] = _transcripts_rare_terms
     q["transcripts_adjacency_matrix"] = _transcripts_adjacency_matrix
 
@@ -1097,6 +1099,24 @@ def _transcripts_moving_avg(spark, sf_dir):
     return engine.date_histogram_moving_avg(
         "error retry", by="month", window=2
     )
+
+
+def _transcripts_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation (QueryEngine.extended_stats):
+    one-pass population moments (count/min/max/sum/avg/sum_sq/
+    variance/stddev) of doc_len over the matched set — every
+    statistic map-side combinable."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.extended_stats("error retry", field="doc_len")
+
+
+def _transcripts_histogram(spark, sf_dir):
+    """ES histogram aggregation (QueryEngine.histogram_agg): fixed
+    200-wide doc_len buckets over the matched set, empty buckets
+    omitted (the min_doc_count=1 shape; range_agg keeps empties)."""
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.histogram_agg("error retry", field="doc_len",
+                                interval=200.0)
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2569,6 +2589,40 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "searches": "search query",
         "nonesuch": "zzqxnope",
     })
+    o["transcripts_extended_stats"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT count(*)::BIGINT AS n_docs,
+       min(doc_len::DOUBLE) AS min_v, max(doc_len::DOUBLE) AS max_v,
+       round(sum(doc_len::DOUBLE), 6) AS sum_v,
+       round(avg(doc_len::DOUBLE), 6) AS avg_v,
+       round(sum(doc_len::DOUBLE * doc_len::DOUBLE), 6) AS sum_sq,
+       round(var_pop(doc_len::DOUBLE), 6) AS variance,
+       round(stddev_pop(doc_len::DOUBLE), 6) AS std_dev
+FROM read_parquet('{_ORACLE_INDEX_DOCS}') JOIN members USING (doc_id)
+"""
+    o["transcripts_histogram"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT floor(doc_len::DOUBLE / 200.0) * 200.0 AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM read_parquet('{_ORACLE_INDEX_DOCS}') JOIN members USING (doc_id)
+GROUP BY 1 ORDER BY bucket
+"""
     o["transcripts_moving_avg"] = f"""
 WITH tf AS (
   SELECT doc_id, e.key AS term

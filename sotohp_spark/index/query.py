@@ -3442,6 +3442,73 @@ class QueryEngine:
             .orderBy("bucket")
         )
 
+    def extended_stats(self, query_text: str, field: str = "doc_len",
+                       source=None) -> DataFrame:
+        """ES ``extended_stats`` aggregation over the matched set:
+        count, min, max, sum, avg, sum_of_squares, variance
+        (population — the ES default), std_deviation of a numeric doc
+        field.  Returns ONE row.
+
+        Scale shape: pruned candidates job + pruned metadata join +
+        one partial-aggregable pass (every statistic here is a
+        map-side-combinable moment — no second pass, no collect)."""
+        if field not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {field!r}"
+            )
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        m = F.col(field).cast("double")
+        return (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(m).alias("min_v"),
+                F.max(m).alias("max_v"),
+                F.round(F.sum(m), 6).alias("sum_v"),
+                F.round(F.avg(m), 6).alias("avg_v"),
+                F.round(F.sum(m * m), 6).alias("sum_sq"),
+                F.round(F.var_pop(m), 6).alias("variance"),
+                F.round(F.stddev_pop(m), 6).alias("std_dev"),
+            )
+        )
+
+    def histogram_agg(self, query_text: str, field: str = "doc_len",
+                      interval: float = 100.0,
+                      source=None) -> DataFrame:
+        """ES ``histogram`` aggregation (fixed interval) over the
+        matched set: buckets keyed floor(value / interval) * interval,
+        ordered by key; EMPTY buckets are omitted (the ES
+        min_doc_count=1 shape — range_agg is the fixed-bucket-list
+        alternative when empties must show).  Returns
+        DataFrame(bucket, n_docs).
+
+        Scale shape: candidates job + pruned metadata join + one
+        codegen floor expression into a partial aggregation — bucket
+        count bounded by the value range / interval, never by the
+        matched set."""
+        if field not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {field!r}"
+            )
+        interval = float(interval)
+        if interval <= 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        key = (
+            F.floor(F.col(field).cast("double") / interval)
+            * interval
+        )
+        return (
+            self._docs.join(keyed, ["range_bucket", "doc_id"])
+            .groupBy(key.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("bucket")
+        )
+
     def date_histogram_moving_avg(self, query_text: str,
                                   by: str = "month", window: int = 3,
                                   source=None) -> DataFrame:

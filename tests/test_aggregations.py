@@ -239,3 +239,35 @@ def test_moving_avg_matches_brute(engine):
         assert abs(r.moving_avg - round(sum(wnd) / len(wnd), 6)) < 1e-9
     with pytest.raises(ValueError):
         engine.date_histogram_moving_avg("error", window=0)
+
+
+def test_extended_stats_matches_brute(engine):
+    meta = _meta(engine)
+    ids = [r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()]
+    vals = np.array([float(meta[d].doc_len) for d in ids])
+    r = engine.extended_stats("error retry", field="doc_len").collect()[0]
+    assert r.n_docs == len(vals)
+    assert r.min_v == vals.min() and r.max_v == vals.max()
+    assert abs(r.sum_v - round(vals.sum(), 6)) < 1e-6
+    assert abs(r.avg_v - round(vals.mean(), 6)) < 1e-6
+    assert abs(r.variance - round(vals.var(), 6)) < 1e-4
+    assert abs(r.std_dev - round(vals.std(), 6)) < 1e-4
+    with pytest.raises(ValueError):
+        engine.extended_stats("error", field="conv_id")
+
+
+def test_histogram_matches_brute(engine):
+    meta = _meta(engine)
+    ids = [r.doc_id
+           for r in engine.matching_doc_ids("error retry").collect()]
+    from collections import Counter
+    want = Counter(
+        float(meta[d].doc_len // 200) * 200.0 for d in ids
+    )
+    got = engine.histogram_agg("error retry", field="doc_len",
+                               interval=200.0).collect()
+    assert {r.bucket: r.n_docs for r in got} == dict(want)
+    assert [r.bucket for r in got] == sorted(want)
+    with pytest.raises(ValueError):
+        engine.histogram_agg("error", interval=0)
