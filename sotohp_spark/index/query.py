@@ -2120,6 +2120,13 @@ class QueryEngine:
                 "alerting use passes the new batch only"
             )
             docs = self._docs_raw
+            if self._deletes_df is not None:
+                # ES parity: tombstoned docs do not percolate (the
+                # corpus default must mean LIVE corpus)
+                docs = docs.join(
+                    self._deletes_df.select("doc_id"),
+                    "doc_id", "left_anti",
+                )
         hits = (
             docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
             .join(F.broadcast(qdf), "term")
@@ -2221,6 +2228,13 @@ class QueryEngine:
                 "alerting use passes the new batch only"
             )
             docs = self._docs_raw
+            if self._deletes_df is not None:
+                # ES parity: tombstoned docs do not percolate (the
+                # corpus default must mean LIVE corpus)
+                docs = docs.join(
+                    self._deletes_df.select("doc_id"),
+                    "doc_id", "left_anti",
+                )
         return (
             docs.select("doc_id", F.explode(F.map_keys("tfs")).alias("term"))
             .join(F.broadcast(qdf), "term")

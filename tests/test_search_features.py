@@ -1312,3 +1312,31 @@ def test_highlight_fragments(spark, tmp_path):
         engine.highlight_fragments("error", texts, number_of_fragments=0)
     with _pytest.raises(ValueError):
         engine.highlight_fragments("error", texts, fragment_size=5)
+
+
+def test_percolate_corpus_default_excludes_tombstones(spark, tmp_path):
+    """ES parity: a deleted doc does not percolate — the docs=None
+    corpus default must mean the LIVE corpus (deletes anti-joined),
+    on both the per-call and the registered path."""
+    from sotohp_spark.streaming.incremental import delete_conversations
+
+    engine = _fixture(spark, tmp_path)
+    queries = [("q_err_retry", "error retry")]
+    before = {
+        r["doc_id"] for r in engine.percolate(queries).collect()
+    }
+    assert before
+    victim = sorted(before)[0]
+    conv = engine._docs.where(F.col("doc_id") == victim).collect()[0][
+        "conv_id"
+    ]
+    delete_conversations(spark, engine.path, [conv])
+    fresh = QueryEngine(spark, engine.path)
+    fresh.register_percolator_queries(queries, name="t")
+    after = {r["doc_id"] for r in fresh.percolate(queries).collect()}
+    assert after == before - {victim}
+    after_reg = {
+        r["doc_id"]
+        for r in fresh.percolate_registered(name="t").collect()
+    }
+    assert after_reg == before - {victim}
