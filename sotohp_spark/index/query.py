@@ -2550,10 +2550,22 @@ class QueryEngine:
 
         idf = {t: _bm25.lucene_idf_scalar(n, d) for t, d in dfs.items()}
         span = self.cfg.range_size * self.cfg.ranges_per_batch
+        # a TOMBSTONED doc explains to EMPTY (ES _explain reports a
+        # deleted doc unmatched; its stored row must not leak back) —
+        # same two-tier mask as term_vectors
+        if self._deletes is not None and int(doc_id) in self._deletes:
+            return self.spark.createDataFrame(
+                [], "term string, qtf int, df long, idf double, "
+                    "tf long, score double"
+            )
         row = self._docs_raw.where(
             (F.col("range_bucket") == int(doc_id) // span)
             & (F.col("doc_id") == int(doc_id))
         )
+        if self._deletes is None and self._deletes_df is not None:
+            row = row.join(
+                self._deletes_df.select("doc_id"), "doc_id", "left_anti"
+            )
         qtf_m = F.create_map(
             *[x for t in dfs for x in (F.lit(t), F.lit(qtf[t]))]
         )
@@ -3780,7 +3792,16 @@ class QueryEngine:
         where = (F.col("doc_id") == int(doc_id))
         if "range_bucket" in docs_full.columns:
             where = (F.col("range_bucket") == rb) & where
-        row = docs_full.where(where).select("tfs").collect()
+        # ES: a deleted `like` doc is NOT FOUND — its stored tf map
+        # must not seed the query (two-tier mask like term_vectors)
+        if self._deletes is not None and int(doc_id) in self._deletes:
+            raise ValueError(f"doc_id {doc_id} is deleted")
+        lookup = docs_full.where(where)
+        if self._deletes is None and self._deletes_df is not None:
+            lookup = lookup.join(
+                self._deletes_df.select("doc_id"), "doc_id", "left_anti"
+            )
+        row = lookup.select("tfs").collect()
         if not row:
             raise ValueError(f"doc_id {doc_id} not in the docs table")
         tfs = row[0]["tfs"] or {}

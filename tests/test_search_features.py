@@ -1340,3 +1340,26 @@ def test_percolate_corpus_default_excludes_tombstones(spark, tmp_path):
         for r in fresh.percolate_registered(name="t").collect()
     }
     assert after_reg == before - {victim}
+
+
+def test_explain_and_mlt_honor_tombstones(spark, tmp_path):
+    """ES parity: _explain on a deleted doc is unmatched (empty
+    breakdown) and a deleted more_like_this source is NOT FOUND —
+    a tombstoned doc's stored row must not leak back out, on the
+    driver-set tier and the distributed (anti-join) tier alike."""
+    from sotohp_spark.streaming.incremental import delete_conversations
+
+    engine = _fixture(spark, tmp_path)
+    victim = engine.top_k("error retry", 1, with_docs=False).collect()[
+        0]["doc_id"]
+    assert engine.explain("error retry", victim).count() > 0
+    conv = engine._docs.where(F.col("doc_id") == victim).collect()[0][
+        "conv_id"]
+    delete_conversations(spark, engine.path, [conv])
+    for max_driver in (None, 0):  # driver-set tier / distributed tier
+        fresh = QueryEngine(spark, engine.path,
+                            max_driver_deletes=max_driver)
+        assert fresh.explain("error retry", victim).count() == 0
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            fresh.more_like_this(victim, k=3)
