@@ -11,3 +11,9 @@ from sotohp_spark.index.snapshot import (  # noqa: F401
     snapshot_index,
     verify_snapshot,
 )
+from sotohp_spark.index.alias import (  # noqa: F401
+    open_alias,
+    resolve_alias,
+    swap_alias,
+    write_alias,
+)
