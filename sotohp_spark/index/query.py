@@ -3116,6 +3116,30 @@ class QueryEngine:
     # numeric doc-metadata fields the metric aggregations accept
     _NUMERIC_DOC_FIELDS = ("doc_len", "n_turns")
 
+    def _matched_metric(self, query_text: str, field: str,
+                        source=None) -> DataFrame:
+        """One ``m`` (double) per matched doc for the metric
+        aggregations.  For ``doc_len`` the value rides OUT OF the
+        candidates decode itself (matching_doc_ids(with_dl=True) —
+        the rarest term's posting stream already carries every
+        survivor's BM25 document length), so the aggregation needs NO
+        docs-table join; other fields take the pruned metadata
+        join."""
+        if field not in self._NUMERIC_DOC_FIELDS:
+            raise ValueError(
+                f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
+                f"got {field!r}"
+            )
+        if field == "doc_len":
+            return self.matching_doc_ids(
+                query_text, source=source, with_dl=True
+            ).select(F.col("dl").cast("double").alias("m"))
+        ids = self.matching_doc_ids(query_text, source=source)
+        keyed = self._bucket_keyed(ids)
+        return self._docs.join(keyed, ["range_bucket", "doc_id"]).select(
+            F.col(field).cast("double").alias("m")
+        )
+
     def top_hits(self, query_text: str, k: int = 10, size: int = 3,
                  by: str = "day", conjunctive: bool = False,
                  source=None) -> DataFrame:
@@ -3204,16 +3228,14 @@ class QueryEngine:
                 f"method must be 'exact' or 'approx', got {method!r}"
             )
         fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
-        ids = self.matching_doc_ids(query_text, source=source)
-        keyed = self._bucket_keyed(ids)
-        col = F.col(field).cast("double")
+        src = self._matched_metric(query_text, field, source)
+        col = F.col("m")
         if method == "exact":
             agg = F.percentile(col, fracs)
         else:
             agg = F.approx_percentile(col, fracs, F.lit(int(accuracy)))
         vals = (
-            self._docs.join(keyed, ["range_bucket", "doc_id"])
-            .agg(agg.alias("vals"))
+            src.agg(agg.alias("vals"))
             .select(
                 F.posexplode(
                     F.arrays_zip(
@@ -3483,12 +3505,10 @@ class QueryEngine:
                 f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
                 f"got {field!r}"
             )
-        ids = self.matching_doc_ids(query_text, source=source)
-        keyed = self._bucket_keyed(ids)
-        m = F.col(field).cast("double")
+        src = self._matched_metric(query_text, field, source)
+        m = F.col("m")
         return (
-            self._docs.join(keyed, ["range_bucket", "doc_id"])
-            .agg(
+            src.agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.min(m).alias("min_v"),
                 F.max(m).alias("max_v"),
@@ -3522,15 +3542,10 @@ class QueryEngine:
         interval = float(interval)
         if interval <= 0:
             raise ValueError(f"interval must be > 0, got {interval}")
-        ids = self.matching_doc_ids(query_text, source=source)
-        keyed = self._bucket_keyed(ids)
-        key = (
-            F.floor(F.col(field).cast("double") / interval)
-            * interval
-        )
+        src = self._matched_metric(query_text, field, source)
+        key = F.floor(F.col("m") / interval) * interval
         return (
-            self._docs.join(keyed, ["range_bucket", "doc_id"])
-            .groupBy(key.alias("bucket"))
+            src.groupBy(key.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("bucket")
         )
@@ -3827,7 +3842,8 @@ class QueryEngine:
             .limit(k)
         )
 
-    def matching_doc_ids(self, query_text: str, source=None) -> DataFrame:
+    def matching_doc_ids(self, query_text: str, source=None,
+                         with_dl: bool = False) -> DataFrame:
         """ALL live doc ids containing EVERY query term — candidate
         generation for prune-then-verify retrieval (phrase search: the
         index prunes to conjunctive candidates, the raw text confirms
@@ -3859,7 +3875,7 @@ class QueryEngine:
 
         terms = sorted(set(tokenize(query_text, self._query_rules(source))))
         spark = self.spark
-        schema = "doc_id long"
+        schema = "doc_id long, dl long" if with_dl else "doc_id long"
         empty = spark.createDataFrame([], schema)
         if not terms:
             return empty
@@ -3880,7 +3896,15 @@ class QueryEngine:
             # range's conjunction (conjunctive_match can only see the
             # terms that HAVE a shard here)
             if len({r["term"] for r in rows}) < n_terms:
-                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+                base = {"doc_id": []}
+                if with_dl:
+                    base["dl"] = []
+                return pd.DataFrame(base).astype("int64")
+            if with_dl:
+                # ``dl`` rides out of the rarest term's full decode —
+                # a doc_len-keyed aggregation needs NO docs join
+                ids, dls = conjunctive_match(rows, deletes, with_dl=True)
+                return pd.DataFrame({"doc_id": ids, "dl": dls})
             return pd.DataFrame({"doc_id": conjunctive_match(rows, deletes)})
 
         return self._apply_per_range(shards, match_rows, schema)

@@ -549,7 +549,7 @@ def positional_phrase_match_batch(rows, phrase_offsets, deletes=None):
     return out
 
 
-def conjunctive_match(rows, deletes=None, stats=None):
+def conjunctive_match(rows, deletes=None, stats=None, with_dl=False):
     """Doc ids present in EVERY term's postings among ``rows`` (shard
     dicts of one doc-id range) — rarest-first block-skipping
     intersection, the positionless analog of Lucene's leapfrog
@@ -568,10 +568,19 @@ def conjunctive_match(rows, deletes=None, stats=None):
     blocks_decoded / blocks_skipped as evidence.
 
     ``rows``: dicts with term, n_docs, block_offsets, block_first_doc,
-    block_last_doc, payload.  Returns a sorted int64 array.
+    block_last_doc, payload.  Returns a sorted int64 array — or, with
+    ``with_dl=True``, ``(ids, dls)``: each survivor's BM25 document
+    length, read from the FIRST (rarest, fully decoded) term's
+    posting stream at zero extra decode cost.  A doc_len-keyed
+    aggregation (percentiles / histogram / range / stats) can then
+    skip the docs-table join entirely.
     """
+    def _empty():
+        ids = np.zeros(0, dtype=np.int64)
+        return (ids, np.zeros(0, dtype=np.int64)) if with_dl else ids
+
     if not rows:
-        return np.zeros(0, dtype=np.int64)
+        return _empty()
     by_term: dict = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
@@ -584,6 +593,7 @@ def conjunctive_match(rows, deletes=None, stats=None):
             stats[key] = stats.get(key, 0) + n
 
     cand = None
+    first_dd = first_dl = None
     for rs in ordered:
         if cand is not None and cand.size == 0:
             # count the never-touched lists as fully skipped
@@ -592,7 +602,7 @@ def conjunctive_match(rows, deletes=None, stats=None):
                 bump("blocks_total", nb)
                 bump("blocks_skipped", nb)
             continue
-        parts = []
+        parts, dl_parts = [], []
         for row in rs:
             nblocks = len(row["block_offsets"]) - 1
             bump("blocks_total", nblocks)
@@ -610,21 +620,42 @@ def conjunctive_match(rows, deletes=None, stats=None):
                 if keep.size == 0:
                     continue
                 ids = keep.tolist()
-            dd, _, _ = decode_shard_blocks(
+            dd, _, dl = decode_shard_blocks(
                 row["payload"], row["block_offsets"], ids
             )
             parts.append(dd)
-        dd = (
-            np.unique(np.concatenate(parts))
-            if parts
-            else np.zeros(0, dtype=np.int64)
-        )
+            if with_dl and cand is None:
+                dl_parts.append(dl)
+        if parts:
+            concat = np.concatenate(parts)
+            if with_dl and cand is None:
+                # keep the rarest term's dl aligned through the sort
+                # (shards of one term are disjoint; unique is a
+                # stable safety net)
+                dls = np.concatenate(dl_parts)
+                order = np.argsort(concat, kind="stable")
+                sdd, sdl = concat[order], dls[order]
+                uniq = np.empty(sdd.size, dtype=bool)
+                if sdd.size:
+                    uniq[0] = True
+                    np.not_equal(sdd[1:], sdd[:-1], out=uniq[1:])
+                first_dd, first_dl = sdd[uniq], sdl[uniq]
+                dd = first_dd
+            else:
+                dd = np.unique(concat)
+        else:
+            dd = np.zeros(0, dtype=np.int64)
         cand = dd if cand is None else np.intersect1d(cand, dd, assume_unique=True)
     if cand is None:
-        cand = np.zeros(0, dtype=np.int64)
+        return _empty()
     if deletes is not None and len(deletes) and cand.size:
         cand = cand[~np.isin(cand, deletes)]
-    return cand
+    if not with_dl:
+        return cand
+    if cand.size == 0 or first_dd is None:
+        return cand, np.zeros(0, dtype=np.int64)
+    pos = np.searchsorted(first_dd, cand)
+    return cand, first_dl[pos].astype(np.int64)
 
 
 def conjunctive_match_batch(rows, phrase_terms, deletes=None):

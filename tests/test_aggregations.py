@@ -271,3 +271,24 @@ def test_histogram_matches_brute(engine):
     assert [r.bucket for r in got] == sorted(want)
     with pytest.raises(ValueError):
         engine.histogram_agg("error", interval=0)
+
+
+def test_doc_len_aggs_skip_docs_join(engine):
+    """doc_len rides OUT OF the candidates decode (the rarest term's
+    posting stream carries every survivor's dl), so doc_len-keyed
+    metric aggregations read NO docs table — plan-asserted — and the
+    dl values are identical to the stored doc_len column."""
+    got = {r.doc_id: r.dl for r in engine.matching_doc_ids(
+        "error retry", with_dl=True).collect()}
+    meta = _meta(engine)
+    assert got == {d: meta[d].doc_len for d in got} and got
+    plan = engine.percentiles("error retry")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "/docs" not in plan
+    plan2 = engine.extended_stats("error retry")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "/docs" not in plan2
+    # the non-doc_len path still joins metadata (and stays correct)
+    plan3 = engine.percentiles("error retry", field="n_turns") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "/docs" in plan3
