@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (filter buckets + pairwise intersections, one batch job)
     q["transcripts_moving_avg"] = _transcripts_moving_avg
     q["transcripts_extended_stats"] = _transcripts_extended_stats
+    # aggregations under a composable bool query (membership from the
+    # uncut bool scan)
+    q["transcripts_facets_bool"] = _transcripts_facets_bool
     q["transcripts_histogram"] = _transcripts_histogram
     q["transcripts_rare_terms"] = _transcripts_rare_terms
     q["transcripts_adjacency_matrix"] = _transcripts_adjacency_matrix
@@ -1117,6 +1120,20 @@ def _transcripts_histogram(spark, sf_dir):
     engine, _ = _transcript_index(spark, sf_dir)
     return engine.histogram_agg("error retry", field="doc_len",
                                 interval=200.0)
+
+
+def _transcripts_facets_bool(spark, sf_dir):
+    """Aggregations under a COMPOSABLE query (the ES contract: aggs
+    execute under any query): monthly facets of the matched set of
+    Bool(must=[error retry], must_not=[t0040]) — membership from the
+    one-job bool scan with the k-cut disabled, then the standard
+    pruned facet aggregation."""
+    from sotohp_spark.index import Bool
+
+    engine, _ = _transcript_index(spark, sf_dir)
+    return engine.facets(
+        Bool(must=["error retry"], must_not=["t0040"]), by="month"
+    )
 
 
 def _transcripts_suggest(spark, sf_dir):
@@ -2589,6 +2606,26 @@ LEFT JOIN li ON o_orderkey = li.l_orderkey
         "searches": "search query",
         "nonesuch": "zzqxnope",
     })
+    o["transcripts_facets_bool"] = f"""
+WITH tf AS (
+  SELECT doc_id, e.key AS term
+  FROM read_parquet('{_ORACLE_INDEX_DOCS}'),
+  LATERAL (SELECT unnest(map_entries(tfs), recursive := true)) e(key, value)
+),
+members AS (
+  SELECT doc_id FROM tf WHERE term IN ('error', 'retry')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+live AS (
+  SELECT doc_id FROM members
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 't0040')
+)
+SELECT strftime(d.doc_ts, '%Y-%m') AS facet,
+       count(*)::BIGINT AS n_docs,
+       round(avg(d.doc_len), 6) AS avg_doc_len
+FROM read_parquet('{_ORACLE_INDEX_DOCS}') d JOIN live USING (doc_id)
+GROUP BY 1 ORDER BY facet
+"""
     o["transcripts_extended_stats"] = f"""
 WITH tf AS (
   SELECT doc_id, e.key AS term

@@ -1956,7 +1956,7 @@ class QueryEngine:
         conjunction's output (matching_doc_ids — each doc id lives in
         exactly one range, so per-range counts partial-aggregate into
         the global one); no scores, no ordering, no k."""
-        return self.matching_doc_ids(query_text, source=source).agg(
+        return self._matched_ids(query_text, source).agg(
             F.count(F.lit(1)).alias("n_matches")
         )
 
@@ -2663,7 +2663,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown collapse key {by!r} "
                              "(expected day | week | month)")
-        scored = self.scored_matches(query_text, conjunctive, source)
+        scored = self._scored_set(query_text, conjunctive, source)
         keyed = self._bucket_keyed(scored)
         best = (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
@@ -2717,7 +2717,7 @@ class QueryEngine:
         origin_dt = self._coerce_ts(origin)
         if origin_dt is None:
             raise ValueError("origin is required (a deterministic now)")
-        scored = self.scored_matches(query_text, conjunctive, source)
+        scored = self._scored_set(query_text, conjunctive, source)
         keyed = self._bucket_keyed(scored)
         age_days = (
             F.abs(
@@ -2886,7 +2886,7 @@ class QueryEngine:
         segments the final sort decides."""
         from pyspark.sql import Window
 
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         segs = self.meta.get("segments") or [[0, self.meta["max_doc"]]]
         if len(segs) <= 16:
             # few segments: a literal CASE chain stays in whole-stage
@@ -3101,7 +3101,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown facet key {by!r} "
                              "(expected month | week | n_turns)")
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         return (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
@@ -3115,6 +3115,31 @@ class QueryEngine:
 
     # numeric doc-metadata fields the metric aggregations accept
     _NUMERIC_DOC_FIELDS = ("doc_len", "n_turns")
+
+    def _matched_ids(self, query, source=None) -> DataFrame:
+        """Matched doc ids (filter context, no scores) for a query
+        given as conjunctive TEXT or as a composable ``Bool`` — the
+        membership primitive every aggregation runs on (ES
+        aggregations accept any query; this is the routing point).
+        Bool membership reuses the one-job bool scan with the k-cut
+        disabled (scores are computed and dropped — the bitmask
+        membership rides the same decode)."""
+        if isinstance(query, Bool):
+            return self.top_k_bool(
+                query, with_docs=False, source=source, _no_cut=True
+            ).select("doc_id")
+        return self.matching_doc_ids(query, source=source)
+
+    def _scored_set(self, query, conjunctive: bool = False,
+                    source=None) -> DataFrame:
+        """Every match with its exact score, for text or Bool — the
+        input the score-consuming aggregations (collapse / top_hits /
+        function_score) need."""
+        if isinstance(query, Bool):
+            return self.top_k_bool(
+                query, with_docs=False, source=source, _no_cut=True
+            )
+        return self.scored_matches(query, conjunctive, source)
 
     def _matched_metric(self, query_text: str, field: str,
                         source=None) -> DataFrame:
@@ -3130,11 +3155,11 @@ class QueryEngine:
                 f"field must be one of {self._NUMERIC_DOC_FIELDS}, "
                 f"got {field!r}"
             )
-        if field == "doc_len":
+        if field == "doc_len" and not isinstance(query_text, Bool):
             return self.matching_doc_ids(
                 query_text, source=source, with_dl=True
             ).select(F.col("dl").cast("double").alias("m"))
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         return self._docs.join(keyed, ["range_bucket", "doc_id"]).select(
             F.col(field).cast("double").alias("m")
@@ -3172,7 +3197,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown bucket key {by!r} "
                              "(expected day | week | month)")
-        scored = self.scored_matches(query_text, conjunctive, source)
+        scored = self._scored_set(query_text, conjunctive, source)
         keyed = self._bucket_keyed(scored)
         w = Window.partitionBy("bucket").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
@@ -3340,7 +3365,7 @@ class QueryEngine:
         for lo, hi in bounds[1:-1]:
             expr = expr.when(col < hi, F.lit(_label(lo, hi)))
         expr = expr.otherwise(F.lit(_label(es[-1], None)))
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         m = F.col(metric).cast("double")
         got = (
@@ -3413,7 +3438,7 @@ class QueryEngine:
         if not names:
             raise ValueError("sources must be non-empty")
         keys = [self._composite_key(n).alias(f"k_{n}") for n in names]
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         grouped = (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
@@ -3473,7 +3498,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown bucket key {by!r} "
                              "(expected day | week | month)")
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         hist = (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
@@ -3579,7 +3604,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown bucket key {by!r} "
                              "(expected day | week | month)")
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         hist = (
             self._docs.join(keyed, ["range_bucket", "doc_id"])
@@ -3616,7 +3641,7 @@ class QueryEngine:
             raise ValueError(
                 f"max_doc_count must be >= 1, got {max_doc_count}"
             )
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         fg = (
             self._docs_raw.join(keyed, ["range_bucket", "doc_id"])
@@ -3707,7 +3732,7 @@ class QueryEngine:
         deterministically once the k-row result materializes (repeated
         calls must not accumulate executor storage for the session
         lifetime)."""
-        ids = self.matching_doc_ids(query_text, source=source).persist()
+        ids = self._matched_ids(query_text, source).persist()
         try:
             keyed = self._bucket_keyed(ids)
             fg = (
@@ -3773,7 +3798,7 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown cardinality key {by!r} "
                              "(expected day | week | month)")
-        ids = self.matching_doc_ids(query_text, source=source)
+        ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         joined = self._docs.join(keyed, ["range_bucket", "doc_id"])
         agg = (

@@ -292,3 +292,52 @@ def test_doc_len_aggs_skip_docs_join(engine):
     plan3 = engine.percentiles("error retry", field="n_turns") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "/docs" in plan3
+
+
+def test_aggs_accept_bool_queries(engine):
+    """Every aggregation runs under a composable Bool (the ES
+    contract: aggs execute under ANY query).  Semantics pinned on
+    NON-saturating terms: membership aggs' text form is conjunctive
+    (== per-term must clauses); scored aggs' text form is disjunctive
+    (== should clauses, msm=1) — and the two Bool shapes genuinely
+    differ on these terms, so the identities are not vacuous."""
+    from sotohp_spark.index import Bool
+
+    # two mid-selectivity tool tokens: AND set strictly < OR set
+    t1, t2 = "t0040", "t0100"
+    n_and = engine.matching_doc_ids(f"{t1} {t2}").count()
+    n_or = engine.top_k_bool(
+        Bool(should=[t1, t2], minimum_should_match=1),
+        with_docs=False, _no_cut=True).count()
+    assert 0 < n_and < n_or  # non-vacuous
+    b_and = Bool(must=[t1, t2])
+    b_or = Bool(should=[t1, t2], minimum_should_match=1)
+    # membership aggs: text == per-term must clauses
+    assert {(r.facet, r.n_docs) for r in engine.facets(
+        f"{t1} {t2}", by="month").collect()} == {
+        (r.facet, r.n_docs) for r in engine.facets(
+            b_and, by="month").collect()}
+    assert engine.count(f"{t1} {t2}").collect()[0].n_matches == \
+        engine.count(b_and).collect()[0].n_matches == n_and
+    assert [(r.percent, r.value) for r in engine.percentiles(
+        f"{t1} {t2}", (50.0,), field="n_turns").collect()] == [
+        (r.percent, r.value) for r in engine.percentiles(
+            b_and, (50.0,), field="n_turns").collect()]
+    # scored aggs: text (disjunctive default) == should clauses
+    assert [(r.bucket, r.hit_rank, r.doc_id, round(r.score, 9))
+            for r in engine.top_hits(f"{t1} {t2}", k=3, size=2,
+                                     by="month").collect()] == [
+        (r.bucket, r.hit_rank, r.doc_id, round(r.score, 9))
+        for r in engine.top_hits(b_or, k=3, size=2,
+                                 by="month").collect()]
+    assert [(r.collapse_key, r.doc_id, round(r.score, 9))
+            for r in engine.top_k_collapse(f"{t1} {t2}", k=4,
+                                           by="month").collect()] == [
+        (r.collapse_key, r.doc_id, round(r.score, 9))
+        for r in engine.top_k_collapse(b_or, k=4,
+                                       by="month").collect()]
+    # a bool-only shape (exclusion) flows through membership aggs
+    excl = engine.count(Bool(must=[t1], must_not=[t2])).collect()[0]
+    both = engine.count(f"{t1} {t2}").collect()[0].n_matches
+    only1 = engine.count(t1).collect()[0].n_matches
+    assert excl.n_matches == only1 - both > 0
