@@ -1132,6 +1132,166 @@ class QueryEngine:
             _no_cut=_no_cut,
         )
 
+    def _compile_qs_items(self, items, fields, max_expansions,
+                          source, texts_given: bool):
+        """Shared query_string clause compiler: QSItems -> (must,
+        should, must_not clause dicts, must-phrases, must_not-phrases,
+        unmatchable flag).  ``unmatchable``: a REQUIRED item provably
+        matches nothing (required prefix with zero expansions, must
+        words all dropped by analysis, index-only all-dropped phrase)
+        — callers return empty.  Field scoping validated up front so
+        an unknown field raises uniformly across item kinds."""
+        from sotohp_spark.index.build import FIELD_SEP
+
+        rules = self._query_rules(source)
+
+        def _expand_prefix(prefix: str, fieldname):
+            # expansions resolved in the field's key space, stripped
+            # back to raw terms (the Bool compile re-tags per clause)
+            tag = (
+                "" if fieldname in (None, "text")
+                else fieldname + FIELD_SEP
+            )
+            exps = self.wildcard_expand(
+                tag + prefix + "*", max_expansions, order="df"
+            )
+            out = []
+            for term, _df in exps:
+                if tag:
+                    if term.startswith(tag):
+                        out.append(term[len(tag):])
+                elif FIELD_SEP not in term:
+                    out.append(term)
+            return out
+
+        indexed = set(self.meta.get("fields") or ())
+        for it in items:
+            if it.field is not None and it.field != "text" \
+                    and it.field not in indexed:
+                raise ValueError(
+                    f"field {it.field!r} is not indexed (index "
+                    f"fields: {sorted(indexed)})"
+                )
+
+        must, should, must_not = [], [], []
+        phrases_must, phrases_not = [], []
+        for it in items:
+            if it.phrase is not None:
+                if it.field not in (None, "text"):
+                    raise ValueError(
+                        "field-scoped phrases are only supported on "
+                        "the text stream"
+                    )
+                if it.occur == "must_not":
+                    phrases_not.append(it)
+                    continue
+                # one required scoring clause PER analyzed term ==
+                # conjunctive membership over the phrase's terms
+                toks = tokenize(it.phrase, rules)
+                if not toks:
+                    # every token dropped: no index evidence.  With
+                    # texts the verify join falls back to
+                    # phrase_search's full scan (scored 0.0);
+                    # index-only is unmatchable (phrase_search's
+                    # lossless contract puts the fallback on callers)
+                    if texts_given:
+                        phrases_must.append(it)
+                        continue
+                    return [], [], [], [], [], True
+                qtf: dict = {}
+                for t in toks:
+                    qtf[t] = qtf.get(t, 0) + 1
+                for t, c in qtf.items():
+                    must.append(
+                        {"terms": {t: float(c)}, "boost": it.boost,
+                         "fields": ["text"] if fields else None}
+                    )
+                phrases_must.append(it)
+                continue
+            clause: dict = {"boost": it.boost}
+            if it.field is not None:
+                clause["fields"] = [it.field]
+            terms: dict = {}
+            for w in it.words:
+                for t in tokenize(w, rules):
+                    terms[t] = terms.get(t, 0.0) + 1.0
+            for p in it.prefixes:
+                for t in _expand_prefix(p.lower(), it.field):
+                    terms[t] = terms.get(t, 0.0) + 1.0
+            if not terms:
+                if it.occur == "must" and it.prefixes and not it.words:
+                    # required prefix, zero expansions: matches
+                    # nothing (ES prefix query)
+                    return [], [], [], [], [], True
+                if it.occur in ("must_not", "should"):
+                    continue  # can't exclude / count toward msm
+                # must words all dropped by analysis: unmatchable
+                return [], [], [], [], [], True
+            clause["terms"] = terms
+            {"must": must, "should": should, "must_not": must_not}[
+                it.occur
+            ].append(clause)
+        return must, should, must_not, phrases_must, phrases_not, False
+
+    # an analyzed term can never contain the field separator, so a
+    # required clause on this key is provably unmatchable — the Bool
+    # form of "this query string matches nothing" (query_string_bool)
+    _UNMATCHABLE_TERM = "\x1f\x1f"
+
+    def query_string_bool(
+        self,
+        query_string: str,
+        default_operator: str = "or",
+        minimum_should_match: int | None = None,
+        fields=None,
+        max_expansions: int = 50,
+        source=None,
+        ts_min=None,
+        ts_max=None,
+    ) -> "Bool":
+        """Compile a PHRASE-FREE query string to a composable ``Bool``
+        — the bridge between the search-box grammar and everything
+        that consumes Bool queries (every aggregation, percolation
+        filters, ...): ``engine.facets(engine.query_string_bool(
+        '+error -t0040 ti*'), by='month')``.
+
+        Same grammar and compilation as top_k_query_string's
+        term/prefix path (per-item fields, boosts, OR groups, prefix
+        expansion with per-expansion idf).  Quoted phrases raise
+        QueryStringError — phrase membership needs the positional
+        composition only the retrieval path performs.  A provably
+        unmatchable query (required prefix with no expansions, must
+        words all dropped) compiles to a Bool carrying a reserved
+        impossible term, so every consumer yields EMPTY through the
+        normal machinery instead of special-casing."""
+        from sotohp_spark.index.qs import (
+            QueryStringError,
+            parse_query_string,
+        )
+
+        items = parse_query_string(query_string, default_operator)
+        if any(it.phrase is not None for it in items):
+            raise QueryStringError(
+                "query_string_bool compiles term/prefix queries only "
+                "— quoted phrases need the retrieval path "
+                "(top_k_query_string)"
+            )
+        (must, should, must_not, _pm, _pn,
+         unmatchable) = self._compile_qs_items(
+            items, fields, max_expansions, source, texts_given=False,
+        )
+        if unmatchable or (not must and not should):
+            return Bool(
+                must=({"terms": {self._UNMATCHABLE_TERM: 1.0}},),
+                ts_min=ts_min, ts_max=ts_max,
+            )
+        return Bool(
+            must=tuple(must), should=tuple(should),
+            must_not=tuple(must_not),
+            ts_min=ts_min, ts_max=ts_max,
+            minimum_should_match=minimum_should_match,
+        )
+
     def top_k_query_string(
         self,
         query_string: str,
@@ -1198,7 +1358,6 @@ class QueryEngine:
         matched set can differ from ES when a doc repeats the words
         outside the phrase.
         """
-        from sotohp_spark.index.build import FIELD_SEP
         from sotohp_spark.index.qs import QSItem, parse_query_string
 
         items = parse_query_string(query_string, default_operator)
@@ -1224,110 +1383,14 @@ class QueryEngine:
             normed.append(it)
         items = normed
 
-        rules = self._query_rules(source)
-
-        def _expand_prefix(prefix: str, fieldname):
-            """Dictionary expansions of a prefix, scoped to one
-            field's key space (tagged keys stripped back to raw terms
-            — the Bool compile re-tags per clause)."""
-            tag = (
-                "" if fieldname in (None, "text")
-                else fieldname + FIELD_SEP
-            )
-            exps = self.wildcard_expand(
-                tag + prefix + "*", max_expansions, order="df"
-            )
-            out = []
-            for term, _df in exps:
-                if tag:
-                    if term.startswith(tag):
-                        out.append(term[len(tag):])
-                elif FIELD_SEP not in term:
-                    out.append(term)
-            return out
-
-        # validate field scoping up front so an unknown field raises
-        # uniformly (a field-scoped PREFIX would otherwise just expand
-        # to nothing and silently match nothing)
-        indexed = set(self.meta.get("fields") or ())
-        for it in items:
-            if it.field is not None and it.field != "text" \
-                    and it.field not in indexed:
-                raise ValueError(
-                    f"field {it.field!r} is not indexed (index "
-                    f"fields: {sorted(indexed)})"
-                )
-
-        must, should, must_not = [], [], []
-        phrases_must, phrases_not = [], []
-        for it in items:
-            if it.phrase is not None:
-                if it.field not in (None, "text"):
-                    raise ValueError(
-                        "field-scoped phrases are only supported on "
-                        "the text stream"
-                    )
-                if it.occur == "must_not":
-                    phrases_not.append(it)
-                    continue
-                # one required scoring clause PER analyzed term ==
-                # conjunctive membership over the phrase's terms
-                toks = tokenize(it.phrase, rules)
-                if not toks:
-                    # every token dropped by the analysis chain: no
-                    # index evidence.  With ``texts`` the verify join
-                    # below falls back to phrase_search's full-scan
-                    # membership (scoring contribution is zero — BM25
-                    # over zero indexed terms); index-only returns
-                    # empty (phrase_search's lossless contract puts
-                    # the fallback on the caller).
-                    if texts is not None:
-                        phrases_must.append(it)
-                        continue
-                    out = self.spark.createDataFrame([], TOPK_SCHEMA)
-                    return (
-                        self._attach_docs(out) if with_docs else out
-                    )
-                qtf: dict = {}
-                for t in toks:
-                    qtf[t] = qtf.get(t, 0) + 1
-                for t, c in qtf.items():
-                    must.append(
-                        {"terms": {t: float(c)}, "boost": it.boost,
-                         "fields": ["text"] if fields else None}
-                    )
-                phrases_must.append(it)
-                continue
-            clause: dict = {"boost": it.boost}
-            if it.field is not None:
-                clause["fields"] = [it.field]
-            terms: dict = {}
-            for w in it.words:
-                for t in tokenize(w, rules):
-                    terms[t] = terms.get(t, 0.0) + 1.0
-            for p in it.prefixes:
-                for t in _expand_prefix(p.lower(), it.field):
-                    terms[t] = terms.get(t, 0.0) + 1.0
-            if not terms:
-                if it.occur == "must" and it.prefixes and not it.words:
-                    # a required prefix with zero dictionary
-                    # expansions matches nothing (ES prefix query)
-                    out = self.spark.createDataFrame([], TOPK_SCHEMA)
-                    return (
-                        self._attach_docs(out) if with_docs else out
-                    )
-                if it.occur == "must_not":
-                    continue
-                if it.occur == "should":
-                    continue  # can't count toward msm, like ES
-                # must item whose words analyzed to nothing: no
-                # index evidence either way — treat as unmatchable
-                out = self.spark.createDataFrame([], TOPK_SCHEMA)
-                return self._attach_docs(out) if with_docs else out
-            clause["terms"] = terms
-            {"must": must, "should": should, "must_not": must_not}[
-                it.occur
-            ].append(clause)
+        (must, should, must_not, phrases_must, phrases_not,
+         unmatchable) = self._compile_qs_items(
+            items, fields, max_expansions, source,
+            texts_given=texts is not None,
+        )
+        if unmatchable:
+            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self._attach_docs(out) if with_docs else out
 
         if not must and not should:
             if texts is not None and phrases_must:

@@ -251,3 +251,29 @@ def test_qs_unknown_field_raises_uniformly(built):
         engine.top_k_query_string("+bogus:pre* error", k=3)
     with pytest.raises(ValueError, match="not indexed"):
         engine.top_k_query_string("error -bogus:x", k=3)
+
+
+def test_query_string_bool_feeds_aggregations(built):
+    """query_string_bool: the phrase-free grammar compiles to a Bool
+    any aggregation consumes; retrieval through the compiled Bool is
+    rank-identical to top_k_query_string; unmatchable queries compile
+    to an empty-yielding Bool instead of special-casing."""
+    engine, _ = built
+    qs = "+error +(retry | timeout) -browser search^2"
+    q = engine.query_string_bool(qs)
+    assert _rows(engine.top_k_bool(q, k=8, with_docs=False)) == _rows(
+        engine.top_k_query_string(qs, k=8, with_docs=False))
+    # aggregations under the compiled query
+    n = engine.count(q).collect()[0].n_matches
+    assert n == engine.matching_doc_ids("error retry").count() > 0
+    facets = engine.facets(q, by="month").collect()
+    assert sum(r.n_docs for r in facets) == n
+    # unmatchable shapes yield EMPTY everywhere, no exceptions
+    for bad in ("+zzzqx*", "+2024"):
+        qb = engine.query_string_bool(bad)
+        assert engine.count(qb).collect()[0].n_matches == 0
+        assert engine.top_k_bool(qb, k=5, with_docs=False).count() == 0
+        assert engine.facets(qb, by="month").count() == 0
+    # phrases are the retrieval path's job
+    with pytest.raises(QueryStringError):
+        engine.query_string_bool('+"error retry"')
