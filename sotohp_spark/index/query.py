@@ -2992,6 +2992,34 @@ class QueryEngine:
             .limit(k)
         )
 
+    def _highlight_inputs(self, query, k, source):
+        """(positive text-stream terms, top-k frame) for a highlight
+        query given as text or Bool — Bool retrieval runs top_k_bool;
+        wrap terms are every positive clause's analyzed text-stream
+        terms (must_not never wraps; field-tagged keys highlight
+        nothing in the raw text)."""
+        if isinstance(query, Bool):
+            rules = self._query_rules(source)
+            terms: set = set()
+            for text, _b, cfields, cterms in _bool_clauses(
+                tuple(query.must) + tuple(query.should)
+                + tuple(query.filter)
+            ):
+                if cfields is not None and "text" not in [
+                    f if isinstance(f, str) else f[0] for f in cfields
+                ]:
+                    continue
+                if cterms is not None:
+                    terms.update(cterms)
+                else:
+                    terms.update(tokenize(text, rules))
+            top = self.top_k_bool(query, k, with_docs=False,
+                                  source=source)
+            return sorted(terms), top
+        terms = sorted(set(tokenize(query, self._query_rules(source))))
+        return terms, self.top_k(query, k, with_docs=False,
+                                 source=source)
+
     def highlight(self, query_text: str, texts: DataFrame, k: int = 10,
                   text_col: str = "text", id_col: str = "doc_id",
                   source=None, tag: str = "em") -> DataFrame:
@@ -3010,8 +3038,7 @@ class QueryEngine:
         their raw surface form (camelCase splits) simply don't wrap."""
         import re as _re
 
-        terms = sorted(set(tokenize(query_text, self._query_rules(source))))
-        top = self.top_k(query_text, k, with_docs=False, source=source)
+        terms, top = self._highlight_inputs(query_text, k, source)
         if not terms:
             return (
                 texts.join(F.broadcast(top), id_col)
@@ -3070,8 +3097,7 @@ class QueryEngine:
             )
         if fragment_size < 10:
             raise ValueError("fragment_size must be >= 10")
-        terms = sorted(set(tokenize(query_text, self._query_rules(source))))
-        top = self.top_k(query_text, k, with_docs=False, source=source)
+        terms, top = self._highlight_inputs(query_text, k, source)
         if not terms:
             return (
                 texts.join(F.broadcast(top), id_col)

@@ -1363,3 +1363,39 @@ def test_explain_and_mlt_honor_tombstones(spark, tmp_path):
         import pytest as _pytest
         with _pytest.raises(ValueError):
             fresh.more_like_this(victim, k=3)
+
+
+def test_highlight_accepts_bool_queries(spark, tmp_path):
+    """Highlighting under a composable Bool: retrieval via the bool
+    scan, wrap terms from every POSITIVE clause (must_not never
+    wraps); text equivalence with the plain-text form pinned."""
+    from sotohp_spark.index import Bool
+
+    engine = _fixture(spark, tmp_path)
+    # doc ids are TIME-ordered by the build: map through conv_id
+    text_of = {
+        r["doc_id"]: TEXTS[int(r["conv_id"][1:])]
+        for r in engine._docs.select("doc_id", "conv_id").collect()
+    }
+    texts = spark.createDataFrame(
+        [(d, t) for d, t in text_of.items()], "doc_id long, text string"
+    )
+    plain = {(r.doc_id, r.highlight) for r in engine.highlight(
+        "error retry", texts, k=8).collect()}
+    via_bool = {(r.doc_id, r.highlight) for r in engine.highlight(
+        Bool(should=("error", "retry"), minimum_should_match=1),
+        texts, k=8).collect()}
+    assert plain == via_bool and plain
+    # must_not terms are excluded from membership AND never wrapped
+    rows = engine.highlight(
+        Bool(must=("error",), must_not=("redis",)), texts, k=8
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "redis" not in text_of[r.doc_id]
+        assert "<em>error</em>" in r.highlight
+    # fragments mode composes too
+    frags = engine.highlight_fragments(
+        Bool(must=("error", "retry")), texts, k=8,
+        number_of_fragments=1, fragment_size=20).collect()
+    assert frags and any(r.fragments for r in frags)
