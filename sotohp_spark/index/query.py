@@ -1305,6 +1305,7 @@ class QueryEngine:
         ts_min=None,
         ts_max=None,
         texts: DataFrame | None = None,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Top-k BM25 for an ES ``simple_query_string`` query — the
         free-text search-box grammar (``+must -not "exact phrase"
@@ -1430,9 +1431,16 @@ class QueryEngine:
         if not phrases_must and not phrases_not:
             return self.top_k_bool(
                 q, k=k, with_docs=with_docs, source=source,
-                fields=fields,
+                fields=fields, search_after=search_after,
             )
 
+        if search_after is not None:
+            raise ValueError(
+                "search_after composes with term/prefix query strings "
+                "only — a phrase refines membership AFTER scoring, so "
+                "cursor validity would need the refined set (page "
+                "with k windows or drop the phrase to a filter)"
+            )
         scored = self.top_k_bool(
             q, k=k, with_docs=False, source=source, fields=fields,
             _no_cut=True,

@@ -277,3 +277,26 @@ def test_query_string_bool_feeds_aggregations(built):
     # phrases are the retrieval path's job
     with pytest.raises(QueryStringError):
         engine.query_string_bool('+"error retry"')
+
+
+def test_qs_search_after_pagination(built):
+    """Deep pagination through a term/prefix query string: pages
+    stitch to the full ranking exactly; the phrase path rejects a
+    cursor (membership is refined after scoring)."""
+    engine, _ = built
+    qs = "+error retry^2 ti*"
+    full = engine.top_k_query_string(qs, k=50, with_docs=False).collect()
+    assert full
+    pages, cursor = [], None
+    while True:
+        page = engine.top_k_query_string(
+            qs, k=7, with_docs=False, search_after=cursor).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert [(r.doc_id, r.score) for r in pages] == [
+        (r.doc_id, r.score) for r in full]
+    with pytest.raises(ValueError, match="search_after"):
+        engine.top_k_query_string(
+            '+"error retry"', k=5, search_after=(1.0, 0))
