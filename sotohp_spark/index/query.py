@@ -1292,6 +1292,83 @@ class QueryEngine:
             minimum_should_match=minimum_should_match,
         )
 
+    def validate_query_string(self, query_string: str,
+                              default_operator: str = "or",
+                              fields=None, max_expansions: int = 50,
+                              source=None) -> dict:
+        """ES ``_validate/query``-style diagnostics for a query string
+        — parse and compile WITHOUT running a search, returning what a
+        user debugging a search box needs:
+
+          * ``valid``: parsed and compiled (False carries ``error``);
+          * ``items``: per parsed item — occur, analyzed terms (with
+            per-term corpus df), prefix expansions (capped), phrase
+            flag, field, boost;
+          * ``matchable``: False when a REQUIRED item provably
+            matches nothing (absent must terms, zero-expansion
+            required prefix, all-dropped tokens) — the query would
+            return empty.
+
+        Cost: the parser + analyzer on the driver, df lookups from
+        the warm term-stats LRU, one dictionary job per prefix item —
+        never a postings or corpus scan."""
+        from sotohp_spark.index.build import FIELD_SEP
+        from sotohp_spark.index.qs import (
+            QueryStringError,
+            parse_query_string,
+        )
+
+        try:
+            items = parse_query_string(query_string, default_operator)
+        except (QueryStringError, ValueError) as e:
+            return {"valid": False, "error": str(e), "items": [],
+                    "matchable": False}
+        rules = self._query_rules(source)
+        out_items = []
+        matchable = True
+        for it in items:
+            info: dict = {"occur": it.occur, "boost": it.boost,
+                          "field": it.field}
+            if it.phrase is not None:
+                toks = tokenize(it.phrase, rules)
+                dfs = self._term_dfs(sorted(set(toks))) if toks else {}
+                info["phrase"] = it.phrase
+                info["terms"] = [(t, dfs.get(t, 0)) for t in toks]
+                if it.occur == "must" and (
+                    not toks or any(dfs.get(t, 0) == 0 for t in toks)
+                ):
+                    matchable = False
+            else:
+                toks = [
+                    t for w in it.words for t in tokenize(w, rules)
+                ]
+                dfs = self._term_dfs(sorted(set(toks))) if toks else {}
+                info["terms"] = [(t, dfs.get(t, 0)) for t in toks]
+                exps = []
+                for p in it.prefixes:
+                    tag = (
+                        "" if it.field in (None, "text")
+                        else it.field + FIELD_SEP
+                    )
+                    exps.extend(
+                        (t[len(tag):] if tag else t, df)
+                        for t, df in self.wildcard_expand(
+                            tag + p.lower() + "*", max_expansions,
+                            order="df",
+                        )
+                        if (t.startswith(tag) if tag
+                            else FIELD_SEP not in t)
+                    )
+                info["expansions"] = exps
+                present = (
+                    any(df for _t, df in info["terms"]) or bool(exps)
+                )
+                if it.occur == "must" and not present:
+                    matchable = False
+            out_items.append(info)
+        return {"valid": True, "items": out_items,
+                "matchable": matchable}
+
     def top_k_query_string(
         self,
         query_string: str,

@@ -300,3 +300,36 @@ def test_qs_search_after_pagination(built):
     with pytest.raises(ValueError, match="search_after"):
         engine.top_k_query_string(
             '+"error retry"', k=5, search_after=(1.0, 0))
+
+
+def test_validate_query_string(built):
+    """_validate/query diagnostics: parse errors surface as
+    valid=False, analyzed terms carry dfs, prefix expansions listed,
+    and matchable flags provably-empty required items — consistent
+    with what the search actually returns."""
+    engine, _ = built
+    v = engine.validate_query_string("+error +(retry | timeout) ti*")
+    assert v["valid"] and v["matchable"]
+    by_occur = {}
+    for i in v["items"]:
+        by_occur.setdefault(i["occur"], []).append(i)
+    assert len(by_occur["must"]) == 2
+    assert all(df > 0 for i in by_occur["must"]
+               for _t, df in i["terms"])
+    (pref,) = by_occur["should"]
+    assert pref["expansions"] and all(df > 0 for _t, df
+                                      in pref["expansions"])
+    # unmatchable cases agree with execution
+    for bad in ("+zzqxnope error", "+zzzqx*", "+2024"):
+        d = engine.validate_query_string(bad)
+        assert d["valid"] and not d["matchable"], bad
+        assert engine.top_k_query_string(
+            bad, k=3, with_docs=False).count() == 0
+    # parse errors
+    e = engine.validate_query_string('"unclosed')
+    assert not e["valid"] and "quote" in e["error"]
+    # phrase diagnostics
+    ph = engine.validate_query_string('+"error retry"')
+    assert ph["matchable"] and ph["items"][0]["phrase"] == "error retry"
+    ph2 = engine.validate_query_string('+"error zzqxnope"')
+    assert not ph2["matchable"]
