@@ -7,10 +7,12 @@ documents for zero-downtime reindexing).
 An alias is one small JSON file `{"index": <path>, "version": n}`
 written through fsio.write_text_atomic (write-then-rename locally,
 FileSystem overwrite on HDFS/S3A) — readers resolve either the old or
-the new target, never a torn file.  Swaps bump the version
-monotonically; a swap racing a concurrent swap loses cleanly (the
-version check re-reads before writing, last-writer-wins like the ES
-aliases API).
+the new target, never a torn file.  Writes are LAST-WRITER-WINS (like
+the ES aliases API): the version field is informational (read-bump-
+write, no compare-and-set), so two racing swaps may write the same
+version number and the "previous target" each returns is only a
+valid rollback handle for the swap that actually landed last —
+serialize swaps in the deployment pipeline, not here.
 
 Composition: `snapshot_index` an index, build/restore a candidate at
 a NEW path, validate it, then `swap_alias` — serving traffic moves in
@@ -63,7 +65,8 @@ def resolve_alias(spark, alias_path: str) -> str:
 
 def swap_alias(spark, alias_path: str, new_index_path: str) -> str:
     """Atomically repoint an EXISTING alias; returns the previous
-    target (kept intact — the instant-rollback handle).  The new
+    target (kept intact — the instant-rollback handle, valid when
+    this swap is the last writer; see module doc on races).  The new
     target is validated before the swap, so a half-restored index can
     never take traffic."""
     old = resolve_alias(spark, alias_path)

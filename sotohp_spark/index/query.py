@@ -1165,6 +1165,17 @@ class QueryEngine:
             return out
 
         indexed = set(self.meta.get("fields") or ())
+        field_names = None
+        if fields:
+            field_names = [
+                f if isinstance(f, str) else f[0] for f in fields
+            ]
+        for name in (field_names or []):
+            if name != "text" and name not in indexed:
+                raise ValueError(
+                    f"field {name!r} is not indexed (index "
+                    f"fields: {sorted(indexed)})"
+                )
         for it in items:
             if it.field is not None and it.field != "text" \
                     and it.field not in indexed:
@@ -1215,9 +1226,18 @@ class QueryEngine:
             for w in it.words:
                 for t in tokenize(w, rules):
                     terms[t] = terms.get(t, 0.0) + 1.0
+            # a bare prefix under a query-level field set expands in
+            # EVERY field's key space (the clause key-expands across
+            # the same set downstream, so each expansion can score
+            # wherever it exists)
+            exp_fields = (
+                [it.field] if it.field is not None
+                else (field_names or [None])
+            )
             for p in it.prefixes:
-                for t in _expand_prefix(p.lower(), it.field):
-                    terms[t] = terms.get(t, 0.0) + 1.0
+                for fname in exp_fields:
+                    for t in _expand_prefix(p.lower(), fname):
+                        terms[t] = terms.get(t, 0.0) + 1.0
             if not terms:
                 if it.occur == "must" and it.prefixes and not it.words:
                     # required prefix, zero expansions: matches
@@ -1285,6 +1305,13 @@ class QueryEngine:
                 must=({"terms": {self._UNMATCHABLE_TERM: 1.0}},),
                 ts_min=ts_min, ts_max=ts_max,
             )
+        if fields:
+            # the returned Bool must CARRY the query-level field set —
+            # consumers (aggregations) call top_k_bool(q) without a
+            # fields argument, so scoping rides the clauses themselves
+            for lst in (must, should, must_not):
+                for clause in lst:
+                    clause.setdefault("fields", list(fields))
         return Bool(
             must=tuple(must), should=tuple(should),
             must_not=tuple(must_not),
@@ -1324,6 +1351,50 @@ class QueryEngine:
             return {"valid": False, "error": str(e), "items": [],
                     "matchable": False}
         rules = self._query_rules(source)
+        # fields must validate exactly as execution would — the
+        # diagnostics may never say "valid" where the search raises
+        indexed = set(self.meta.get("fields") or ())
+        bad_fields = sorted(
+            {it.field for it in items
+             if it.field not in (None, "text")
+             and it.field not in indexed}
+            | {
+                (f if isinstance(f, str) else f[0])
+                for f in (fields or ())
+                if (f if isinstance(f, str) else f[0]) != "text"
+                and (f if isinstance(f, str) else f[0]) not in indexed
+            }
+        )
+        if bad_fields:
+            return {
+                "valid": False,
+                "error": f"fields not indexed: {bad_fields} "
+                         f"(index fields: {sorted(indexed)})",
+                "items": [], "matchable": False,
+            }
+
+        qf_names = [
+            f if isinstance(f, str) else f[0] for f in (fields or ())
+        ] or None
+
+        def _dfs_for(toks, fieldname):
+            # df of the keys the search would actually score: the
+            # field-TAGGED entries for a scoped item, summed across
+            # the query-level field set for an unscoped one (a clause
+            # matches if ANY of its keys matches)
+            names = (
+                [fieldname] if fieldname is not None
+                else (qf_names or ["text"])
+            )
+            uniq = sorted(set(toks))
+            out = {t: 0 for t in uniq}
+            for name in names:
+                tag = "" if name == "text" else name + FIELD_SEP
+                keyed = self._term_dfs([tag + t for t in uniq])
+                for t in uniq:
+                    out[t] += keyed.get(tag + t, 0)
+            return out
+
         out_items = []
         matchable = True
         for it in items:
@@ -1331,7 +1402,7 @@ class QueryEngine:
                           "field": it.field}
             if it.phrase is not None:
                 toks = tokenize(it.phrase, rules)
-                dfs = self._term_dfs(sorted(set(toks))) if toks else {}
+                dfs = _dfs_for(toks, it.field) if toks else {}
                 info["phrase"] = it.phrase
                 info["terms"] = [(t, dfs.get(t, 0)) for t in toks]
                 if it.occur == "must" and (
@@ -1342,23 +1413,28 @@ class QueryEngine:
                 toks = [
                     t for w in it.words for t in tokenize(w, rules)
                 ]
-                dfs = self._term_dfs(sorted(set(toks))) if toks else {}
+                dfs = _dfs_for(toks, it.field) if toks else {}
                 info["terms"] = [(t, dfs.get(t, 0)) for t in toks]
                 exps = []
+                exp_fields = (
+                    [it.field] if it.field is not None
+                    else (qf_names or [None])
+                )
                 for p in it.prefixes:
-                    tag = (
-                        "" if it.field in (None, "text")
-                        else it.field + FIELD_SEP
-                    )
-                    exps.extend(
-                        (t[len(tag):] if tag else t, df)
-                        for t, df in self.wildcard_expand(
-                            tag + p.lower() + "*", max_expansions,
-                            order="df",
+                    for fname in exp_fields:
+                        tag = (
+                            "" if fname in (None, "text")
+                            else fname + FIELD_SEP
                         )
-                        if (t.startswith(tag) if tag
-                            else FIELD_SEP not in t)
-                    )
+                        exps.extend(
+                            (t[len(tag):] if tag else t, df)
+                            for t, df in self.wildcard_expand(
+                                tag + p.lower() + "*", max_expansions,
+                                order="df",
+                            )
+                            if (t.startswith(tag) if tag
+                                else FIELD_SEP not in t)
+                        )
                 info["expansions"] = exps
                 present = (
                     any(df for _t, df in info["terms"]) or bool(exps)
@@ -2587,19 +2663,46 @@ class QueryEngine:
                 "regexp queries are whole-term anchored already — "
                 "drop the ^/$ (the Lucene regexp contract)"
             )
+        if re.search(r"\\[DWSB]", regex):
+            # lowercasing the pattern (terms are lowercase) would
+            # INVERT negated escape classes (\D -> \d); refuse rather
+            # than silently match the complement
+            raise ValueError(
+                "uppercase escape classes (\\D \\W \\S \\B) are not "
+                "part of this dialect — dictionary terms are "
+                "lowercase; spell the class out ([^0-9], ...)"
+            )
         try:
             re.compile(pat)
         except re.error as e:
             raise ValueError(f"invalid regexp {regex!r}: {e}") from e
         if order not in ("df", "term"):
             raise ValueError(f"order must be 'df' or 'term', got {order!r}")
+        # the literal-prefix pushdown and the bare anchors are both
+        # unsound under a TOP-LEVEL alternation ('err|fail' must not
+        # become startswith('err'), and '^err|fail$' would un-anchor
+        # each branch) — detect one by scanning depth-0 pipes
+        depth, top_alt = 0, False
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth = max(0, depth - 1)
+            elif c == "|" and depth == 0:
+                top_alt = True
+            i += 1
         m = re.match(r"[a-z0-9_]+", pat)
         # a literal run followed by a quantifier binds to its LAST
         # char, so only the part strictly before it is a fixed prefix
-        prefix = m.group(0) if m else ""
-        if prefix and len(prefix) < len(pat) and pat[len(prefix)] in "*?+{":
+        prefix = "" if top_alt else (m.group(0) if m else "")
+        if prefix and len(prefix) < len(pat) and pat[len(prefix)] in "*?+{|":
             prefix = prefix[:-1]
-        rx = "^" + pat + "$"
+        rx = "^(?:" + pat + ")$"
         dic = self._term_stats
         if prefix:
             dic = dic.where(F.col("term").startswith(prefix))
@@ -3361,16 +3464,7 @@ class QueryEngine:
 
         if size < 1:
             raise ValueError(f"size must be >= 1, got {size}")
-        if by == "day":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
-        elif by == "week":
-            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
-                                "yyyy-MM-dd")
-        elif by == "month":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
-        else:
-            raise ValueError(f"unknown bucket key {by!r} "
-                             "(expected day | week | month)")
+        key = self._date_bucket_key(by)
         scored = self._scored_set(query_text, conjunctive, source)
         keyed = self._bucket_keyed(scored)
         w = Window.partitionBy("bucket").orderBy(
@@ -3468,7 +3562,7 @@ class QueryEngine:
         if not filters:
             raise ValueError("filters must be a non-empty dict")
         names = sorted(str(n) for n in filters)
-        if len(names) != len(filters):
+        if len(set(names)) != len(names):
             raise ValueError("filter names must be distinct strings")
         counts = (
             self.matching_doc_ids_batch(
@@ -3569,6 +3663,21 @@ class QueryEngine:
 
     _COMPOSITE_SOURCES = ("day", "week", "month", "n_turns")
 
+    def _date_bucket_key(self, by: str):
+        """The day/week/month doc_ts bucket expression every
+        date-keyed aggregation shares (one definition — a week
+        truncation fix can never diverge between aggs)."""
+        if by == "day":
+            return F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
+        if by == "week":
+            return F.date_format(
+                F.date_trunc("week", F.col("doc_ts")), "yyyy-MM-dd"
+            )
+        if by == "month":
+            return F.date_format(F.col("doc_ts"), "yyyy-MM")
+        raise ValueError(f"unknown bucket key {by!r} "
+                         "(expected day | week | month)")
+
     def _composite_key(self, name: str):
         if name == "day":
             return F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
@@ -3662,16 +3771,7 @@ class QueryEngine:
         work, never matched-set work."""
         from pyspark.sql import Window
 
-        if by == "day":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
-        elif by == "week":
-            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
-                                "yyyy-MM-dd")
-        elif by == "month":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
-        else:
-            raise ValueError(f"unknown bucket key {by!r} "
-                             "(expected day | week | month)")
+        key = self._date_bucket_key(by)
         ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         hist = (
@@ -3768,16 +3868,7 @@ class QueryEngine:
 
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
-        if by == "day":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM-dd")
-        elif by == "week":
-            key = F.date_format(F.date_trunc("week", F.col("doc_ts")),
-                                "yyyy-MM-dd")
-        elif by == "month":
-            key = F.date_format(F.col("doc_ts"), "yyyy-MM")
-        else:
-            raise ValueError(f"unknown bucket key {by!r} "
-                             "(expected day | week | month)")
+        key = self._date_bucket_key(by)
         ids = self._matched_ids(query_text, source)
         keyed = self._bucket_keyed(ids)
         hist = (
@@ -3851,7 +3942,7 @@ class QueryEngine:
         if not filters:
             raise ValueError("filters must be a non-empty dict")
         names = sorted(str(n) for n in filters)
-        if len(names) != len(filters):
+        if len(set(names)) != len(names):
             raise ValueError("filter names must be distinct strings")
         if any("&" in n for n in names):
             raise ValueError("filter names must not contain '&'")

@@ -14,10 +14,13 @@ each file.  Write order is the commit protocol:
      restored half-written.
 
 Consistency: the copy runs under the index's ``recovery_lock`` (the
-same lease compaction swaps hold), and refuses while any
+same lease compaction swaps hold), refuses while any
 ``_meta/pending_*.json`` marker exists — an in-flight append/delete
 must first be recovered by opening the index (builder/engine open
-runs marker recovery).  Everything goes through ``fsio``, so the same
+runs marker recovery) — and, because appends/deletes commit WITHOUT
+that lock, re-verifies after the copy that the file listing and the
+meta.json bytes are unchanged, aborting (manifest never written) if a
+mutation landed mid-copy.  Everything goes through ``fsio``, so the same
 code snapshots a local tree or an HDFS/S3A prefix; at 100 TB the
 per-file copies are embarrassingly parallel and FileUtil.copy can be
 swapped for a distcp-style job without touching the manifest format.
@@ -77,9 +80,29 @@ def snapshot_index(spark, index_path: str, snapshot_path: str) -> dict:
             [f for f in files if not f[0].startswith("_meta/")]
             + [f for f in files if f[0].startswith("_meta/")]
         )
+        meta_before = fsio.read_text(
+            spark, f"{index_path}/_meta/meta.json"
+        )
         for rel, _size in ordered:
             fsio.copy_file(
                 spark, f"{index_path}/{rel}", f"{snapshot_path}/{rel}"
+            )
+        # torn-copy detection: the recovery lock only excludes
+        # compaction swaps — appends/deletes commit without it, so a
+        # mutation landing mid-copy must fail the snapshot BEFORE the
+        # manifest makes it visible.  Re-list and byte-compare the
+        # commit point; any divergence aborts (the partial copy stays
+        # invisible: no manifest, verify/restore refuse it).
+        after = _rel_files(spark, index_path)
+        meta_after = fsio.read_text(
+            spark, f"{index_path}/_meta/meta.json"
+        )
+        if after != files or meta_after != meta_before:
+            raise RuntimeError(
+                f"index {index_path} changed during the snapshot copy "
+                "— a concurrent append/delete committed mid-copy; "
+                "retry on a quiescent index (the partial snapshot has "
+                "no manifest and is invisible)"
             )
         manifest = {
             "source": index_path,
@@ -132,11 +155,15 @@ def verify_snapshot(spark, snapshot_path: str) -> dict:
 def restore_index(spark, snapshot_path: str, dest_path: str,
                   overwrite: bool = False) -> dict:
     """Restore a snapshot into ``dest_path``: verify the manifest,
-    copy into a staging sibling, then one directory move — the
-    destination appears atomically (no reader can open a half-
-    restored index).  ``overwrite=True`` replaces an existing
-    destination (its tree is removed AFTER the staging copy
-    succeeded, never before)."""
+    copy into a staging sibling, then one directory move — on a
+    rename-atomic filesystem the destination appears atomically (no
+    reader can open a half-restored index).  ``overwrite=True``
+    replaces an existing destination (its tree is removed AFTER the
+    staging copy succeeded, never before).  On object stores (s3a/
+    gs/abfs — rename is copy+delete) only FRESH-path restores are
+    allowed, copied in commit order (data first, ``_meta`` last) so a
+    concurrent open fails cleanly; replace a live index there by
+    restoring to a new path and swapping an alias."""
     snapshot_path = snapshot_path.rstrip("/")
     dest_path = dest_path.rstrip("/")
     manifest = verify_snapshot(spark, snapshot_path)
@@ -144,6 +171,32 @@ def restore_index(spark, snapshot_path: str, dest_path: str,
         raise ValueError(
             f"destination {dest_path} exists (pass overwrite=True)"
         )
+    if not fsio.atomic_rename_supported(dest_path):
+        # object stores rename by copy+delete — the staging move is
+        # NOT atomic there.  A fresh-path restore is still safe
+        # (manifest order: data first, _meta last — an engine open
+        # mid-copy fails cleanly on the missing commit point), but
+        # replacing a LIVE index in place is not; restore to a new
+        # path and repoint the alias instead (index/alias.py).
+        if fsio.exists(spark, dest_path):
+            raise ValueError(
+                f"{dest_path} is on a non-atomic-rename store and "
+                "exists — restore to a FRESH path there and swap an "
+                "alias (blue/green), never overwrite in place"
+            )
+        ordered = sorted(
+            manifest["files"],
+            key=lambda f: f[0].startswith("_meta/"),
+        )
+        for rel, _size in ordered:
+            fsio.copy_file(
+                spark, f"{snapshot_path}/{rel}", f"{dest_path}/{rel}"
+            )
+        log.info(
+            "restored %s -> %s (%d files, object-store direct copy)",
+            snapshot_path, dest_path, manifest["n_files"],
+        )
+        return manifest
     staging = dest_path + "._restore_tmp"
     if fsio.exists(spark, staging):
         fsio.rmtree(spark, staging)

@@ -333,3 +333,43 @@ def test_validate_query_string(built):
     assert ph["matchable"] and ph["items"][0]["phrase"] == "error retry"
     ph2 = engine.validate_query_string('+"error zzqxnope"')
     assert not ph2["matchable"]
+
+
+def test_qs_query_level_fields_carry_and_expand(built):
+    """Review fixes: a query-level fields set (a) rides the Bool that
+    query_string_bool returns (per-clause fields), so aggregations
+    match field-scoped docs without re-passing fields; (b) expands
+    bare prefixes in EVERY field's key space; (c) validates unknown
+    names exactly as execution does."""
+    engine, _ = built
+    MF = [("text", 1.0), ("tool", 2.0)]
+    # (a) bridge carries fields: retrieval via the returned Bool alone
+    # equals top_k_query_string(fields=...)
+    qs = "+search error"
+    q = engine.query_string_bool(qs, fields=MF)
+    assert _rows(engine.top_k_bool(q, k=8, with_docs=False)) == _rows(
+        engine.top_k_query_string(qs, k=8, with_docs=False, fields=MF))
+    # membership through an aggregation sees tool-field matches
+    n_plain = engine.count(engine.query_string_bool("+search")) \
+        .collect()[0].n_matches
+    n_fields = engine.count(
+        engine.query_string_bool("+search", fields=MF)
+    ).collect()[0].n_matches
+    assert n_fields >= n_plain
+    # (b) a bare prefix expands in the tool key space too
+    from sotohp_spark.index.build import FIELD_SEP
+    tool_exps = engine.wildcard_expand("tool" + FIELD_SEP + "sea*", 50)
+    assert tool_exps
+    got = _rows(engine.top_k_query_string(
+        "+sea*", k=8, with_docs=False, fields=MF))
+    assert got  # matches exist via the tool field expansion
+    # (c) unknown query-level field: execution raises, validate agrees
+    with pytest.raises(ValueError, match="not indexed"):
+        engine.top_k_query_string("error", k=3, fields=["bogus"])
+    d = engine.validate_query_string("error", fields=["bogus"])
+    assert not d["valid"] and "bogus" in d["error"]
+    # field-scoped diagnostics use the TAGGED dictionary
+    v = engine.validate_query_string("+tool:search")
+    (item,) = v["items"]
+    assert all(df > 0 for _t, df in item["terms"])
+    assert v["matchable"]
