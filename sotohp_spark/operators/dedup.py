@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sotohp_spark.operators.topk import simple_tokens
+from sotohp_spark.operators.topk import ensure_scan_parallelism, simple_tokens
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +120,7 @@ def minhash_signatures(
     single groupBy with H min() aggregates (all whole-stage codegen;
     no per-shingle crypto re-hashing per hash function)."""
     a, b, c = _minhash_params(num_hashes)
-    sh = docs.select(
+    sh = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
@@ -257,10 +257,19 @@ def ngram_jaccard_pairs(
       is O(n_docs) and must stay a shuffle join at scale (AQE may still
       choose broadcast when it is actually small).
     """
-    sh = docs.select(
+    sh = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    # MATERIALIZE the exploded (doc, shingle) stream once
+    # (localCheckpoint): the plan below consumes it 3-4x (hot-cap agg,
+    # per-doc sizes, both self-join sides) and each consumer would
+    # otherwise re-run the shingle explode — measured as the dominant
+    # cost of the whole pair job at sf1.0 (guide §2.4: remove repeated
+    # passes; §5: localCheckpoint as the cheap lineage cut).  Eager by
+    # design: every invocation still computes from the parquet input —
+    # nothing persists across calls.
+    sh = sh.localCheckpoint()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -268,7 +277,9 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(hot, "sh", "left_anti")
+        # second materialization: the capped index feeds three
+        # consumers; without it each one re-runs the anti join
+        sh = sh.join(hot, "sh", "left_anti").localCheckpoint()
     inv = sh
     sizes = inv.groupBy("doc").agg(F.count("*").alias("sz"))
 
@@ -370,7 +381,8 @@ def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     -1) > 0.  Pure column expressions: conv(hex,16,10) + bit ops.
     """
     tf = (
-        docs.select(id_col, F.explode(simple_tokens(F.col(text_col))).alias("term"))
+        ensure_scan_parallelism(docs.select(id_col, text_col))
+        .select(id_col, F.explode(simple_tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
         .withColumn(
@@ -578,11 +590,23 @@ def duplicate_clusters(
     from pyspark.sql import Observation
 
     F_ = F
+    # symmetrize via explode, not union: the union's two branches each
+    # re-evaluated the ENTIRE pairs lineage (for the dedup chain that
+    # is the full inverted-index self-join) — one explode emits both
+    # directions from a single pass (guide §2.4), same rows, same ONE
+    # materializing action
     sym = pairs.select(
-        F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
-    ).union(
-        pairs.select(F_.col(b_col).alias("src"), F_.col(a_col).alias("dst"))
-    ).distinct().localCheckpoint()
+        F_.explode(
+            F_.array(
+                F_.struct(
+                    F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
+                ),
+                F_.struct(
+                    F_.col(b_col).alias("src"), F_.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").distinct().localCheckpoint()
     labels = (
         sym.select(F_.col("src").alias("node")).distinct()
         .withColumn("lbl", F_.col("node"))

@@ -23,6 +23,25 @@ def simple_tokens(col):
     return F.filter(F.split(col, " "), lambda x: x != "")
 
 
+def ensure_scan_parallelism(df):
+    """Spread a narrow scan across the cluster before per-row-heavy
+    work (tokenize/shingle explodes).  A small parquet input with one
+    row group plans as 1-2 scan tasks, serializing everything above it
+    on one core (guide §2.5: input skew from an unsplittable file —
+    repartition right after the read).  SCALE-ADAPTIVE, not a local
+    constant: when the scan already has at least half the cluster's
+    default parallelism in splits — any real corpus — this is a no-op
+    and no shuffle is added."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if n * 2 < p:
+        return df.repartition(p)
+    return df
+
+
 def doc_term_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc, term, tf) from whitespace tokens — explode + groupBy."""
     return (
@@ -44,20 +63,43 @@ def bm25_scores(
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score summed over distinct
     query terms (qtf=1 — the oracle SQL does the same).
+
+    Plan shape (r08): the old plan exploded EVERY token and shuffled
+    the full (doc, term, tf) table just to derive per-doc lengths and
+    collection stats.  dl == token count is a per-row array size (no
+    shuffle), N/avgdl one tiny agg over it (exact: dl sums in long),
+    and only QUERY-term tokens are exploded into the tf shuffle —
+    carried with their doc's dl so no dl join remains (guide §2.3:
+    shuffle fewer bytes / aggregate narrow; §2.4: drop the dl join).
+    Per-(doc, term) tf and every float operand are value-identical to
+    the old plan, so scores match the DuckDB oracle unchanged.
     """
-    tf = doc_term_tf(docs, id_col, text_col)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n_avg = dl.agg(
+    qt = sorted(set(query_terms))
+    toks = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
+        id_col, simple_tokens(F.col(text_col)).alias("_toks")
+    )
+    dl_df = toks.select(
+        id_col, F.size("_toks").alias("dl")
+    ).where(F.col("dl") > 0)
+    n_avg = dl_df.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     )
 
-    qt = sorted(set(query_terms))
-    cand = tf.where(F.col("term").isin(qt))
+    cand = (
+        toks.select(
+            id_col,
+            F.size("_toks").alias("dl"),
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(qt))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
     df_t = cand.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     scored = (
         cand.join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(n_avg))
         .withColumn(
             "idf", F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))

@@ -195,9 +195,22 @@ def test_flagship_bm25_broadcasts_and_codegens(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = bm25_topk(docs, ["shuffle", "join"], k=10)
-    assert_broadcast_join(df, 2)
+    # r08: the per-doc dl join was eliminated (dl rides the candidate
+    # tf stream), so the only remaining equi-join is the broadcast of
+    # the per-term df stats; the 1-row n_avg crossJoin broadcasts as a
+    # nested-loop join (not counted by this helper)
+    assert_broadcast_join(df, 1)
     assert_whole_stage_codegen(df)
     assert_no_python_row_udf(df)
+    # the full-token explode must never feed a shuffle: every explode
+    # in the plan runs over the query-term-filtered array, so only
+    # matching tokens are ever exploded (r08 shuffle-bytes fix)
+    from sotohp_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(df)
+    n_explode = plan.count("explode(")
+    assert n_explode >= 1, plan
+    assert n_explode == plan.count("explode(filter("), plan
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
