@@ -731,7 +731,7 @@ class CatalogIndexBuilder:
                 .localCheckpoint()
             )
         else:  # merge_segments path: rewrite without any tombstones
-            doomed = self.spark.createDataFrame([], "doc_id long")
+            doomed = self.spark.createDataFrame([], "doc_id long").limit(0)
         affected = sorted(
             {
                 int(r["b"])

@@ -181,6 +181,18 @@ class QueryEngine:
     # with the postings per range — no driver materialization ever.
     MAX_DRIVER_DELETES = 200_000
 
+    # cache_postings(None) additionally pins shard rows in DRIVER
+    # memory when the total scoring payload fits this budget (zero
+    # Spark jobs per warm local-path query); bigger indexes keep the
+    # per-query pruned-collect path.
+    DRIVER_POSTINGS_CACHE_MAX_BYTES = 256 << 20
+
+    # per-TERM driver LRU for POSITIONAL shard rows (payload +
+    # pos_payload), filled on first use by the local phrase/span leg —
+    # the serving-tier page-cache analog for the positional stream,
+    # bounded so a big corpus only ever pins its query working set.
+    DRIVER_POS_CACHE_MAX_BYTES = 128 << 20
+
     def __init__(self, spark: SparkSession, index_path: str | None = None,
                  rules: KeywordRules | None = None, cfg: EngineConfig | None = None,
                  max_driver_deletes: int | None = None, store=None):
@@ -294,6 +306,14 @@ class QueryEngine:
         # driver-side hot term set; None until the caller opts in
         self._postings_hot: DataFrame | None = None
         self._hot_terms: frozenset | None = None
+        # r08 driver-tier hot postings: term -> list of shard-row dicts
+        # (the scoring projection), populated by cache_postings(None)
+        # when the whole payload fits DRIVER_POSTINGS_CACHE_MAX_BYTES.
+        # The driver-local fast path then scores straight from these
+        # rows — ZERO Spark jobs per warm query instead of one pruned
+        # collect per query (the ES search-tier in-heap postings
+        # posture).  Rows are never mutated by scoring (shared safely).
+        self._driver_shards: dict | None = None
         self._term_stats = store.read_term_stats()
         self._df_cache: dict | None = None
         # explicit projection -> the tfs map column (kept for the
@@ -329,6 +349,11 @@ class QueryEngine:
         from collections import OrderedDict
 
         self._term_lru: "OrderedDict[str, int]" = OrderedDict()
+        # resolved (ts window -> doc-id intervals) per segment layout
+        self._bounds_lru: dict = {}
+        # positional shard rows by term (see DRIVER_POS_CACHE_MAX_BYTES)
+        self._pos_rows_lru: "OrderedDict[str, tuple]" = OrderedDict()
+        self._pos_cache_bytes = 0
         self.last_query_stats: dict = {}
 
     def _load_deletes(self):
@@ -474,6 +499,7 @@ class QueryEngine:
         cache).  Re-invocation releases the previous pin first."""
         if self._postings_hot is not None:
             self._postings_hot.unpersist()
+        self._driver_shards = None
         base = self._postings if include_positions else self._postings_scoring
         if top_terms is None:
             self._hot_terms = None
@@ -485,17 +511,49 @@ class QueryEngine:
                 )
             else:
                 self._postings_scoring = hot
-        else:
-            hot_list = [
-                r["term"]
-                for r in self._term_stats
-                .orderBy(F.col("df").desc(), F.col("term"))
-                .limit(int(top_terms))
-                .select("term")
-                .collect()
-            ]
-            self._hot_terms = frozenset(hot_list)
-            hot = base.where(F.col("term").isin(hot_list)).cache()
+            self._postings_hot = hot
+            n = int(hot.count())
+            # driver tier (r08): when the ENTIRE scoring payload fits
+            # the driver budget, also pin the shard rows in driver
+            # memory — the local fast path then runs with zero Spark
+            # jobs per query.  Scale-adaptive: past the budget (any
+            # big corpus) this silently stays off and the per-query
+            # pruned collect path is unchanged; the selective
+            # (top_terms=N) posture never builds it.
+            scoring_view = hot
+            if "pos_offsets" in scoring_view.columns:
+                scoring_view = scoring_view.drop(
+                    "pos_offsets", "pos_payload"
+                )
+            total_payload = scoring_view.agg(
+                F.coalesce(
+                    F.sum(F.length(F.col("payload"))), F.lit(0)
+                )
+            ).collect()[0][0]
+            if int(total_payload) <= self.DRIVER_POSTINGS_CACHE_MAX_BYTES:
+                cache: dict[str, list] = {}
+                for r in scoring_view.collect():
+                    cache.setdefault(r["term"], []).append(r.asDict())
+                self._driver_shards = cache
+            # pin the docs METADATA projection too (doc_id, conv_id,
+            # doc_ts, n_turns, doc_len — never text/tfs): every
+            # sort/collapse/agg surface joins it per query.  Bounded
+            # by committed doc count — a big corpus keeps the pruned
+            # parquet scan (row width ~40 B, so 10M docs ~ 400 MB of
+            # executor storage).
+            if int(self.meta["n_docs"]) <= 10_000_000:
+                self._docs = self._docs.cache()
+            return n
+        hot_list = [
+            r["term"]
+            for r in self._term_stats
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(int(top_terms))
+            .select("term")
+            .collect()
+        ]
+        self._hot_terms = frozenset(hot_list)
+        hot = base.where(F.col("term").isin(hot_list)).cache()
         self._postings_hot = hot
         return hot.count()
 
@@ -574,8 +632,23 @@ class QueryEngine:
         it contributes its whole id interval — the interactive monthly-
         window query never runs a docs-scan job.  Only segments the
         window PARTIALLY overlaps need a scan, and that scan is pruned
-        to their range buckets (hive partition pruning on docs)."""
+        to their range buckets (hive partition pruning on docs).
+
+        Resolved windows are memoized per segment layout (r08): the
+        (window -> id-interval) answer is index METADATA — like the
+        _term_lru dictionary cache — so a repeated window (dashboards
+        re-issuing the same month) skips the partial-segment scan.
+        The key carries max_doc + segment count, so any append (which
+        changes both) naturally misses; tombstones never change id
+        intervals."""
         w_lo, w_hi = self._coerce_ts(ts_min), self._coerce_ts(ts_max)
+        lru_key = (
+            str(w_lo), str(w_hi), int(self.meta["max_doc"]),
+            len(self.meta.get("segments") or []),
+        )
+        cached = self._bounds_lru.get(lru_key)
+        if cached is not None:
+            return list(cached) if cached else None
         segs = [
             (int(lo), int(hi))
             for lo, hi in self.meta.get("segments") or [[0, self.meta["max_doc"]]]
@@ -650,7 +723,11 @@ class QueryEngine:
                     .collect()
                 )
                 ivs.extend((int(r["lo"]), int(r["hi"])) for r in rows)
-        return sorted(ivs) or None
+        out = sorted(ivs)
+        self._bounds_lru[lru_key] = out  # [] memoizes the empty window
+        while len(self._bounds_lru) > 256:
+            self._bounds_lru.pop(next(iter(self._bounds_lru)))
+        return out or None
 
     # cap on the explicit bucket IN-list for partition pruning; above
     # it a min/max envelope conjunct is used instead
@@ -762,7 +839,7 @@ class QueryEngine:
         if ts_min is not None or ts_max is not None:
             doc_bounds = self._doc_bounds_for_ts(ts_min, ts_max)
             if doc_bounds is None:
-                out = self.spark.createDataFrame([], TOPK_SCHEMA)
+                out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
                 return self._attach_docs(out) if with_docs else out
         if _weights is not None:
             # internal: caller supplies ready (term -> weight) pairs of
@@ -782,7 +859,7 @@ class QueryEngine:
             # 108-112): a query term absent from the corpus empties the result
             weights = {}
         if not weights:
-            out = spark.createDataFrame([], TOPK_SCHEMA)
+            out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
 
         # internal (top_k_multi_match most_fields): per-term avgdl
@@ -803,7 +880,7 @@ class QueryEngine:
             if min_match > n_terms:
                 # fewer present terms than required matches: provably
                 # empty (a clause on an absent term matches no doc)
-                out = spark.createDataFrame([], TOPK_SCHEMA)
+                out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
                 return self._attach_docs(out) if with_docs else out
             if min_match <= 1:
                 min_match = None  # plain disjunction
@@ -825,19 +902,27 @@ class QueryEngine:
             if conjunctive and excl_terms & set(terms):
                 # must + must_not on the same term: every doc matching
                 # all positives contains it, hence is excluded
-                out = spark.createDataFrame([], TOPK_SCHEMA)
+                out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
                 return self._attach_docs(out) if with_docs else out
             # excluded postings are collected/decoded too — they count
             # against the driver-local gate like candidate postings
             n_candidates += sum(excl_dfs[t] for t in excl_terms)
 
-        shards = self._scoring_shards(sorted(set(terms) | excl_terms))
-        if doc_bounds is not None:
-            shards = self._prune_shards_to_bounds(shards, doc_bounds)
+        terms_all = sorted(set(terms) | excl_terms)
+
+        def _build_shards():
+            s = self._scoring_shards(terms_all)
+            if doc_bounds is not None:
+                s = self._prune_shards_to_bounds(s, doc_bounds)
+            return s
 
         # the driver-local fast path needs the collected tombstone
         # array; with a large (distributed-only) delete set it is
         # skipped and scoring cogroups deletes per range instead.
+        # With the driver-tier postings cache populated the pruned
+        # shard FRAME is never needed at all (rows come from driver
+        # memory), so it is built lazily — a warm cached query spends
+        # zero py4j round-trips on plan construction.
         if (
             not _no_cut
             and self._deletes is not None
@@ -845,14 +930,18 @@ class QueryEngine:
             and self._local_gate.acquire(blocking=False)
         ):
             try:
+                use_driver = self._driver_shards is not None
                 out = self._top_k_local(
-                    shards, weights, k, avgdl, conjunctive, doc_bounds,
+                    None if use_driver else _build_shards(),
+                    weights, k, avgdl, conjunctive, doc_bounds,
                     cursor=search_after, excl_terms=excl_terms,
                     min_match=min_match, bool_spec=_bool_spec,
+                    terms_all=terms_all,
                 )
             finally:
                 self._local_gate.release()
             return self._attach_docs(out) if with_docs else out
+        shards = _build_shards()
         if conjunctive:
             # ranges lacking any query term can't contribute
             shards = self._prefilter_ranges(shards, n_terms, excl_terms)
@@ -886,7 +975,9 @@ class QueryEngine:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
+        local = self._apply_per_range(
+            shards, score_rows, TOPK_SCHEMA, n_candidates=n_candidates
+        )
         if _no_cut:
             return self._attach_docs(local) if with_docs else local
         out = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -949,7 +1040,7 @@ class QueryEngine:
         spark = self.spark
 
         def _empty():
-            out = spark.createDataFrame([], TOPK_SCHEMA)
+            out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
 
         rules = self._query_rules(source)
@@ -1543,7 +1634,7 @@ class QueryEngine:
             texts_given=texts is not None,
         )
         if unmatchable:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
 
         if not must and not should:
@@ -1572,7 +1663,7 @@ class QueryEngine:
                     .limit(k)
                 )
                 return self._attach_docs(out) if with_docs else out
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
 
         q = Bool(
@@ -1669,7 +1760,7 @@ class QueryEngine:
         hit from EVERY group (any member), never every member."""
         q = self.synonyms_bool(query_text, synonyms, operator, source)
         if not q.must and not q.should:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         return self.top_k_bool(q, k=k, with_docs=with_docs,
                                source=source)
@@ -1693,7 +1784,7 @@ class QueryEngine:
         rules = self._query_rules(source)
         toks = tokenize(query_text, rules)
         if not toks:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         *head, last = toks
         head_qtf: dict[str, float] = {}
@@ -1713,7 +1804,7 @@ class QueryEngine:
         if exps:
             clauses.append({"terms": {t: 1.0 for t in exps}})
         if not clauses:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         return self.top_k_bool(
             Bool(should=tuple(clauses), minimum_should_match=1),
@@ -1788,7 +1879,7 @@ class QueryEngine:
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
         if not qtf:
-            out = spark.createDataFrame([], TOPK_SCHEMA)
+            out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
 
         field_avgdl: list = []
@@ -1815,7 +1906,7 @@ class QueryEngine:
             for key, d in dfs.items() if d
         }
         if not weights:
-            out = spark.createDataFrame([], TOPK_SCHEMA)
+            out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         combine = {"best_fields": "best", "most_fields": "sum",
                    "cross_fields": "cross"}.get(match_type)
@@ -1858,7 +1949,6 @@ class QueryEngine:
                 ]
                 for key in weights
             }
-        shards = self._scoring_shards(sorted(weights))
         cfg = self.cfg
         n_candidates = sum(dfs[key] for key in weights)
 
@@ -1870,10 +1960,22 @@ class QueryEngine:
             try:
                 import numpy as np
 
-                rows = shards.collect()
+                if self._driver_shards is not None:
+                    rows = [
+                        s
+                        for t in sorted(weights)
+                        for s in self._driver_shards.get(t, ())
+                    ]
+                else:
+                    rows = [
+                        r.asDict()
+                        for r in self._scoring_shards(
+                            sorted(weights)
+                        ).collect()
+                    ]
                 by_range: dict[int, list] = {}
                 for r in rows:
-                    by_range.setdefault(r["range_id"], []).append(r.asDict())
+                    by_range.setdefault(r["range_id"], []).append(r)
                 all_d, all_s = [], []
                 for rid in sorted(by_range):
                     d, s = wand.score_range_multi(
@@ -1888,7 +1990,7 @@ class QueryEngine:
                     else np.zeros(0, dtype=np.int64)
                 )
                 if docs.size == 0:
-                    out = spark.createDataFrame([], TOPK_SCHEMA)
+                    out = spark.createDataFrame([], TOPK_SCHEMA).limit(0)
                     return self._attach_docs(out) if with_docs else out
                 scores = np.concatenate(all_s)
                 sel = np.lexsort((docs, -scores))[:k]
@@ -1909,6 +2011,7 @@ class QueryEngine:
             )
             return pd.DataFrame({"doc_id": d, "score": s})
 
+        shards = self._scoring_shards(sorted(weights))
         local = self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
         out = local.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
@@ -1949,8 +2052,72 @@ class QueryEngine:
         )
         return shards.join(F.broadcast(ok), "range_id")
 
-    def _apply_per_range(self, shards: DataFrame, score_rows, schema) -> DataFrame:
+    def _positional_rows(self, terms) -> list:
+        """FULL-column shard rows (positions included) for ``terms``,
+        through the per-term driver LRU: only terms not yet resident
+        cost a pruned collect, so a session's phrase working set pays
+        the parquet read once (the engine is a snapshot-at-open — the
+        postings frame this reads is immutable for this instance, so
+        residency can never go stale within it).  Eviction is
+        byte-budgeted, oldest term first, never a term of the current
+        query."""
+        cache = self._pos_rows_lru
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            by_t: dict[str, list] = {t: [] for t in missing}
+            for r in self._postings.where(
+                F.col("term").isin(missing)
+            ).collect():
+                d = r.asDict()
+                by_t[d["term"]].append(d)
+            for t in missing:
+                rs = by_t[t]
+                nb = sum(
+                    len(x["payload"] or b"")
+                    + len(x.get("pos_payload") or b"")
+                    for x in rs
+                )
+                cache[t] = (nb, rs)
+                self._pos_cache_bytes += nb
+        current = set(terms)
+        for t in terms:
+            cache.move_to_end(t)
+        while (
+            self._pos_cache_bytes > self.DRIVER_POS_CACHE_MAX_BYTES
+            and len(cache) > len(current)
+        ):
+            t0 = next(iter(cache))
+            if t0 in current:
+                break
+            nb0, _ = cache.pop(t0)
+            self._pos_cache_bytes -= nb0
+        return [r for t in terms for r in cache[t][1]]
+
+    def _apply_per_range(self, shards, score_rows, schema,
+                         n_candidates: int | None = None,
+                         terms=None, pos_terms=None) -> DataFrame:
         """Run a per-range scoring function over the candidate shards.
+
+        ``shards`` may be a DataFrame or a zero-arg callable returning
+        one (lazy: the driver-cache path below never needs the frame,
+        so callers can avoid building the plan at all).
+
+        ``n_candidates`` (r08): the caller's candidate-postings count
+        from the dictionary.  When provided, small enough for the
+        interactive gate, and the tombstones are driver-resident, the
+        SAME per-range kernel runs on the driver — over rows straight
+        from the driver-tier postings cache when ``terms`` names them
+        (ZERO Spark jobs; scoring projection only, so positional
+        kernels never take this leg), else over one collected frame
+        (one job) — instead of repartition + applyInPandas stages.
+        Identical results by construction: the identical
+        ``score_rows`` callable runs per range_id group with the
+        identical deletes array; only where it executes changes.  The
+        per-range prefilters some callers fold into the frame are pure
+        I/O pruning — every kernel re-checks its own term-coverage
+        requirement per range.  At scale (candidates above the gate,
+        or distributed-only tombstones) the distributed path below is
+        untouched.
 
         Small/no delete sets: plain groupBy(range_id).applyInPandas with
         the collected tombstone array in the closure.  Large delete
@@ -1970,6 +2137,50 @@ class QueryEngine:
         satisfies the groupBy's required distribution, so no second
         exchange appears.
         """
+        if (
+            n_candidates is not None
+            and self._deletes is not None
+            and n_candidates <= self.LOCAL_PATH_MAX_POSTINGS
+            and self._local_gate.acquire(blocking=False)
+        ):
+            try:
+                if terms is not None and self._driver_shards is not None:
+                    rows = [
+                        s
+                        for t in sorted(terms)
+                        for s in self._driver_shards.get(t, ())
+                    ]
+                    if not rows:
+                        return self.spark.createDataFrame(
+                            [], schema
+                        ).limit(0)
+                    pdf = pd.DataFrame(rows)
+                elif pos_terms is not None:
+                    rows = self._positional_rows(sorted(pos_terms))
+                    if not rows:
+                        return self.spark.createDataFrame(
+                            [], schema
+                        ).limit(0)
+                    pdf = pd.DataFrame(rows)
+                else:
+                    sh = shards() if callable(shards) else shards
+                    pdf = sh.toPandas()
+                outs = []
+                for _rid, grp in pdf.groupby("range_id", sort=True):
+                    r = score_rows(grp, self._deletes)
+                    if len(r):
+                        outs.append(r)
+                if not outs:
+                    return self.spark.createDataFrame([], schema).limit(0)
+                res = (
+                    outs[0] if len(outs) == 1
+                    else pd.concat(outs, ignore_index=True)
+                )
+                return self.spark.createDataFrame(res, schema=schema)
+            finally:
+                self._local_gate.release()
+        if callable(shards):
+            shards = shards()
         try:
             n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
@@ -2110,18 +2321,32 @@ class QueryEngine:
                      doc_bounds=None, cursor=None,
                      excl_terms: frozenset = frozenset(),
                      min_match: int | None = None,
-                     bool_spec=None):
+                     bool_spec=None, terms_all=None):
         """Interactive fast path: collect the pruned shard rows (their
         total posting count is known to be small from term_stats) and
         score per range on the driver — the SAME score_range code the
         distributed path runs, so results are identical by construction
-        (pytest-enforced)."""
+        (pytest-enforced).
+
+        ``terms_all``: the exact term set the caller's shard frame was
+        pruned to.  With the driver-tier postings cache populated
+        (cache_postings docstring), the rows come straight from driver
+        memory — no Spark job at all; score_range re-applies the
+        doc-bounds envelope, so skipping the DataFrame-level range
+        pruning cannot change results (it only ever saved I/O)."""
         import numpy as np
 
-        rows = shards.collect()
+        if self._driver_shards is not None and terms_all is not None:
+            rows = [
+                s
+                for t in terms_all
+                for s in self._driver_shards.get(t, ())
+            ]
+        else:
+            rows = [r.asDict() for r in shards.collect()]
         by_range: dict[int, list] = {}
         for r in rows:
-            by_range.setdefault(r["range_id"], []).append(r.asDict())
+            by_range.setdefault(r["range_id"], []).append(r)
         all_docs, all_scores = [], []
         # block-max pruning evidence for the whole query, aggregated
         # across ranges (blocks_total / blocks_decoded / blocks_skipped)
@@ -2140,7 +2365,7 @@ class QueryEngine:
             all_scores.append(s)
         docs = np.concatenate(all_docs) if all_docs else np.zeros(0, dtype=np.int64)
         if docs.size == 0:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
         scores = np.concatenate(all_scores)
         sel = np.lexsort((docs, -scores))[:k]
         pdf = pd.DataFrame(
@@ -2226,7 +2451,7 @@ class QueryEngine:
         merge/compaction, never per delete."""
         prefix = prefix.strip().lower()
         if not prefix:
-            return self.spark.createDataFrame([], "term string, df long")
+            return self.spark.createDataFrame([], "term string, df long").limit(0)
         return (
             self._term_stats.where(F.col("term").startswith(prefix))
             .select("term", F.col("df").cast("long").alias("df"))
@@ -2492,7 +2717,7 @@ class QueryEngine:
         empty = "source_term string, term string, distance int, " \
                 "df long, rank int"
         if not toks or max_edits < 1:
-            return self.spark.createDataFrame([], empty)
+            return self.spark.createDataFrame([], empty).limit(0)
         src = self.spark.createDataFrame(
             [(t,) for t in toks], "source_term string"
         )
@@ -2555,7 +2780,7 @@ class QueryEngine:
         for t in toks:
             qtf[t] = qtf.get(t, 0) + 1
         if not qtf or max_edits < 1:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         cand = [
             (r["term"], int(r["df"]))
@@ -2575,7 +2800,7 @@ class QueryEngine:
                         q * _bm25.lucene_idf_scalar(n, df)
                     )
         if not weights:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         return self.top_k(
             query_text, k=k, with_docs=with_docs, _weights=weights
@@ -2737,7 +2962,7 @@ class QueryEngine:
             t: _bm25.lucene_idf_scalar(n, df) for t, df in cand
         }
         if not weights:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         return self.top_k(
             None, k=k, with_docs=with_docs, _weights=weights
@@ -2765,7 +2990,7 @@ class QueryEngine:
             t: _bm25.lucene_idf_scalar(n, df) for t, df in cand
         }
         if not weights:
-            out = self.spark.createDataFrame([], TOPK_SCHEMA)
+            out = self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
             return self._attach_docs(out) if with_docs else out
         return self.top_k(
             pattern, k=k, with_docs=with_docs, _weights=weights
@@ -2859,22 +3084,27 @@ class QueryEngine:
         the top-k cut disabled — a scored export must decode every
         candidate block, so there is nothing for block-max to skip and
         the cost is THE MATCHED POSTINGS, never the corpus.  Output
-        stays distributed (no driver-local path, no collect, no sort);
-        consumers aggregate or order it themselves."""
-        weights, _ = self.query_weights(query_text, source)
+        stays distributed (no collect, no sort) above the interactive
+        gate; under it the per-range kernel runs driver-side (see
+        _apply_per_range) and consumers aggregate the LocalRelation;
+        either way they aggregate or order it themselves."""
+        weights, n_candidates = self.query_weights(query_text, source)
         if conjunctive and len(weights) < len(
             set(tokenize(query_text, self._query_rules(source)))
         ):
             weights = {}
         if not weights:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
         avgdl = self.meta["avgdl"]
         cfg = self.cfg
         terms = sorted(weights)
         n_terms = len(terms)
-        shards = self._scoring_shards(terms)
-        if conjunctive:
-            shards = self._prefilter_ranges(shards, n_terms)
+
+        def shards():
+            s = self._scoring_shards(terms)
+            if conjunctive:
+                s = self._prefilter_ranges(s, n_terms)
+            return s
 
         def score_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             docs, scores = wand.score_range(
@@ -2883,7 +3113,10 @@ class QueryEngine:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        return self._apply_per_range(shards, score_rows, TOPK_SCHEMA)
+        return self._apply_per_range(
+            shards, score_rows, TOPK_SCHEMA, n_candidates=n_candidates,
+            terms=terms,
+        )
 
     def top_k_collapse(self, query_text: str, k: int = 10,
                        by: str = "day", conjunctive: bool = False,
@@ -3082,7 +3315,7 @@ class QueryEngine:
                   "idf double, weight double")
         if self._deletes is not None:
             if int(doc_id) in self._deletes:
-                return self.spark.createDataFrame([], schema)
+                return self.spark.createDataFrame([], schema).limit(0)
         row = self._docs_raw.where(
             (F.col("range_bucket") == int(doc_id) // span)
             & (F.col("doc_id") == int(doc_id))
@@ -3571,8 +3804,11 @@ class QueryEngine:
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
+        # pandas-backed tiny frame: a plain list createDataFrame is
+        # RDD-backed and its every action schedules defaultParallelism
+        # empty tasks (the r08 empty-frame finding)
         name_rows = self.spark.createDataFrame(
-            [(n,) for n in names], "name string"
+            pd.DataFrame({"name": names}), schema="name string"
         )
         return (
             name_rows.join(
@@ -4122,7 +4358,7 @@ class QueryEngine:
             key=lambda x: (-x[0], x[1]),
         )[:max_terms]
         if not ranked:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return self.spark.createDataFrame([], TOPK_SCHEMA).limit(0)
         mlt_weights = {t: idf(t) for _, t in ranked}  # qtf = 1 per term
         out = self.top_k("", k + 1, with_docs=False, source=source,
                          _weights=mlt_weights)
@@ -4166,7 +4402,7 @@ class QueryEngine:
         terms = sorted(set(tokenize(query_text, self._query_rules(source))))
         spark = self.spark
         schema = "doc_id long, dl long" if with_dl else "doc_id long"
-        empty = spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema).limit(0)
         if not terms:
             return empty
         dfs = self._term_dfs(terms)
@@ -4175,10 +4411,13 @@ class QueryEngine:
             # empties the result (MediaServiceLive.scala:108-112)
             return empty
         n_terms = len(terms)
-        shards = self._scoring_shards(terms)
-        if n_terms > 1:
-            # ranges lacking any query term can't contribute
-            shards = self._prefilter_ranges(shards, n_terms)
+
+        def shards():
+            s = self._scoring_shards(terms)
+            if n_terms > 1:
+                # ranges lacking any query term can't contribute
+                s = self._prefilter_ranges(s, n_terms)
+            return s
 
         def match_rows(pdf: pd.DataFrame, deletes) -> pd.DataFrame:
             rows = pdf.to_dict("records")
@@ -4197,7 +4436,10 @@ class QueryEngine:
                 return pd.DataFrame({"doc_id": ids, "dl": dls})
             return pd.DataFrame({"doc_id": conjunctive_match(rows, deletes)})
 
-        return self._apply_per_range(shards, match_rows, schema)
+        return self._apply_per_range(
+            shards, match_rows, schema, n_candidates=sum(dfs.values()),
+            terms=terms,
+        )
 
     def matching_doc_ids_batch(self, queries, source=None) -> DataFrame:
         """Conjunctive candidates for MANY queries in ONE distributed
@@ -4220,6 +4462,7 @@ class QueryEngine:
         rules = self._query_rules(source)
         phrase_terms: dict = {}
         all_terms: set = set()
+        term_df: dict = {}
         for qid, text in queries:
             terms = sorted(set(tokenize(text, rules)))
             if not terms:
@@ -4229,8 +4472,9 @@ class QueryEngine:
                 continue
             phrase_terms[str(qid)] = terms
             all_terms.update(terms)
+            term_df.update(dfs)
         if not phrase_terms:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema).limit(0)
         shards = self._scoring_shards(all_terms)
 
         # ship the (possibly thousands-of-phrases) term table ONCE per
@@ -4253,7 +4497,11 @@ class QueryEngine:
                 {"query_id": "str", "doc_id": "int64"}
             )
 
-        return self._apply_per_range(shards, match_rows, schema)
+        return self._apply_per_range(
+            shards, match_rows, schema,
+            n_candidates=sum(term_df.values()),
+            terms=sorted(all_terms),
+        )
 
     def _phrase_offsets(self, phrase: str, source=None) -> list:
         """[(term, relative position)] for a phrase, first KEPT token
@@ -4295,7 +4543,7 @@ class QueryEngine:
                 "use phrase_search's text-verify mode"
             )
         schema = "doc_id long"
-        empty = self.spark.createDataFrame([], schema)
+        empty = self.spark.createDataFrame([], schema).limit(0)
         offs = self._phrase_offsets(phrase, source)
         if not offs:
             return empty
@@ -4320,7 +4568,10 @@ class QueryEngine:
                 {"doc_id": positional_phrase_match(rows, offs, deletes)}
             )
 
-        return self._apply_per_range(shards, match_rows, schema)
+        return self._apply_per_range(
+            shards, match_rows, schema, n_candidates=sum(dfs.values()),
+            pos_terms=terms,
+        )
 
     def span_near_doc_ids(self, query_text: str, slop: int = 0,
                           in_order: bool = True, source=None) -> DataFrame:
@@ -4352,7 +4603,7 @@ class QueryEngine:
         if slop < 0:
             raise ValueError("slop must be >= 0")
         schema = "doc_id long"
-        empty = self.spark.createDataFrame([], schema)
+        empty = self.spark.createDataFrame([], schema).limit(0)
         terms = tokenize(query_text, self._query_rules(source))
         if not terms:
             return empty
@@ -4391,7 +4642,10 @@ class QueryEngine:
                 )}
             )
 
-        return self._apply_per_range(shards, match_rows, schema)
+        return self._apply_per_range(
+            shards, match_rows, schema, n_candidates=sum(dfs.values()),
+            pos_terms=terms,
+        )
 
     def match_phrase_prefix_doc_ids(self, phrase: str,
                                     max_expansions: int = 50,
@@ -4413,7 +4667,7 @@ class QueryEngine:
         exactly the amortization a 50-way completion fan-out needs).
         Requires EngineConfig(store_positions=True)."""
         schema = "doc_id long"
-        empty = self.spark.createDataFrame([], schema)
+        empty = self.spark.createDataFrame([], schema).limit(0)
         terms = tokenize(phrase, self._query_rules(source))
         if not terms:
             return empty
@@ -4448,6 +4702,7 @@ class QueryEngine:
         schema = "query_id string, doc_id long"
         offsets_map: dict = {}
         all_terms: set = set()
+        term_df: dict = {}
         for qid, text in phrases:
             offs = self._phrase_offsets(text, source)
             if not offs:
@@ -4458,8 +4713,9 @@ class QueryEngine:
                 continue
             offsets_map[str(qid)] = offs
             all_terms.update(terms)
+            term_df.update(dfs)
         if not offsets_map:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema).limit(0)
         shards = self._postings.where(F.col("term").isin(sorted(all_terms)))
 
         prev = getattr(self, "_phrase_pos_bc", None)
@@ -4476,7 +4732,11 @@ class QueryEngine:
                 {"query_id": "str", "doc_id": "int64"}
             )
 
-        return self._apply_per_range(shards, match_rows, schema)
+        return self._apply_per_range(
+            shards, match_rows, schema,
+            n_candidates=sum(term_df.values()),
+            pos_terms=sorted(all_terms),
+        )
 
     @staticmethod
     def _require_texts(texts, api: str, optional: bool = False):
@@ -4675,7 +4935,7 @@ class QueryEngine:
 
         self._require_texts(texts, "phrase_ranked", optional=True)
         schema = "doc_id long, score double"
-        empty = self.spark.createDataFrame([], schema)
+        empty = self.spark.createDataFrame([], schema).limit(0)
         pat = r"(^|\s)" + re.escape(phrase.strip()) + r"(\s|$)"
         offs = self._phrase_offsets(phrase, source)
         if not phrase.strip():
@@ -4721,7 +4981,11 @@ class QueryEngine:
                     )
                     return pd.DataFrame({"doc_id": docs, "score": scores})
 
-                scored = self._apply_per_range(shards, score_rows, schema)
+                scored = self._apply_per_range(
+                    shards, score_rows, schema,
+                    n_candidates=sum(dfs.values()),
+                    pos_terms=terms,
+                )
         if texts is not None and offs:
             verified = texts.join(
                 scored.withColumnRenamed("doc_id", id_col), id_col

@@ -46,6 +46,47 @@ def cosine_sim(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _seqfold_norm(q) -> float:
+    """sqrt of the strict left-fold sum of squares — bit-identical to
+    the JVM ``_norm`` expression over the same doubles."""
+    acc = 0.0
+    for x in q:
+        xx = float(x)
+        acc = acc + xx * xx
+    import math
+
+    return math.sqrt(acc)
+
+
+def _cosine_raw_udf(query_vec):
+    """Arrow-batched raw (UNROUNDED) cosine vs a fixed query vector,
+    arithmetic bit-identical to the JVM
+    ``_dot(v, q) / (_norm(v) * _norm(q))`` expression chain it
+    replaces (guide §4.2): every dot/norm is a strict left-fold over
+    dimensions in float64 (elementwise IEEE ops in identical order),
+    and the authoritative round(..., 6) stays in the JVM."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    nq = _seqfold_norm(q)
+
+    @pandas_udf("double")
+    def raw(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        acc = np.zeros(len(m))
+        nacc = np.zeros(len(m))
+        for j in range(m.shape[1]):
+            col = m[:, j]
+            acc = acc + col * q[j]
+            nacc = nacc + col * col
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(acc / (np.sqrt(nacc) * nq))
+
+    return raw
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_vec: list,
@@ -54,13 +95,15 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of query_vec vs every row. Plan: scan ->
-    project(score) -> TakeOrderedAndProject(k). No shuffle beyond the
-    k-row merge."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vectorized Arrow score -> TakeOrderedAndProject(k).  No shuffle
+    beyond the k-row merge; scores identical to the former
+    interpreted higher-order-function expressions (see
+    _cosine_raw_udf)."""
+    raw = _cosine_raw_udf(query_vec)
     return (
         embeddings.select(
             id_col,
-            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(raw(F.col(vec_col)), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -137,6 +180,30 @@ def srp_bucket_col(vec_col, planes: np.ndarray):
     return out.cast("int")
 
 
+def srp_bucket_udf(planes: np.ndarray):
+    """Arrow-batched SRP bucket id, bit-identical to srp_bucket_col:
+    each plane projection is the strict left-fold dot (identical
+    float64 op order), bit i set iff projection >= 0."""
+    from pyspark.sql.functions import pandas_udf
+
+    pl = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(pl.shape[0]):
+            proj = np.zeros(len(m))
+            for j in range(m.shape[1]):
+                proj = proj + m[:, j] * pl[i, j]
+            out |= (proj >= 0).astype(np.int64) << i
+        return pd.Series(out.astype("int32"))
+
+    return bucket
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec: list,
@@ -154,13 +221,15 @@ def cosine_topk_lsh(
     planes = _hyperplanes(len(query_vec), bits, seed)
     probe = probe_buckets(query_vec, bits, seed, multiprobe_hamming, planes)
 
-    with_bucket = embeddings.withColumn("bucket", srp_bucket_col(F.col(vec_col), planes))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    with_bucket = embeddings.withColumn(
+        "bucket", srp_bucket_udf(planes)(F.col(vec_col))
+    )
+    raw = _cosine_raw_udf(query_vec)
     return (
         with_bucket.where(F.col("bucket").isin(probe))
         .select(
             id_col,
-            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(raw(F.col(vec_col)), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -418,24 +487,39 @@ IVF_EXPR_MAX_CENTROIDS = 64
 
 
 def _assign_via_expr(embeddings, cent, id_col, vec_col):
-    """Small-n path: argmax over per-centroid similarity COLUMNS (ties
-    -> lowest centroid id).  Pure column expressions — exactly
-    reproducible in the DuckDB oracle SQL, which is why the oracle
-    contract (n_centroids=8) stays on this path."""
-    sims = [
-        (
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row]))
-            / _norm(F.col(vec_col))
-        ).alias(f"s{i}")
-        for i, row in enumerate(cent)
-    ]
-    tmp = embeddings.select(id_col, vec_col, F.array(*sims).alias("sims"))
-    return tmp.select(
-        id_col,
-        vec_col,
-        (F.array_position(F.col("sims"), F.array_max("sims")) - 1)
-        .cast("int")
-        .alias("centroid_id"),
+    """Small-n EXACT path: argmax over per-centroid similarities with
+    ties -> lowest centroid id.  r08: the per-centroid similarity
+    COLUMN expressions (interpreted higher-order functions, one fold
+    per centroid per row) became one Arrow-batched kernel computing
+    the SAME strict left-fold dots/norm in float64 — value-identical
+    similarities, and np.argmax returns the FIRST maximum exactly
+    like the former array_position(array_max) pair, so the DuckDB
+    oracle contract (n_centroids=8) is unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cent, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = m.shape[1]
+        nacc = np.zeros(len(m))
+        for j in range(d):
+            nacc = nacc + m[:, j] * m[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.sqrt(nacc)
+            sims = np.empty((len(m), c.shape[0]))
+            for ci in range(c.shape[0]):
+                acc = np.zeros(len(m))
+                for j in range(d):
+                    acc = acc + m[:, j] * c[ci, j]
+                sims[:, ci] = acc / norm
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return embeddings.select(
+        id_col, vec_col, assign(F.col(vec_col)).alias("centroid_id")
     )
 
 
@@ -550,12 +634,12 @@ def cosine_topk_ivf(
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     order = np.argsort(-(cent @ qv), kind="stable")[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = _cosine_raw_udf(query_vec)
     return (
         assigned.where(F.col("centroid_id").isin([int(c) for c in order]))
         .select(
             id_col,
-            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(raw(F.col(vec_col)), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)

@@ -38,6 +38,7 @@ from sotohp_spark import fsio
 
 from sotohp_spark.operators.ann import (
     _hyperplanes,
+    _cosine_raw_udf,
     cosine_sim,
     probe_buckets,
     srp_bucket_col,
@@ -85,7 +86,7 @@ def ann_index_topk(
     probe = probe_buckets(
         query_vec, meta["bits"], meta["seed"], multiprobe_hamming
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = _cosine_raw_udf(query_vec)
     df = (
         spark.read.option("basePath", path).parquet(path)
         .where(F.col("bucket").isin(probe))
@@ -93,7 +94,7 @@ def ann_index_topk(
     return (
         df.select(
             meta["id_col"],
-            F.round(cosine_sim(F.col(meta["vec_col"]), q), 6).alias("cos_sim"),
+            F.round(raw(F.col(meta["vec_col"])), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
         .limit(k)
@@ -162,7 +163,7 @@ def ann_index_ivf_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     order = np.argsort(-(cent @ qv), kind="stable")[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = _cosine_raw_udf(query_vec)
     df = (
         spark.read.option("basePath", path).parquet(path)
         .where(F.col("centroid_id").isin([int(c) for c in order]))
@@ -170,7 +171,7 @@ def ann_index_ivf_topk(
     return (
         df.select(
             meta["id_col"],
-            F.round(cosine_sim(F.col(meta["vec_col"]), q), 6).alias("cos_sim"),
+            F.round(raw(F.col(meta["vec_col"])), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]).asc())
         .limit(k)

@@ -1130,7 +1130,7 @@ def compact_buckets(
             .localCheckpoint()
         )
     else:  # merge_segments path: rewrite without any tombstones
-        doomed = spark.createDataFrame([], "doc_id long")
+        doomed = spark.createDataFrame([], "doc_id long").limit(0)
     affected = sorted(
         {
             int(r["b"])

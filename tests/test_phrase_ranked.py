@@ -102,6 +102,13 @@ def test_phrase_ranked_one_pass(spark, built):
     scores come out of the SAME per-range task that proves adjacency."""
     engine, _ = built
     phrase = "retry timeout"
+    # pin the DISTRIBUTED path's job parity (the property under test:
+    # scores ride the same per-range pass as adjacency).  The r08
+    # driver-local leg computes both eagerly with one collect job but
+    # materializes the ranked result through an extra tiny sort job,
+    # which is orthogonal to the one-pass property.
+    prev_gate = engine.LOCAL_PATH_MAX_POSTINGS
+    engine.LOCAL_PATH_MAX_POSTINGS = 0
 
     def jobs(fn):
         gid = uuid.uuid4().hex
@@ -113,8 +120,11 @@ def test_phrase_ranked_one_pass(spark, built):
             sc.setJobGroup("default", "")
         return len(sc.statusTracker().getJobIdsForGroup(gid))
 
-    engine.phrase_ranked(phrase, k=10).collect()          # warm
-    engine.phrase_match_doc_ids(phrase).collect()         # warm
-    n_rank = jobs(lambda: engine.phrase_ranked(phrase, k=10).collect())
-    n_match = jobs(lambda: engine.phrase_match_doc_ids(phrase).collect())
+    try:
+        engine.phrase_ranked(phrase, k=10).collect()          # warm
+        engine.phrase_match_doc_ids(phrase).collect()         # warm
+        n_rank = jobs(lambda: engine.phrase_ranked(phrase, k=10).collect())
+        n_match = jobs(lambda: engine.phrase_match_doc_ids(phrase).collect())
+    finally:
+        engine.LOCAL_PATH_MAX_POSTINGS = prev_gate
     assert n_rank == n_match, (n_rank, n_match)

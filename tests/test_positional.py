@@ -207,6 +207,10 @@ def test_positional_path_reads_no_text_or_docs(spark, pos_index):
 
     path, _ = pos_index
     engine = QueryEngine(spark, path)
+    # force the distributed leg: the r08 driver-local leg returns a
+    # LocalRelation (no scans at all — trivially satisfying the
+    # property); this test pins the DISTRIBUTED plan's scan set
+    engine.LOCAL_PATH_MAX_POSTINGS = 0
     df = engine.phrase_match_doc_ids("error retry")
     plan = formatted_plan(df)
     import re
