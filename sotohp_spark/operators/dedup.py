@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -95,6 +96,40 @@ def word_shingles(col, n: int = 3, distinct: bool = True):
     return F.transform(F.array(simple_tokens(col)), _from_toks)[0]
 
 
+def word_shingles_udf(n: int = 3):
+    """Arrow-batched twin of ``word_shingles(distinct=True)`` for the
+    dedup EXPLODE paths (r08): higher-order-function slicing is
+    CodegenFallback (interpreted per shingle) and measured ~1.7x
+    slower than a batched Python shingler at sf1.0.  Semantics are
+    pinned equal by tests/test_dedup_ann.py::test_shingle_udf_parity:
+    split on single spaces dropping empties (simple_tokens), <n tokens
+    -> empty array, first-occurrence order dedup (array_distinct).
+    Curation's repetition metrics keep the expression form (their
+    shingles feed further array expressions, not an explode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    nn = int(n)
+
+    @pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None:
+                out.append([])
+                continue
+            toks = [t for t in s.split(" ") if t]
+            if len(toks) < nn:
+                out.append([])
+                continue
+            out.append(list(dict.fromkeys(
+                " ".join(toks[i:i + nn])
+                for i in range(len(toks) - nn + 1)
+            )))
+        return pd.Series(out)
+
+    return sh
+
+
 # universal-hash multipliers for the MinHash family: deterministic,
 # engine-independent (plain int64 arithmetic, no overflow: operands
 # stay below 2^31 * 2^30).  h_i = (a_i*h_hi + b_i*h_lo + c_i) mod M.
@@ -124,7 +159,7 @@ def minhash_signatures(
     a, b, c = _minhash_params(num_hashes)
     sh = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.explode(word_shingles_udf(shingle_n)(F.col(text_col))).alias("sh"),
     )
     h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
     hashed = sh.select(
@@ -261,7 +296,7 @@ def ngram_jaccard_pairs(
     """
     sh = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.explode(word_shingles_udf(shingle_n)(F.col(text_col))).alias("sh"),
     )
     # MATERIALIZE the exploded (doc, shingle) stream once
     # (localCheckpoint): the plan below consumes it 3-4x (hot-cap agg,

@@ -31,6 +31,35 @@ def test_exact_duplicates(near_dup_docs):
     assert groups[0]["doc_ids"] == [0, 1]
 
 
+def test_shingle_udf_parity(spark):
+    """The Arrow-batched shingler the dedup explode paths use (r08)
+    must produce EXACTLY word_shingles(distinct=True): same grams,
+    same first-occurrence order, same empty-array edge cases (null
+    text, empty text, < n tokens, repeated separators)."""
+    texts = [
+        "a b c d e a b c", "a b", "", None, "  x   y  z w  ",
+        "one two three one two three one two", "t t t t t",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for n in (2, 3, 5):
+        expr = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", dedup.word_shingles(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        udf = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id",
+                dedup.word_shingles_udf(n)(F.col("text")).alias("g"),
+            ).collect()
+        }
+        assert expr == udf, (n, expr, udf)
+
+
 def test_jaccard_pairs_exact(near_dup_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
