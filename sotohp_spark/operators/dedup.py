@@ -555,12 +555,70 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float):
 def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """64-bit SimHash over whitespace tokens, tf-weighted.
 
-    Token hash = first 16 hex chars of md5 (stable across engines).
+    Token hash = first 15 hex chars of md5 (stable across engines).
     Bit b of the simhash = 1 iff sum over tokens of tf * (bit b ? +1 :
-    -1) > 0.  Pure column expressions: conv(hex,16,10) + bit ops.
-    """
+    -1) > 0.
+
+    r08: ONE Arrow kernel per partition replaces the token explode +
+    (doc, term) shuffle + md5-per-row + 60-aggregate groupBy — the
+    whole signature is a per-doc integer computation, so shuffling
+    2.8M token rows to compute 50k signatures was pure movement
+    (guide §2.3/§4.2).  Arithmetic is integer-exact and IDENTICAL to
+    the old expression plan (same md5 prefix, same ±tf sums, same
+    sign rule) — pinned by test_simhash_kernel_parity against the
+    retained expression form below."""
+    import hashlib
+
+    base = ensure_scan_parallelism(docs.select(id_col, text_col))
+    id_t = docs.schema[id_col].dataType.simpleString()
+    bitpos = np.arange(60, dtype=np.int64)
+
+    def kern(batches):
+        signs_cache: dict = {}
+        for pdf in batches:
+            ids_out, sims_out = [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                cnt: dict = {}
+                for t in s.split(" "):
+                    if t:
+                        cnt[t] = cnt.get(t, 0) + 1
+                if not cnt:
+                    continue
+                rows = []
+                tfs = np.empty(len(cnt), dtype=np.int64)
+                for j, (t, tf) in enumerate(cnt.items()):
+                    sg = signs_cache.get(t)
+                    if sg is None:
+                        h = int(
+                            hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        sg = (((h >> bitpos) & 1) * 2 - 1).astype(np.int64)
+                        signs_cache[t] = sg
+                    rows.append(sg)
+                    tfs[j] = tf
+                bitsum = tfs @ np.stack(rows)
+                ids_out.append(i)
+                sims_out.append(int(
+                    ((bitsum > 0).astype(np.int64) << bitpos).sum()
+                ))
+            if ids_out:
+                yield pd.DataFrame({
+                    id_col: ids_out,
+                    "simhash": np.asarray(sims_out, dtype=np.int64),
+                })
+
+    return base.mapInPandas(kern, f"{id_col} {id_t}, simhash long")
+
+
+def _simhash64_expr(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """The original pure-column-expression simhash (conv(md5) + 60
+    conditional sums) — retained as the parity oracle for the Arrow
+    kernel above."""
     tf = (
-        ensure_scan_parallelism(docs.select(id_col, text_col))
+        docs
         .select(id_col, F.explode(simple_tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))

@@ -31,6 +31,23 @@ def test_exact_duplicates(near_dup_docs):
     assert groups[0]["doc_ids"] == [0, 1]
 
 
+def test_simhash_kernel_parity(spark, near_dup_docs):
+    """The Arrow simhash kernel (r08) must equal the retained
+    expression form bit for bit on every doc (same md5 prefix, same
+    +-tf integer sums, same sign rule), including empty/None texts
+    being absent from the output."""
+    rows = [(100, ""), (101, None), (102, "a a b"), (103, "  x  ")]
+    extra = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    docs = near_dup_docs.unionByName(extra)
+    a = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash64(docs).collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in dedup._simhash64_expr(docs).collect()}
+    assert a == b
+
+
 def test_shingle_udf_parity(spark):
     """The Arrow-batched shingler the dedup explode paths use (r08)
     must produce EXACTLY word_shingles(distinct=True): same grams,
