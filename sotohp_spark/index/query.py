@@ -184,8 +184,11 @@ class QueryEngine:
     # cache_postings(None) additionally pins shard rows in DRIVER
     # memory when the total scoring payload fits this budget (zero
     # Spark jobs per warm local-path query); bigger indexes keep the
-    # per-query pruned-collect path.
-    DRIVER_POSTINGS_CACHE_MAX_BYTES = 256 << 20
+    # per-query pruned-collect path.  The budget meters PAYLOAD bytes;
+    # the resident python row dicts (block-offset lists, per-dict
+    # overhead) run ~3-10x that, so 128 MB of payload budgets roughly
+    # 0.4-1.3 GB of driver heap against the 8 GB default.
+    DRIVER_POSTINGS_CACHE_MAX_BYTES = 128 << 20
 
     # per-TERM driver LRU for POSITIONAL shard rows (payload +
     # pos_payload), filled on first use by the local phrase/span leg —
@@ -512,24 +515,28 @@ class QueryEngine:
             else:
                 self._postings_scoring = hot
             self._postings_hot = hot
-            n = int(hot.count())
             # driver tier (r08): when the ENTIRE scoring payload fits
             # the driver budget, also pin the shard rows in driver
             # memory — the local fast path then runs with zero Spark
             # jobs per query.  Scale-adaptive: past the budget (any
             # big corpus) this silently stays off and the per-query
             # pruned collect path is unchanged; the selective
-            # (top_terms=N) posture never builds it.
+            # (top_terms=N) posture never builds it.  ONE agg both
+            # materializes the executor cache and returns the row
+            # count + payload bytes.
             scoring_view = hot
             if "pos_offsets" in scoring_view.columns:
                 scoring_view = scoring_view.drop(
                     "pos_offsets", "pos_payload"
                 )
-            total_payload = scoring_view.agg(
+            probe = scoring_view.agg(
+                F.count(F.lit(1)),
                 F.coalesce(
                     F.sum(F.length(F.col("payload"))), F.lit(0)
-                )
-            ).collect()[0][0]
+                ),
+            ).collect()[0]
+            n = int(probe[0])
+            total_payload = int(probe[1])
             if int(total_payload) <= self.DRIVER_POSTINGS_CACHE_MAX_BYTES:
                 cache: dict[str, list] = {}
                 for r in scoring_view.collect():

@@ -58,31 +58,88 @@ def _seqfold_norm(q) -> float:
     return math.sqrt(acc)
 
 
+def _fold_dots(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise dot(m[i], q) as a strict left-fold over dimensions —
+    THE shared float64 kernel whose op order matches the JVM
+    ``aggregate(zip_with(...))`` fold bit for bit.  Every Arrow
+    scoring path below goes through this (or _fold_norms) so the
+    JVM-parity invariant lives in exactly one place."""
+    acc = np.zeros(len(m))
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j] * q[j]
+    return acc
+
+
+def _fold_norms(m: np.ndarray) -> np.ndarray:
+    """Row-wise sqrt(sum of squares), strict left-fold (see
+    _fold_dots)."""
+    acc = np.zeros(len(m))
+    for j in range(m.shape[1]):
+        col = m[:, j]
+        acc = acc + col * col
+    with np.errstate(invalid="ignore"):
+        return np.sqrt(acc)
+
+
+def _fold_rowwise_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """dot(a[i], b[i]) per row, strict left-fold (see _fold_dots)."""
+    acc = np.zeros(len(a))
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def _stack_valid(vecs, dim: int):
+    """(matrix, valid_mask) for a pandas Series of vectors: rows that
+    are null or not ``dim`` long are excluded from the matrix — the
+    JVM expressions produced NULL for those (zip_with pads length
+    mismatches with nulls, null propagates through the fold), so
+    callers must emit null for masked-out rows rather than crash."""
+    valid = np.array(
+        [v is not None and len(v) == dim for v in vecs], dtype=bool
+    )
+    if not valid.any():
+        return np.zeros((0, dim)), valid
+    m = np.stack([
+        np.asarray(v, dtype=np.float64)
+        for v, ok in zip(vecs, valid) if ok
+    ])
+    return m, valid
+
+
 def _cosine_raw_udf(query_vec):
     """Arrow-batched raw (UNROUNDED) cosine vs a fixed query vector,
     arithmetic bit-identical to the JVM
     ``_dot(v, q) / (_norm(v) * _norm(q))`` expression chain it
     replaces (guide §4.2): every dot/norm is a strict left-fold over
     dimensions in float64 (elementwise IEEE ops in identical order),
-    and the authoritative round(..., 6) stays in the JVM."""
+    and the authoritative round(..., 6) stays in the JVM.  Null or
+    wrong-dimension vectors score NULL, exactly as the expressions
+    did."""
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
     nq = _seqfold_norm(q)
+    dim = int(q.size)
 
     @pandas_udf("double")
     def raw(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="float64")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        acc = np.zeros(len(m))
-        nacc = np.zeros(len(m))
-        for j in range(m.shape[1]):
-            col = m[:, j]
-            acc = acc + col * q[j]
-            nacc = nacc + col * col
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(acc / (np.sqrt(nacc) * nq))
+        m, valid = _stack_valid(vecs, dim)
+        if valid.all():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(_fold_dots(m, q) / (_fold_norms(m) * nq))
+        # object dtype keeps the NULL (invalid row) vs NaN (0-norm /
+        # NaN component) distinction through Arrow — Spark sorts NaN
+        # first and NULL last on desc, exactly like the old exprs
+        out: list = [None] * len(vecs)
+        if len(m):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = _fold_dots(m, q) / (_fold_norms(m) * nq)
+            for i, val in zip(np.nonzero(valid)[0], vals):
+                out[i] = float(val)
+        return pd.Series(out, dtype="object")
 
     return raw
 
@@ -183,22 +240,28 @@ def srp_bucket_col(vec_col, planes: np.ndarray):
 def srp_bucket_udf(planes: np.ndarray):
     """Arrow-batched SRP bucket id, bit-identical to srp_bucket_col:
     each plane projection is the strict left-fold dot (identical
-    float64 op order), bit i set iff projection >= 0."""
+    float64 op order); bit i set iff projection >= 0, where a NaN
+    projection COUNTS as >= 0 (Spark comparison semantics: NaN is
+    greater than any number — numpy's NaN >= 0 is False, so the
+    parity needs the explicit isnan OR).  Null / wrong-dimension
+    vectors get bucket 0, matching the expression chain (null
+    condition -> otherwise(0) on every bit)."""
     from pyspark.sql.functions import pandas_udf
 
     pl = np.asarray(planes, dtype=np.float64)
+    dim = int(pl.shape[1])
 
     @pandas_udf("int")
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = np.zeros(len(m), dtype=np.int64)
+        m, valid = _stack_valid(vecs, dim)
+        bits = np.zeros(len(m), dtype=np.int64)
         for i in range(pl.shape[0]):
-            proj = np.zeros(len(m))
-            for j in range(m.shape[1]):
-                proj = proj + m[:, j] * pl[i, j]
-            out |= (proj >= 0).astype(np.int64) << i
+            proj = _fold_dots(m, pl[i])
+            bits |= ((proj >= 0) | np.isnan(proj)).astype(np.int64) << i
+        out = np.zeros(len(vecs), dtype=np.int64)
+        out[valid] = bits
         return pd.Series(out.astype("int32"))
 
     return bucket
@@ -499,24 +562,29 @@ def _assign_via_expr(embeddings, cent, id_col, vec_col):
 
     c = np.asarray(cent, dtype=np.float64)
 
+    dim = int(c.shape[1])
+
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d = m.shape[1]
-        nacc = np.zeros(len(m))
-        for j in range(d):
-            nacc = nacc + m[:, j] * m[:, j]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            norm = np.sqrt(nacc)
-            sims = np.empty((len(m), c.shape[0]))
-            for ci in range(c.shape[0]):
-                acc = np.zeros(len(m))
-                for j in range(d):
-                    acc = acc + m[:, j] * c[ci, j]
-                sims[:, ci] = acc / norm
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        m, valid = _stack_valid(vecs, dim)
+        cid = np.zeros(len(m), dtype=np.int64)
+        if len(m):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norm = _fold_norms(m)
+                sims = np.empty((len(m), c.shape[0]))
+                for ci in range(c.shape[0]):
+                    sims[:, ci] = _fold_dots(m, c[ci]) / norm
+            cid = np.argmax(sims, axis=1)
+        if valid.all():
+            return pd.Series(cid.astype("int32"))
+        # null / wrong-dim vectors got a NULL centroid from the old
+        # expression chain (array_position over null sims) — keep it
+        out: list = [None] * len(vecs)
+        for i, v in zip(np.nonzero(valid)[0], cid):
+            out[i] = int(v)
+        return pd.Series(out, dtype="object")
 
     return embeddings.select(
         id_col, vec_col, assign(F.col(vec_col)).alias("centroid_id")
@@ -537,13 +605,21 @@ def _assign_via_udf(embeddings, cent, id_col, vec_col):
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         c = bc.value
-        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if m.size == 0:
+        if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (m / norms[:, None]) @ c.T
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+        m, valid = _stack_valid(vecs, c.shape[1])
+        cid = np.zeros(len(m), dtype=np.int64)
+        if len(m):
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ c.T
+            cid = np.argmax(sims, axis=1)
+        if valid.all():
+            return pd.Series(cid.astype("int32"))
+        out: list = [None] * len(vecs)
+        for i, v in zip(np.nonzero(valid)[0], cid):
+            out[i] = int(v)
+        return pd.Series(out, dtype="object")
 
     return embeddings.select(
         id_col, vec_col, assign(F.col(vec_col)).alias("centroid_id")
@@ -701,12 +777,19 @@ def embedding_neardup_ivf(
         c = bc.value
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (m / norms[:, None]) @ c.T
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        # null / wrong-dimension vectors probe NO cell (null array;
+        # the explode drops the row) — they could never survive the
+        # exact-cosine verify anyway
+        m, valid = _stack_valid(vecs, c.shape[1])
+        out: list = [None] * len(vecs)
+        if len(m):
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ c.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            for i, row in zip(np.nonzero(valid)[0], order):
+                out[i] = row.astype("int32").tolist()
+        return pd.Series(out, dtype="object")
 
     wb = embeddings.select(
         F.col(id_col).alias("vid"),
@@ -719,31 +802,15 @@ def embedding_neardup_ivf(
     # summation error (<= d * eps * |dot| ~ 1e-14 at unit scale)
     margin = 2e-6
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame({
-            "id_a": pd.Series([], dtype="int64"),
-            "id_b": pd.Series([], dtype="int64"),
-            "raw": pd.Series([], dtype="float64"),
-        })
-        if n < 2:
-            return empty
-        ids = pdf["vid"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        M = np.stack([
-            np.asarray(v, dtype=np.float64)
-            for v in pdf["vec"].to_numpy()[order]
-        ])
-        d = M.shape[1]
-        # exact norms: strict left-fold over dims, matching the JVM
-        # aggregate(x*x) fold bit-for-bit (elementwise IEEE ops in
-        # identical order)
-        nacc = np.zeros(n)
-        for j in range(d):
-            nacc = nacc + M[:, j] * M[:, j]
+    def _one_length_group(ids: np.ndarray, M: np.ndarray):
+        """Candidate pairs within one equal-dimension group (the old
+        per-pair zip_with produced NULL for length-mismatched pairs,
+        which the threshold filter dropped — so only same-length
+        pairs can ever survive)."""
+        n = len(ids)
+        # exact norms: strict left-fold, matching the JVM fold
         with np.errstate(divide="ignore", invalid="ignore"):
-            norms = np.sqrt(nacc)
+            norms = _fold_norms(M)
         jidx = np.arange(n)[None, :]
         # row-blocked candidate scan bounds memory at block x n
         blk = max(256, min(4096, (1 << 22) // max(n, 1)))
@@ -761,21 +828,54 @@ def embedding_neardup_ivf(
                 out_i.append(bi + s)
                 out_j.append(bj)
         if not out_i:
-            return empty
+            return None
         iu = np.concatenate(out_i)
         ju = np.concatenate(out_j)
         # exact left-fold dot for survivors — same bits as the JVM
         # zip_with/aggregate expression the original plan evaluated
-        A, B = M[iu], M[ju]
-        acc = np.zeros(iu.size)
-        for j in range(d):
-            acc = acc + A[:, j] * B[:, j]
         with np.errstate(divide="ignore", invalid="ignore"):
-            raw = acc / (norms[iu] * norms[ju])
+            raw = _fold_rowwise_dots(M[iu], M[ju]) / (norms[iu] * norms[ju])
         keep = (raw >= threshold - 1e-6) | np.isnan(raw)
-        return pd.DataFrame({
-            "id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "raw": raw[keep],
+        if not keep.any():
+            return None
+        return ids[iu[keep]], ids[ju[keep]], raw[keep]
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "raw": pd.Series([], dtype="float64"),
         })
+        vec_arr = pdf["vec"].to_numpy()
+        id_arr = pdf["vid"].to_numpy()
+        # null vectors can only form NULL-scored (dropped) pairs
+        lens = np.array(
+            [-1 if v is None else len(v) for v in vec_arr], dtype=np.int64
+        )
+        parts = []
+        for d in np.unique(lens):
+            if d < 0:
+                continue
+            sel = np.nonzero(lens == d)[0]
+            if sel.size < 2:
+                continue
+            ids = id_arr[sel]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = np.stack([
+                np.asarray(vec_arr[i], dtype=np.float64)
+                for i in sel[order]
+            ])
+            got = _one_length_group(ids, M)
+            if got is not None:
+                parts.append(pd.DataFrame({
+                    "id_a": got[0], "id_b": got[1], "raw": got[2],
+                }))
+        if not parts:
+            return empty
+        return parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
 
     id_t = embeddings.schema[id_col].dataType.simpleString()
     cells = wb.groupBy("centroid_id").applyInPandas(

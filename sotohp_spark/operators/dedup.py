@@ -410,10 +410,15 @@ def ngram_jaccard_pairs(
     )
 
 
-# ship the whole inverted index as one shared variable only while its
-# row count keeps the serialized CSR arrays well under executor/task
-# memory (~8 B/row for the int arrays); past this the self-join path
-# (arbitrary scale, one shuffle per stage) takes over
+# ship the whole inverted index as one shared variable only while it
+# stays well inside driver/executor memory; past this the self-join
+# path (arbitrary scale, one shuffle per stage) takes over.  Budget
+# accounting is for the WHOLE kernel, not just the broadcast: the
+# driver transiently holds the (doc, shingle-string) pandas frame
+# (~50-100 B/row with string objects) plus the int CSR arrays
+# (~32 B/row across the five broadcast arrays), so 20M rows is
+# roughly 1-2.5 GB peak driver footprint against the 8 GB default —
+# deliberately conservative headroom, not an 8 B/row estimate
 JACCARD_KERNEL_MAX_ROWS = 20_000_000
 
 
@@ -437,19 +442,26 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float):
 
     Returns None when the index is too big to ship (the caller falls
     back to the self-join path) or ids are not integers."""
-    import pandas as pd
+    from pyspark.sql import types as T
 
     spark = inv.sparkSession
+    # id-dtype check BEFORE any collect (non-integer ids keep the
+    # generic self-join path), and the output schema mirrors the
+    # input id type so both paths return identical frames
+    id_type = inv.schema["doc"].dataType
+    if not isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        return None
+    id_t = id_type.simpleString()
     n_rows = inv.count()  # cheap: inv is localCheckpointed
     if n_rows == 0:
         return spark.createDataFrame(
-            [], "doc_a long, doc_b long, jaccard double"
+            [], f"doc_a {id_t}, doc_b {id_t}, jaccard double"
         ).limit(0)
     if n_rows > JACCARD_KERNEL_MAX_ROWS:
         return None
     pdf = inv.toPandas()
-    if not pd.api.types.is_integer_dtype(pdf["doc"]):
-        return None
     doc_vals = pdf["doc"].to_numpy(np.int64)
     sh_codes, _ = pd.factorize(pdf["sh"], sort=False)
     doc_ids = np.unique(doc_vals)              # sorted original ids
@@ -532,7 +544,7 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float):
     par = spark.sparkContext.defaultParallelism
     cand = spark.range(n_docs, numPartitions=par).mapInPandas(
         pair_counts,
-        "doc_a long, doc_b long, inter long, sz_a long, sz_b long",
+        f"doc_a {id_t}, doc_b {id_t}, inter long, sz_a long, sz_b long",
     )
     return (
         cand.withColumn(
@@ -574,8 +586,14 @@ def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     bitpos = np.arange(60, dtype=np.int64)
 
     def kern(batches):
+        # per-task sign cache: one 60-byte int8 row per distinct
+        # token, cleared at a 500k-entry cap (~50 MB with overhead)
+        # so a high-vocabulary partition cannot grow task memory
+        # without bound
         signs_cache: dict = {}
         for pdf in batches:
+            if len(signs_cache) > 500_000:
+                signs_cache.clear()
             ids_out, sims_out = [], []
             for i, s in zip(pdf[id_col], pdf[text_col]):
                 if s is None:
@@ -595,7 +613,9 @@ def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
                             hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
                             16,
                         )
-                        sg = (((h >> bitpos) & 1) * 2 - 1).astype(np.int64)
+                        # int8 signs: the tf (int64) matmul promotes
+                        # back to int64, values stay exact
+                        sg = (((h >> bitpos) & 1) * 2 - 1).astype(np.int8)
                         signs_cache[t] = sg
                     rows.append(sg)
                     tfs[j] = tf

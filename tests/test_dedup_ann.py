@@ -31,6 +31,44 @@ def test_exact_duplicates(near_dup_docs):
     assert groups[0]["doc_ids"] == [0, 1]
 
 
+def test_ann_kernels_tolerate_null_and_ragged_vectors(spark):
+    """The Arrow scoring kernels must reproduce the old expression
+    chain's dirty-input behavior instead of crashing: a NULL vector
+    scores NULL (sorts last on desc), a wrong-dimension vector scores
+    NULL (zip_with padded it to nulls), SRP buckets fall back to 0
+    (every when() took its otherwise), and the IVF near-dup kernel
+    simply never pairs such rows."""
+    import pandas as pd
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, None),
+        (3, [1.0, 0.0]),  # ragged
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+
+    got = ann.cosine_topk_bruteforce(df, q, k=10).collect()
+    by_id = {r["vec_id"]: r["cos_sim"] for r in got}
+    assert by_id[0] == 1.0 and by_id[1] is not None
+    assert by_id[2] is None and by_id[3] is None
+    # NULLs sort last on desc
+    assert [r["vec_id"] for r in got[:2]] == [0, 1]
+
+    lsh = ann.cosine_topk_lsh(df, q, k=10, bits=4, multiprobe_hamming=2)
+    assert lsh.count() >= 1  # does not crash; valid rows score
+
+    pairs = ann.embedding_neardup_ivf(
+        df, threshold=0.5, n_centroids=2, n_probe=2
+    ).collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 2 not in ids_in_pairs and 3 not in ids_in_pairs
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
 def test_simhash_kernel_parity(spark, near_dup_docs):
     """The Arrow simhash kernel (r08) must equal the retained
     expression form bit for bit on every doc (same md5 prefix, same
