@@ -307,6 +307,13 @@ def ngram_jaccard_pairs(
     # design: every invocation still computes from the parquet input —
     # nothing persists across calls.
     sh = sh.localCheckpoint()
+    if not prefix_filter:
+        # kernel path first, on the RAW stream: the hot-shingle cap is
+        # a bincount inside the kernel, so the hot-agg job, the anti
+        # join and its second materialization never run at all
+        kernel = _jaccard_pairs_kernel(sh, threshold, max_shingle_df)
+        if kernel is not None:
+            return kernel
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -385,10 +392,6 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
-    kernel = _jaccard_pairs_kernel(inv, threshold)
-    if kernel is not None:
-        return kernel
-
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -422,7 +425,8 @@ def ngram_jaccard_pairs(
 JACCARD_KERNEL_MAX_ROWS = 20_000_000
 
 
-def _jaccard_pairs_kernel(inv: DataFrame, threshold: float):
+def _jaccard_pairs_kernel(inv: DataFrame, threshold: float,
+                          max_shingle_df: int | None = None):
     """Shared-inverted-index jaccard pair counting (r08).
 
     The self-join path materializes one row PER (shingle, doc_a,
@@ -464,6 +468,21 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float):
     pdf = inv.toPandas()
     doc_vals = pdf["doc"].to_numpy(np.int64)
     sh_codes, _ = pd.factorize(pdf["sh"], sort=False)
+    if max_shingle_df is not None:
+        # hot-shingle cap as a bincount over the RAW stream — same
+        # semantics as the DataFrame anti join (df computed on the
+        # uncapped universe, sizes over the capped one), without the
+        # hot-agg job / anti join / second checkpoint
+        counts = np.bincount(sh_codes)
+        keep = counts[sh_codes] <= int(max_shingle_df)
+        if not keep.all():
+            doc_vals = doc_vals[keep]
+            sh_codes = sh_codes[keep]
+            if doc_vals.size == 0:
+                return spark.createDataFrame(
+                    [], f"doc_a {id_t}, doc_b {id_t}, jaccard double"
+                ).limit(0)
+    n_rows = int(doc_vals.size)  # post-cap row count
     doc_ids = np.unique(doc_vals)              # sorted original ids
     didx = np.searchsorted(doc_ids, doc_vals)  # dense ids, id-ordered
     n_docs = int(doc_ids.size)
