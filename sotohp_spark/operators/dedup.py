@@ -294,26 +294,31 @@ def ngram_jaccard_pairs(
       is O(n_docs) and must stay a shuffle join at scale (AQE may still
       choose broadcast when it is actually small).
     """
-    sh = ensure_scan_parallelism(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles_udf(shingle_n)(F.col(text_col))).alias("sh"),
-    )
-    # MATERIALIZE the exploded (doc, shingle) stream once
-    # (localCheckpoint): the plan below consumes it 3-4x (hot-cap agg,
-    # per-doc sizes, both self-join sides) and each consumer would
-    # otherwise re-run the shingle explode — measured as the dominant
-    # cost of the whole pair job at sf1.0 (guide §2.4: remove repeated
-    # passes; §5: localCheckpoint as the cheap lineage cut).  Eager by
-    # design: every invocation still computes from the parquet input —
+    # MATERIALIZE the per-doc shingle ARRAYS once (localCheckpoint):
+    # one tokenize+shingle pass, 50k compact array rows instead of a
+    # millions-of-rows exploded checkpoint; every consumer below
+    # (kernel collect, hot-cap agg, sizes, both self-join sides)
+    # derives from it — re-running only the cheap in-memory explode,
+    # never the shingler (guide §2.4: remove repeated passes; §5:
+    # localCheckpoint as the cheap lineage cut).  Eager by design:
+    # every invocation still computes from the parquet input —
     # nothing persists across calls.
-    sh = sh.localCheckpoint()
+    per_doc = (
+        ensure_scan_parallelism(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles_udf(shingle_n)(F.col(text_col)).alias("shs"),
+        )
+        .localCheckpoint()
+    )
     if not prefix_filter:
-        # kernel path first, on the RAW stream: the hot-shingle cap is
+        # kernel path first, on the RAW arrays: the hot-shingle cap is
         # a bincount inside the kernel, so the hot-agg job, the anti
-        # join and its second materialization never run at all
-        kernel = _jaccard_pairs_kernel(sh, threshold, max_shingle_df)
+        # join and the exploded materialization never run at all
+        kernel = _jaccard_pairs_kernel(per_doc, threshold, max_shingle_df)
         if kernel is not None:
             return kernel
+    sh = per_doc.select("doc", F.explode("shs").alias("sh"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -446,6 +451,8 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float,
 
     Returns None when the index is too big to ship (the caller falls
     back to the self-join path) or ids are not integers."""
+    import itertools
+
     from pyspark.sql import types as T
 
     spark = inv.sparkSession
@@ -458,7 +465,11 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float,
     ):
         return None
     id_t = id_type.simpleString()
-    n_rows = inv.count()  # cheap: inv is localCheckpointed
+    n_rows = int(
+        inv.agg(
+            F.coalesce(F.sum(F.size("shs")), F.lit(0))
+        ).collect()[0][0]
+    )  # cheap: inv is localCheckpointed per-doc arrays
     if n_rows == 0:
         return spark.createDataFrame(
             [], f"doc_a {id_t}, doc_b {id_t}, jaccard double"
@@ -466,8 +477,17 @@ def _jaccard_pairs_kernel(inv: DataFrame, threshold: float,
     if n_rows > JACCARD_KERNEL_MAX_ROWS:
         return None
     pdf = inv.toPandas()
-    doc_vals = pdf["doc"].to_numpy(np.int64)
-    sh_codes, _ = pd.factorize(pdf["sh"], sort=False)
+    arr_list = [
+        a if a is not None else () for a in pdf["shs"].to_numpy()
+    ]
+    row_sizes = np.fromiter(
+        (len(a) for a in arr_list), dtype=np.int64, count=len(arr_list)
+    )
+    doc_vals = np.repeat(pdf["doc"].to_numpy(np.int64), row_sizes)
+    sh_codes, _ = pd.factorize(
+        pd.Series(list(itertools.chain.from_iterable(arr_list))),
+        sort=False,
+    )
     if max_shingle_df is not None:
         # hot-shingle cap as a bincount over the RAW stream — same
         # semantics as the DataFrame anti join (df computed on the
