@@ -203,8 +203,15 @@ def partition_state_rows(spark, committed: DataFrame, buckets: list,
                 float(wall_each),
             )
         )
+    import pandas as pd
+
+    # pandas-backed frame: a plain-list createDataFrame is RDD-backed
+    # and its write schedules defaultParallelism near-empty tasks for
+    # a <=buckets-per-batch-row table (r08 empty/tiny-frame finding)
+    cols = [f.name for f in PARTITION_STATE_SCHEMA.fields[:-1]]
     return spark.createDataFrame(
-        rows, schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1])
+        pd.DataFrame(rows, columns=cols),
+        schema=T.StructType(PARTITION_STATE_SCHEMA.fields[:-1]),
     ).withColumn("built_at", F.current_timestamp())
 
 

@@ -903,9 +903,14 @@ def duplicate_clusters(
             )
         ).alias("e")
     ).select("e.src", "e.dst").distinct().localCheckpoint()
+    # seeded init (r08): the label distinct-pass shuffles by src
+    # anyway, so fold the FIRST propagation step into it — initial
+    # label = min(self, neighbors).  Same fixpoint (component-min
+    # labels are unique), one fewer distributed round.
     labels = (
-        sym.select(F_.col("src").alias("node")).distinct()
-        .withColumn("lbl", F_.col("node"))
+        sym.groupBy("src")
+        .agg(F_.least(F_.min("dst"), F_.first("src")).alias("lbl"))
+        .select(F_.col("src").alias("node"), "lbl")
         .localCheckpoint()
     )
     changed = None
