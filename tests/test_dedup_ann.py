@@ -566,3 +566,27 @@ def test_embedding_neardup_ivf_no_allpairs_plan(spark, embeddings):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_kernel_gate_falls_back_to_join(spark, near_dup_docs):
+    """Above the row budget (or on non-integer ids) the jaccard kernel
+    must hand over to the self-join path with IDENTICAL pairs — the
+    scale-tier switch may never change results."""
+    import sotohp_spark.operators.dedup as dd
+
+    def all_pairs():
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dd.ngram_jaccard_pairs(
+                near_dup_docs, threshold=0.3, max_shingle_df=5
+            ).collect()
+        }
+
+    kernel = all_pairs()
+    saved = dd.JACCARD_KERNEL_MAX_ROWS
+    dd.JACCARD_KERNEL_MAX_ROWS = 0  # force the self-join tier
+    try:
+        join_path = all_pairs()
+    finally:
+        dd.JACCARD_KERNEL_MAX_ROWS = saved
+    assert kernel == join_path and kernel

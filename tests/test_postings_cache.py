@@ -173,3 +173,27 @@ def test_encode_shard_rejects_anchor_overflow():
     bad_pos = [np.array([0]), np.array([1 << _POS_SHIFT])]
     with pytest.raises(ValueError, match="positional postings"):
         encode_shard(doc_ids, tfs, dls, 3.0, DEFAULT, positions=bad_pos)
+
+
+def test_driver_tier_budget_gate_and_identity(spark, built):
+    """The r08 driver-tier postings cache must (a) stay OFF when the
+    payload budget says the index is too big — queries then keep the
+    one-collect local path — and (b) when ON, return rank-identical
+    results.  This pins the two-tier behavior the 100 TB story relies
+    on: the budget, not the cluster size, picks the tier."""
+    gated = QueryEngine(spark, built)
+    gated.preload_term_stats()
+    gated.DRIVER_POSTINGS_CACHE_MAX_BYTES = 0
+    gated.cache_postings()
+    assert gated._driver_shards is None
+
+    cached = QueryEngine(spark, built)
+    cached.preload_term_stats()
+    cached.cache_postings()
+    assert cached._driver_shards is not None
+
+    for q in reference_queries()[:12]:
+        a = gated.top_k_pdf(q, 10)
+        b = cached.top_k_pdf(q, 10)
+        assert list(a["doc_id"]) == list(b["doc_id"]), q
+        assert list(a["score"]) == list(b["score"]), q
