@@ -700,11 +700,13 @@ class IndexBuilder:
             else:
                 range_size_source = "explicit"
             self.cfg = cfg
-            # exchange FIRST, tokenize after: the pandas UDF (the
-            # dominant compute) must run at full task width, not on
-            # whatever partition count the id-assignment join left
-            # behind; the write needs this range layout anyway.
-            docs = docs.repartitionByRange(cfg.shuffle_partitions, "doc_id")
+            # no exchange needed before tokenizing (r08): assign_doc_ids
+            # now EMITS the doc_id-range layout — num_ranges (==
+            # cfg.shuffle_partitions) partitions, each a contiguous
+            # sorted doc_id interval — so the tokenizer already runs at
+            # full task width and the write gets its range layout for
+            # free; the old repartitionByRange here was a second full
+            # shuffle of the document texts.
             docs = apply_term_freqs(
                 docs, self.rules, with_positions=cfg.store_positions,
                 extra_fields=tuple(cfg.extra_fields),

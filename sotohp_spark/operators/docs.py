@@ -13,15 +13,19 @@ time-ordered key.  docID = dense rank over (min(ts), conv_id).
 
 Scale note: a naive ``dense_rank() OVER (ORDER BY ...)`` uses a single
 unpartitioned window — a one-reducer bottleneck at 10^9 docs.
-``assign_doc_ids`` instead range-partitions on the key, ranks within
-partitions, and adds per-partition offsets computed from partition
-counts (two jobs, all-distributed; the offsets table is tiny and
-broadcast).
+``assign_doc_ids`` instead range-partitions on the key ONCE, sorts
+within partitions, and enumerates each partition with its exclusive
+prefix-sum offset in an Arrow pass (the offsets come from the count
+job that also materializes the checkpoint; the per-partition offset
+map is a tiny broadcast).  No further exchange — not even the
+Window.partitionBy hash shuffle the previous version paid — and the
+output partitions ARE the doc_id-range layout downstream writes
+need.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -187,16 +191,20 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
     """Add a dense 0-based ``doc_id`` ordered by (doc_ts, conv_id).
 
     Distributed dense rank: repartitionByRange on the ordering key,
-    row_number within each range partition, plus an exclusive prefix
-    sum of partition sizes.  The per-partition counts (<= num_ranges
-    rows) are collected to the driver — the prefix sum and the offset
-    table are built locally and broadcast back, so the count job that
+    sort + Arrow enumeration within each range partition, plus an
+    exclusive prefix sum of partition sizes.  The per-partition counts
+    (<= num_ranges rows) are collected to the driver — the prefix sum
+    is built locally and broadcast back, so the count job that
     materializes the checkpoint also yields the EXACT corpus size for
     free (the build uses it to derive the range geometry before any
-    write).  No global single-partition window.
+    write).  No global single-partition window, and (r08) no second
+    exchange either: enumeration happens inside the checkpointed range
+    partitions, guarded by a per-batch partition-id assertion.
 
     ``with_count=True`` returns ``(df, n_docs)``.
     """
+    from pyspark.sql import types as T
+
     spark = docs.sparkSession
     ranged = docs.repartitionByRange(num_ranges, "doc_ts", "conv_id").withColumn(
         "_pid", F.spark_partition_id()
@@ -206,20 +214,56 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
     counts = sorted(
         ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
     )
-    n_docs, rows = 0, []
+    n_docs, offs = 0, {}
     for r in counts:
-        rows.append((int(r["_pid"]), n_docs))
+        offs[int(r["_pid"])] = n_docs
         n_docs += int(r["count"])
-    offsets = spark.createDataFrame(
-        rows or [(0, 0)], "_pid int, _offset long"
+    bc = spark.sparkContext.broadcast(offs)
+
+    # r08: enumerate WITHIN the checkpointed range partitions instead
+    # of a Window.partitionBy(_pid) — that window forced a second full
+    # exchange (hash on a partition-count-cardinality key, guide §2.4)
+    # just to regroup rows the range partitioning already grouped.
+    # sortWithinPartitions + an Arrow pass that adds offset+row-index
+    # is exchange-free, and the OUTPUT keeps the range layout: each
+    # partition holds a contiguous, sorted doc_id interval, so the
+    # caller needs no further repartitionByRange("doc_id") either.
+    # Determinism guard: the checkpointed partitions are fixed blocks,
+    # and the kernel ASSERTS the recorded _pid matches its task's
+    # partition id — any partition-mapping drift fails loudly instead
+    # of mis-numbering ids.
+    pid_idx = len(ranged.columns) - 1  # _pid was appended last
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("doc_id", T.LongType(), False)]
     )
 
-    win = Window.partitionBy("_pid").orderBy("doc_ts", "conv_id")
+    def _add_ids(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bc.value.get(pid, 0)
+        seen = 0
+        for batch in batches:
+            n = batch.num_rows
+            if n:
+                pids = batch.column(pid_idx)
+                if pids[0].as_py() != pid or pids[n - 1].as_py() != pid:
+                    raise RuntimeError(
+                        "assign_doc_ids: partition mapping drifted "
+                        f"(task {pid}, recorded {pids[0].as_py()})"
+                    )
+            ids = pa.array(
+                range(off + seen, off + seen + n), type=pa.int64()
+            )
+            seen += n
+            yield batch.append_column("doc_id", ids)
+
     out = (
-        ranged.withColumn("_rn", F.row_number().over(win) - 1)
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        ranged.sortWithinPartitions("doc_ts", "conv_id")
+        .mapInArrow(_add_ids, out_schema)
+        .drop("_pid")
     )
     return (out, n_docs) if with_count else out
 
