@@ -228,10 +228,13 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
     # is exchange-free, and the OUTPUT keeps the range layout: each
     # partition holds a contiguous, sorted doc_id interval, so the
     # caller needs no further repartitionByRange("doc_id") either.
-    # Determinism guard: the checkpointed partitions are fixed blocks,
-    # and the kernel ASSERTS the recorded _pid matches its task's
-    # partition id — any partition-mapping drift fails loudly instead
-    # of mis-numbering ids.
+    # The partition key is the RECORDED ``_pid`` column, never
+    # TaskContext.partitionId(): a consumer plan that fuses this
+    # mapInArrow into a wider stage (e.g. a union's second branch)
+    # offsets the task index while the data and its recorded _pid are
+    # untouched.  The sub-DAG from checkpoint to kernel is a private
+    # 1:1 narrow chain, so every batch holds exactly one _pid — the
+    # kernel ASSERTS that, failing loudly rather than mis-numbering.
     pid_idx = len(ranged.columns) - 1  # _pid was appended last
     out_schema = T.StructType(
         list(ranged.schema.fields)
@@ -240,24 +243,28 @@ def assign_doc_ids(docs: DataFrame, num_ranges: int = 32,
 
     def _add_ids(batches):
         import pyarrow as pa
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        off = bc.value.get(pid, 0)
-        seen = 0
+        seen: dict = {}
         for batch in batches:
             n = batch.num_rows
-            if n:
-                pids = batch.column(pid_idx)
-                if pids[0].as_py() != pid or pids[n - 1].as_py() != pid:
-                    raise RuntimeError(
-                        "assign_doc_ids: partition mapping drifted "
-                        f"(task {pid}, recorded {pids[0].as_py()})"
-                    )
+            if n == 0:
+                yield batch.append_column(
+                    "doc_id", pa.array([], type=pa.int64())
+                )
+                continue
+            pids = batch.column(pid_idx)
+            pid = pids[0].as_py()
+            if pids[n - 1].as_py() != pid:
+                raise RuntimeError(
+                    "assign_doc_ids: batch spans checkpoint partitions "
+                    f"({pid} .. {pids[n - 1].as_py()})"
+                )
+            off = bc.value.get(pid, 0)
+            s = seen.get(pid, 0)
             ids = pa.array(
-                range(off + seen, off + seen + n), type=pa.int64()
+                range(off + s, off + s + n), type=pa.int64()
             )
-            seen += n
+            seen[pid] = s + n
             yield batch.append_column("doc_id", ids)
 
     out = (
